@@ -1,0 +1,32 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle over
+  * the same parquet tables. Queries without an oracle get the driver's
+  * weaker rows-only check.
+  *
+  * Contract notes (driver compares by column-name-sorted value hash):
+  *   - every computed column is aliased identically in Spark and SQL;
+  *   - double outputs are rounded on BOTH sides so partial-aggregation
+  *     order (Spark) vs single-pass (DuckDB) float non-associativity
+  *     cannot flip the last bit;
+  *   - every query ends in a deterministic ORDER BY (total order).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+object Catalog {
+  lazy val all: Seq[Q] =
+    RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all ++ MlQueries.all
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  lazy val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
