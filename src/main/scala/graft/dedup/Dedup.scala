@@ -1,0 +1,154 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextStats
+
+/** Deduplication operators for a training-data pipeline: exact
+  * (fingerprint group-by), n-gram Jaccard, SimHash, MinHash+LSH, and
+  * embedding-cosine near-dup. Extension scope beyond the reference
+  * (SURVEY.md §7.1 step 8).
+  *
+  * Scale posture:
+  *   - exact dedup is one hash shuffle on a 32-char fingerprint —
+  *     linear, the canonical 100 TB dedup plan;
+  *   - Jaccard pairs join on *shingle* (inverted-index join), never a
+  *     cross join, so cost is Σ bucket² over shingle buckets;
+  *   - MinHash/LSH reduces that to Σ bucket² over `bands` short
+  *     signature buckets — the standard web-scale near-dup plan;
+  *   - all hashing is md5-derived Column arithmetic (codegen'd, no
+  *     UDFs) so signatures are deterministic and engine-independent.
+  */
+object Dedup {
+
+  /** First 12 hex chars of md5 as a 48-bit non-negative long — a
+    * deterministic, cross-engine-reproducible string hash (Spark's
+    * hash()/xxhash64 seeds differ from other engines').
+    */
+  def md5Hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles. Requires ≥ n tokens (callers filter
+    * shorter docs; sequence() would reverse on negative spans).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextStats.tokens(text)
+    val idx = sequence(lit(0), size(toks) - n)
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", (0 until n).map(k => element_at(toks, (i + k + 1).cast("int"))): _*)))
+  }
+
+  /** Exact duplicate grouping by normalized-text fingerprint: every doc
+    * mapped to its group's canonical (min) id + group size. One
+    * shuffle on the fingerprint; survivors = rows where
+    * doc_id == canonical_id.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withFp = docs.select(col(idCol), TextStats.fingerprint(col(textCol)).as("fp"))
+    val groups = withFp.groupBy(col("fp"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+    withFp.join(groups, "fp")
+      .select(col(idCol), col("canonical_id"), col("group_size"),
+        (col(idCol) =!= col("canonical_id")).cast("int").as("is_dup"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index join:
+    * explode distinct shingles, self-join on shingle, count common,
+    * jaccard = common / (|A| + |B| − common). Pairs are (a < b).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs
+      .filter(TextStats.tokenCount(col(textCol)) >= n)
+      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+    val sizes = sh.select(col("doc"), size(col("sh")).as("n_sh"))
+    val inv = sh.select(col("doc"), explode(col("sh")).as("s"))
+    val common = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash fingerprint (one long per doc): md5-hash each token, then
+    * per bit take the sign of Σ±1 votes over token occurrences. Docs
+    * whose simhashes differ in few bits are near-dups. `bits` ≤ 48.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 48): DataFrame =
+    docs.select(col(idCol), explode(TextStats.tokens(col(textCol))).as("t"))
+      .select(col(idCol), md5Hash48(col("t")).as("h"))
+      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("bit"))
+      .groupBy(col(idCol), col("bit"))
+      .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, CAST(bit AS INT))"))
+        .otherwise(0L)).as("simhash"))
+
+  /** MinHash signature: k permutation-hashes h_i(x) = (a_i·x + b_i)
+    * mod p over the doc's shingle hashes, taking the min per i.
+    * Coefficients come from a fixed seed so signatures are
+    * deterministic across runs and engines.
+    */
+  private val MersennePrime31 = 2147483647L // 2^31 − 1
+
+  def minHashCoeffs(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  def minHashSignature(sh: Column, k: Int = 32, seed: Long = 42L): Column = {
+    val coeffs = minHashCoeffs(k, seed)
+    val hashes = transform(sh, s => pmod(conv(substring(md5(s), 1, 7), 16, 10).cast("long"),
+      lit(MersennePrime31)))
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(MersennePrime31))))
+    }: _*)
+  }
+
+  /** LSH banding over MinHash signatures: signature split into `bands`
+    * groups of `rowsPerBand`; docs sharing any band bucket are
+    * candidate pairs (then exact-verified by Jaccard on demand).
+    * Probability a pair with Jaccard j collides: 1 − (1 − j^r)^b.
+    */
+  def minHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = docs
+      .filter(TextStats.tokenCount(col(textCol)) >= n)
+      .select(col(idCol).as("doc"),
+        minHashSignature(shingles(col(textCol), n), k, seed).as("sig"))
+    val banded = sig.select(col("doc"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** Embedding near-dup pairs: exact cosine over all (a < b) pairs via
+    * a join with precomputed norms. Quadratic — the LSH variant in
+    * graft.similarity.Ann is the scale path; this is the exact
+    * baseline and oracle.
+    */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+          lit(0.0d), (acc, x) => acc + x) / (col("a.norm") * col("b.norm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

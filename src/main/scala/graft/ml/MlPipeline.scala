@@ -1,0 +1,145 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier}
+import org.apache.spark.ml.feature.{HashingTF, PCA, VectorAssembler}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's driver-local ML tail (SURVEY.md §2.9, scripts/
+  * model_train_explain.py + embeddings_generation.py) kept *inside*
+  * Spark as an MLlib pipeline, so it distributes instead of collecting
+  * 100 TB to a driver:
+  *
+  *   - M4/P14 label bucketing → [[label]] (pure `when`, no UDF)
+  *   - M5 stratified split    → [[stratifiedSplit]] (sampleBy + anti-join)
+  *   - M6 GBT classifier      → [[trainGbt]] (GBTClassifier for
+  *     xgboost.train, model_train_explain.py:86-111; parity is
+  *     pipeline-level, not metric-identical — SURVEY.md §7.4 item 5)
+  *   - M7 metrics             → [[evaluate]] (accuracy/F1/confusion)
+  *   - M8 SHAP ranking        → [[featureImportances]]
+  *     (model_train_explain.py:171-183 → impurity importances)
+  *   - M1 sentence embeddings → [[hashingEmbed]] (HashingTF stand-in;
+  *     embeddings_generation.py:24-25 needs torch, absent on JVM)
+  *   - M2 UMAP reduction      → [[pcaEmbed]] (PCA stand-in;
+  *     embeddings_generation.py:28-38)
+  */
+object MlPipeline {
+
+  /** Binary label: value < threshold → 0 else 1 —
+    * scripts/model_train_explain.py:25-58 as one codegen'd `when`.
+    */
+  def label(value: Column, threshold: Double): Column =
+    when(value < threshold, 0).otherwise(1)
+
+  /** Feature frame for the order-scoring model (the testdata recast of
+    * the reference's wide feature table, FIXTURES.md §3).
+    */
+  def orderFeatures(orders: DataFrame, labelThreshold: Double = 100000.0): DataFrame =
+    orders.select(
+      col("o_orderkey"),
+      label(col("o_totalprice"), labelThreshold).as("label"),
+      year(col("o_orderdate")).cast("double").as("order_year"),
+      month(col("o_orderdate")).cast("double").as("order_month"),
+      (col("o_orderpriority") === "1-URGENT").cast("double").as("prio_urgent"),
+      (col("o_orderpriority") === "2-HIGH").cast("double").as("prio_high"),
+      (col("o_orderstatus") === "F").cast("double").as("status_f"),
+      col("o_custkey").cast("double").as("custkey"))
+
+  val OrderFeatureCols: Seq[String] =
+    Seq("order_year", "order_month", "prio_urgent", "prio_high", "status_f", "custkey")
+
+  /** Stratified train/test split — sklearn train_test_split(stratify=y)
+    * (model_train_explain.py:77-81) via sampleBy per-label fractions
+    * for train + anti-join on a unique key for test. Approximate
+    * per-stratum ratios (Bernoulli sampling), asserted within
+    * tolerance in MlSpec, per SURVEY.md §7.4 item 3.
+    */
+  def stratifiedSplit(df: DataFrame, labelCol: String, keyCol: String,
+      testFraction: Double = 0.2, seed: Long = 42L): (DataFrame, DataFrame) = {
+    val labels = df.select(labelCol).distinct().collect().map(_.get(0))
+    val fractions = labels.map(l => l -> (1.0 - testFraction)).toMap
+    val train = df.stat.sampleBy(labelCol, fractions, seed)
+    val test = df.join(train.select(keyCol), Seq(keyCol), "left_anti")
+    (train, test)
+  }
+
+  /** Gradient-boosted trees binary classifier on the given feature
+    * columns. Fixed seed; depth/iters deliberately modest — the
+    * reference's depth-12 × 200-round XGBoost config would be a
+    * different algorithm anyway (SURVEY.md §7.4 item 5).
+    */
+  def trainGbt(train: DataFrame, featureCols: Seq[String], labelCol: String = "label",
+      maxIter: Int = 10, maxDepth: Int = 4, seed: Long = 42L): GBTClassificationModel = {
+    val assembled = assemble(train, featureCols)
+    new GBTClassifier()
+      .setLabelCol(labelCol)
+      .setFeaturesCol("features")
+      .setMaxIter(maxIter)
+      .setMaxDepth(maxDepth)
+      .setStepSize(0.1)
+      .setSeed(seed)
+      .fit(assembled)
+  }
+
+  def assemble(df: DataFrame, featureCols: Seq[String]): DataFrame =
+    new VectorAssembler()
+      .setInputCols(featureCols.toArray)
+      .setOutputCol("features")
+      .transform(df)
+
+  /** Accuracy / weighted F1 / confusion counts in one aggregation pass
+    * over the scored frame — model_train_explain.py:113-169.
+    */
+  def evaluate(model: GBTClassificationModel, df: DataFrame,
+      featureCols: Seq[String], labelCol: String = "label"): DataFrame = {
+    val scored = model.transform(assemble(df, featureCols))
+      .select(col(labelCol).cast("int").as("label"), col("prediction").cast("int").as("pred"))
+    scored.agg(
+      count(lit(1)).as("n"),
+      round(avg((col("label") === col("pred")).cast("double")), 4).as("accuracy"),
+      sum(when(col("label") === 1 && col("pred") === 1, 1).otherwise(0)).as("tp"),
+      sum(when(col("label") === 0 && col("pred") === 1, 1).otherwise(0)).as("fp"),
+      sum(when(col("label") === 1 && col("pred") === 0, 1).otherwise(0)).as("fn"),
+      sum(when(col("label") === 0 && col("pred") === 0, 1).otherwise(0)).as("tn"))
+  }
+
+  /** Global feature-importance ranking (the public-API analogue of the
+    * reference's SHAP summary, SURVEY.md §2.9 M8).
+    */
+  def featureImportances(model: GBTClassificationModel,
+      featureCols: Seq[String], spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    featureCols.zip(model.featureImportances.toArray)
+      .toDF("feature", "importance")
+      .select(col("feature"), round(col("importance"), 4).as("importance"))
+  }
+
+  /** PCA reduction of an array<float> embedding column to k dims —
+    * UMAP stand-in (embeddings_generation.py:28-38). Output columns
+    * `emb_0..emb_{k-1}` like the reference's title_emb_0..9.
+    */
+  def pcaEmbed(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val withVec = emb.select(col(idCol),
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("vec"))
+    val model = new PCA().setInputCol("vec").setOutputCol("pca").setK(k).fit(withVec)
+    val arr = model.transform(withVec)
+      .select(col(idCol), vector_to_array(col("pca")).as("a"))
+    arr.select(col(idCol) +: (0 until k).map(i => col("a")(i).as(s"emb_$i")): _*)
+  }
+
+  /** Token-hash embedding of a text column (HashingTF; murmur3 is
+    * fixed-seed so this is deterministic) — the torch-free stand-in
+    * for sentence embeddings (embeddings_generation.py:24-25).
+    */
+  def hashingEmbed(docs: DataFrame, idCol: String, textCol: String,
+      numFeatures: Int = 64): DataFrame = {
+    val tokens = docs.select(col(idCol),
+      graft.text.TextStats.tokens(col(textCol)).as("tokens"))
+    new HashingTF().setInputCol("tokens").setOutputCol("tf")
+      .setNumFeatures(numFeatures)
+      .transform(tokens)
+      .select(col(idCol), vector_to_array(col("tf")).as("embedding"))
+  }
+}

@@ -1,6 +1,115 @@
 package graft.queries
 
-/** Filled in incrementally. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+
+/** Deduplication queries over the documents/embeddings tables.
+  * dd01–dd03 and dd05 are DuckDB-oracle-checkable (the hashing is
+  * md5-based Column arithmetic, reproducible in any engine); the
+  * MinHash/LSH candidate generation (dd04) is rows-only here and
+  * recall-tested against exact Jaccard in the ScalaTest suite.
+  */
 object DedupQueries {
-  val all: Seq[Q] = Seq()
+
+  /** Exact dedup via normalized-text fingerprint groups. */
+  private def dd01Exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val dd01Sql =
+    """WITH fp AS (
+      |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents
+      |), g AS (
+      |  SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
+      |  FROM fp GROUP BY fp
+      |)
+      |SELECT doc_id, canonical_id, group_size,
+      |  CAST(doc_id != canonical_id AS INTEGER) AS is_dup
+      |FROM fp JOIN g USING (fp)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Exact 3-gram Jaccard near-dup pairs at threshold 0.5. */
+  private def dd02Jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val dd02Sql =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 3
+      |), inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b,
+      |  round(common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 4) AS jaccard
+      |FROM pairs
+      |JOIN sizes na ON doc_a = na.doc_id
+      |JOIN sizes nb ON doc_b = nb.doc_id
+      |WHERE common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** 48-bit SimHash fingerprint per document. */
+  private def dd03Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(Tables.documents(s, dir), "doc_id", "text", bits = 48)
+      .orderBy(col("doc_id"))
+
+  private val dd03Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), z -> z != '')) AS t
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS h FROM tok
+      |), b AS (
+      |  SELECT doc_id, h, unnest(range(48)) AS bit FROM h
+      |), v AS (
+      |  SELECT doc_id, bit,
+      |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM b GROUP BY doc_id, bit
+      |)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM v GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** MinHash+LSH candidate pairs (8 bands × 4 rows). Not ANSI-SQL
+    * expressible compactly (seeded permutation family) → rows-only in
+    * the driver gate; recall is asserted in DedupSpec.
+    */
+  private def dd04MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashCandidatePairs(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Embedding-cosine near-dup pairs at threshold 0.35 (exact,
+    * quadratic baseline; the LSH path is sim02).
+    */
+  private def dd05CosinePairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.35)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val dd05Sql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("dd01_exact_dedup", dd01Exact, Some(dd01Sql)),
+    Q("dd02_jaccard_pairs", dd02Jaccard, Some(dd02Sql)),
+    Q("dd03_simhash", dd03Simhash, Some(dd03Sql)),
+    Q("dd04_minhash_lsh", dd04MinhashLsh, None),
+    Q("dd05_cosine_pairs", dd05CosinePairs, Some(dd05Sql)),
+  )
 }

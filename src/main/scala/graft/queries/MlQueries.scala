@@ -1,6 +1,85 @@
 package graft.queries
 
-/** Filled in incrementally. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ml.MlPipeline
+
+/** ML-surface queries (SURVEY.md §2.9). ml01 (feature assembly) is
+  * pure relational → oracle-checked; training/scoring/PCA results are
+  * algorithm-specific (MLlib ≠ DuckDB-expressible) → rows-only in the
+  * driver gate, with behavior asserted in MlSpec.
+  */
 object MlQueries {
-  val all: Seq[Q] = Seq()
+
+  /** Feature + label frame (P14 + feature engineering) — fully
+    * SQL-expressible.
+    */
+  private def ml01Features(s: SparkSession, dir: String): DataFrame =
+    MlPipeline.orderFeatures(Tables.orders(s, dir))
+      .orderBy(col("o_orderkey"))
+
+  private val ml01Sql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice < 100000.0 THEN 0 ELSE 1 END AS label,
+      |  CAST(year(o_orderdate) AS DOUBLE) AS order_year,
+      |  CAST(month(o_orderdate) AS DOUBLE) AS order_month,
+      |  CAST(o_orderpriority = '1-URGENT' AS DOUBLE) AS prio_urgent,
+      |  CAST(o_orderpriority = '2-HIGH' AS DOUBLE) AS prio_high,
+      |  CAST(o_orderstatus = 'F' AS DOUBLE) AS status_f,
+      |  CAST(o_custkey AS DOUBLE) AS custkey
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Stratified split sizes per label (M5; approximate fractions). */
+  private def ml02SplitCounts(s: SparkSession, dir: String): DataFrame = {
+    val feats = MlPipeline.orderFeatures(Tables.orders(s, dir))
+    val (train, test) = MlPipeline.stratifiedSplit(feats, "label", "o_orderkey")
+    train.groupBy(col("label")).agg(count(lit(1)).as("n")).withColumn("split", lit("train"))
+      .unionByName(
+        test.groupBy(col("label")).agg(count(lit(1)).as("n")).withColumn("split", lit("test")))
+      .orderBy(col("split"), col("label"))
+  }
+
+  /** GBT train + held-out evaluation: one row of metrics (M6+M7). */
+  private def ml03GbtEval(s: SparkSession, dir: String): DataFrame = {
+    val feats = MlPipeline.orderFeatures(Tables.orders(s, dir))
+    val (train, test) = MlPipeline.stratifiedSplit(feats, "label", "o_orderkey")
+    val model = MlPipeline.trainGbt(train, MlPipeline.OrderFeatureCols)
+    MlPipeline.evaluate(model, test, MlPipeline.OrderFeatureCols)
+  }
+
+  /** Feature-importance ranking (M8). */
+  private def ml04Importances(s: SparkSession, dir: String): DataFrame = {
+    val feats = MlPipeline.orderFeatures(Tables.orders(s, dir))
+    val model = MlPipeline.trainGbt(feats, MlPipeline.OrderFeatureCols)
+    MlPipeline.featureImportances(model, MlPipeline.OrderFeatureCols, s)
+      .orderBy(col("importance").desc, col("feature"))
+  }
+
+  /** PCA embedding reduction to 4 dims (M2 stand-in). */
+  private def ml05Pca(s: SparkSession, dir: String): DataFrame =
+    MlPipeline.pcaEmbed(Tables.embeddings(s, dir), "vec_id", "embedding", k = 4)
+      .select(col("vec_id"), round(col("emb_0"), 4).as("emb_0"),
+        round(col("emb_1"), 4).as("emb_1"))
+      .orderBy(col("vec_id"))
+
+  /** HashingTF token embedding (M1 stand-in): id + vector l1 norm +
+    * non-zero count as a deterministic summary.
+    */
+  private def ml06HashEmbed(s: SparkSession, dir: String): DataFrame =
+    MlPipeline.hashingEmbed(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"),
+        aggregate(col("embedding"), lit(0.0d), (acc, x) => acc + x).as("l1"),
+        size(filter(col("embedding"), x => x > 0)).as("nnz"))
+      .orderBy(col("doc_id"))
+
+  val all: Seq[Q] = Seq(
+    Q("ml01_features", ml01Features, Some(ml01Sql)),
+    Q("ml02_split_counts", ml02SplitCounts, None),
+    Q("ml03_gbt_eval", ml03GbtEval, None),
+    Q("ml04_importances", ml04Importances, None),
+    Q("ml05_pca", ml05Pca, None),
+    Q("ml06_hash_embed", ml06HashEmbed, None),
+  )
 }

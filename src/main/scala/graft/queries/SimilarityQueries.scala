@@ -1,6 +1,54 @@
 package graft.queries
 
-/** Filled in incrementally. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.similarity.Ann
+
+/** Similarity-search queries over the embeddings table. sim01 (exact
+  * brute force) is DuckDB-oracle-checkable; sim02 (sign-LSH) uses a
+  * seeded hyperplane family not expressible in ANSI SQL → rows-only
+  * here, recall-tested against sim01 in AnnSpec.
+  */
 object SimilarityQueries {
-  val all: Seq[Q] = Seq()
+
+  /** Exact cosine top-5 for the first 10 vectors as queries. */
+  private def sim01BruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val sim01Sql =
+    """SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+      |  round(cosine, 4) AS cosine
+      |FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+      |    row_number() OVER (
+      |      PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+      |               c.vec_id) AS rank
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      |  WHERE q.vec_id < 10
+      |)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Sign-LSH bucketed top-5 for the same queries (the 100 TB path). */
+  private def sim02LshTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Ann.signLshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nBits = 8)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("sim01_brute_topk", sim01BruteTopK, Some(sim01Sql)),
+    Q("sim02_lsh_topk", sim02LshTopK, None),
+  )
 }

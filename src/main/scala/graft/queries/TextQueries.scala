@@ -1,6 +1,139 @@
 package graft.queries
 
-/** Filled in incrementally. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextStats._
+
+/** Text-analysis queries over the documents table, each a single
+  * shuffle-free projection (plus one grouped agg for tx04) so the plan
+  * is a parquet scan → codegen'd map at any scale.
+  */
 object TextQueries {
-  val all: Seq[Q] = Seq()
+
+  /** Token / character statistics per document. */
+  private def tx01TokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        distinctTokenCount(col("text")).as("n_distinct_tokens"),
+        length(col("text")).as("len_chars"),
+        round(meanTokenLength(col("text")), 4).as("mean_token_len"))
+      .orderBy(col("doc_id"))
+
+  private val tx01Sql =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), z -> z != '')) AS INTEGER) AS n_tokens,
+      |  CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), z -> z != ''))) AS INTEGER) AS n_distinct_tokens,
+      |  CAST(length(text) AS INTEGER) AS len_chars,
+      |  round(list_sum(list_transform(list_filter(regexp_split_to_array(text, '\s+'), z -> z != ''), t -> length(t)))
+      |        / len(list_filter(regexp_split_to_array(text, '\s+'), z -> z != '')), 4) AS mean_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: diversity, stopword ratio, punctuation ratio,
+    * composite score.
+    */
+  private def tx02Quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        round(typeTokenRatio(col("text")), 4).as("ttr"),
+        round(stopwordRatio(col("text")), 4).as("stop_ratio"),
+        round(punctRatio(col("text")), 4).as("punct_ratio"),
+        round(qualityScore(col("text")), 4).as("quality"))
+      .orderBy(col("doc_id"))
+
+  // DuckDB mirror of TextStats.qualityScore: 0.4*min(n/50,1) +
+  // 0.4*ttr + 0.2*min(5*stop_ratio,1).
+  private val tx02Sql =
+    """WITH t AS (
+      |  SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, text,
+      |    len(toks) AS n,
+      |    len(list_distinct(toks)) AS nd,
+      |    len(list_filter(toks, x -> list_contains(
+      |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS nstop
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |  round(nd / CAST(n AS DOUBLE), 4) AS ttr,
+      |  round(nstop / CAST(n AS DOUBLE), 4) AS stop_ratio,
+      |  round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+      |  round(0.4 * least(n / 50.0, 1.0)
+      |      + 0.4 * (nd / CAST(n AS DOUBLE))
+      |      + 0.2 * least(5.0 * (nstop / CAST(n AS DOUBLE)), 1.0), 4) AS quality
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic: argmax marker-word hit count, first-listed
+    * language wins ties, 'und' when no marker hits.
+    */
+  private def tx03LangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private val tx03Sql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM documents
+      |), sc AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(toks, x -> list_contains(['the','a','is','and','of'], x))) AS c_en,
+      |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS c_de,
+      |    len(list_filter(toks, x -> list_contains(['el','la','los','y','es'], x))) AS c_es,
+      |    len(list_filter(toks, x -> list_contains(['le','la','et','les','est'], x))) AS c_fr
+      |  FROM t
+      |)
+      |SELECT doc_id, lang,
+      |  CASE WHEN c_en = greatest(c_en, c_de, c_es, c_fr) AND greatest(c_en, c_de, c_es, c_fr) > 0 THEN 'en'
+      |       WHEN c_de = greatest(c_en, c_de, c_es, c_fr) AND greatest(c_en, c_de, c_es, c_fr) > 0 THEN 'de'
+      |       WHEN c_es = greatest(c_en, c_de, c_es, c_fr) AND greatest(c_en, c_de, c_es, c_fr) > 0 THEN 'es'
+      |       WHEN c_fr = greatest(c_en, c_de, c_es, c_fr) AND greatest(c_en, c_de, c_es, c_fr) > 0 THEN 'fr'
+      |       ELSE 'und' END AS lang_pred
+      |FROM sc
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus token frequency: explode tokens, count, top-50 — the
+    * vocabulary profile a data pipeline builds before filtering.
+    */
+  private def tx04TokenFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(50)
+
+  private val tx04Sql =
+    """SELECT token, count(*) AS freq FROM (
+      |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), z -> z != '')) AS token
+      |  FROM documents
+      |)
+      |GROUP BY token
+      |ORDER BY freq DESC, token
+      |LIMIT 50""".stripMargin
+
+  /** Content fingerprint (md5 of normalized text) — the exact-dedup key. */
+  private def tx05Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private val tx05Sql =
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("tx01_token_stats", tx01TokenStats, Some(tx01Sql)),
+    Q("tx02_quality", tx02Quality, Some(tx02Sql)),
+    Q("tx03_lang_id", tx03LangId, Some(tx03Sql)),
+    Q("tx04_token_freq", tx04TokenFreq, Some(tx04Sql)),
+    Q("tx05_fingerprint", tx05Fingerprint, Some(tx05Sql)),
+  )
 }

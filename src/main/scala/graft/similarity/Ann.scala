@@ -1,0 +1,92 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Two paths:
+  *
+  *   - [[bruteForceTopK]]: exact cosine top-k — the correctness
+  *     baseline. The query side is broadcast (queries are few), so the
+  *     corpus is scanned once with no shuffle of the big side; the
+  *     top-k is a per-query window over candidate rows.
+  *   - [[signLshTopK]]: random-hyperplane (sign) LSH — the scale path.
+  *     Corpus and queries are bucketed by an `nBits`-bit signature;
+  *     only same-bucket pairs are scored. At 100 TB the bucket join is
+  *     a hash shuffle on a short int key instead of a cross join.
+  *
+  * All arithmetic is Column-only (codegen'd): dot products via
+  * zip_with + aggregate in double precision, hyperplanes burned in as
+  * literals from a seeded RNG so results are deterministic.
+  */
+object Ann {
+
+  /** v · v (double). */
+  private def norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Exact cosine top-k: for each query row, the k nearest corpus rows
+    * (excluding itself when ids collide). Output: query_id, rank,
+    * neighbor_id, cosine.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic random hyperplanes: nBits × dim doubles in [-1, 1). */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  /** Sign-LSH bucket id: bit i = [v · h_i > 0], packed into an int. */
+  def signature(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lp = array(p.map(lit): _*)
+      when(dot(v, lp) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed top-k: score only same-signature pairs. Recall < 1 by
+    * construction (tested against [[bruteForceTopK]] in AnnSpec);
+    * raising nBits shrinks buckets, lowering it raises recall.
+    */
+  def signLshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nBits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(nBits, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("bucket", signature(col("cv"), planes))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("bucket", signature(col("qv"), planes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

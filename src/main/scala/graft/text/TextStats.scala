@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * quality scoring, language-ID heuristics, fingerprinting. All are
+  * pure Column expressions (whole-stage-codegen-friendly, no UDFs), so
+  * they distribute trivially: each is a narrow map over the documents
+  * table, no shuffle, and survives any scale-up as a single projection
+  * pass over the parquet scan.
+  *
+  * Extension scope beyond the reference (SURVEY.md §7.1 step 8): the
+  * reference's only text ops are split/explode (scripts/
+  * data_processing.py:123) — these generalize them to the operators an
+  * LLM-data pipeline needs.
+  */
+object TextStats {
+
+  /** Whitespace tokenization. Leading/trailing whitespace would leave
+    * empty tokens after split (Spark keeps trailing empties), so they
+    * are filtered out. NULL text → NULL array (split of NULL
+    * propagates), mirroring the reference's NULL-propagating split
+    * (scripts/data_processing.py:123).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Lexical diversity: distinct tokens / total tokens, in [0,1]. */
+  def typeTokenRatio(text: Column): Column =
+    distinctTokenCount(text).cast("double") / tokenCount(text).cast("double")
+
+  /** Total characters across tokens (i.e., length excluding whitespace). */
+  def tokenCharCount(text: Column): Column =
+    aggregate(tokens(text), lit(0), (acc, t) => acc + length(t))
+
+  def meanTokenLength(text: Column): Column =
+    tokenCharCount(text).cast("double") / tokenCount(text).cast("double")
+
+  /** Occurrences (not distinct) of any of `words` among the tokens. */
+  def wordHitCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** English-ish stopwords for quality scoring; the score only needs a
+    * fixed public list, not linguistic accuracy.
+    */
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
+    wordHitCount(text, stopwords).cast("double") / tokenCount(text).cast("double")
+
+  /** Composite quality score in [0,1]: rewards lexical diversity and a
+    * moderate stopword ratio, penalizes very short documents. The exact
+    * formula is engine-defined (the reference has no equivalent); what
+    * matters is determinism + monotonicity in its inputs.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
+    val lenFactor = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
+    val diversity = typeTokenRatio(text)
+    val stop = stopwordRatio(text, stopwords)
+    lit(0.4) * lenFactor + lit(0.4) * diversity + lit(0.2) * least(stop * 5.0, lit(1.0))
+  }
+
+  /** Marker-word sets for the language-ID heuristic. Text with none of
+    * a language's markers scores 0 for it.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+  )
+
+  /** Argmax language-ID over marker hit counts, ties broken by marker
+    * list order, "und" (undetermined) when nothing matches. A chained
+    * `when` so the whole thing stays one codegen'd projection.
+    */
+  def langId(text: Column, markers: Seq[(String, Seq[String])] = LangMarkers): Column = {
+    val scores = markers.map { case (lang, words) => lang -> wordHitCount(text, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercased text.
+    * Stable across layout-only edits; the exact-dedup key in
+    * graft.dedup.Dedup.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Ann
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK: exact neighbors on a handcrafted corpus") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val got = Ann.bruteForceTopK(corpus, corpus.filter($"vec_id" === 1), "vec_id", "embedding", 2)
+      .orderBy($"rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1, 2L), (2, 3L))) // nearest 2, then orthogonal 3
+  }
+
+  test("sign-LSH recall@5 vs brute force is reasonable at sf0.001") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.signLshTopK(emb, queries, "vec_id", "embedding", 5, nBits = 4)
+      .select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 4 hyperplanes → 16 buckets over 500 near-random vectors; the
+    // deterministic fixture yields 0.17 — assert it stays in that band
+    // (a real corpus with cluster structure scores far higher; the
+    // knob is nBits, traded against candidate-set size).
+    assert(recall >= 0.15, s"recall@5 = $recall")
+  }
+
+  test("LSH candidate scoring never invents neighbors (subset of all pairs, correct cosines)") {
+    val emb = Tables.embeddings(spark, Sf0001).limit(50)
+    val q = emb.filter($"vec_id" < 3)
+    val lsh = Ann.signLshTopK(emb, q, "vec_id", "embedding", 5, nBits = 2)
+    // cosine values must match the brute-force computation for the same pairs
+    val brute = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 50)
+      .select($"query_id", $"neighbor_id", $"cosine".as("bc"))
+    val joined = lsh.join(brute, Seq("query_id", "neighbor_id"))
+      .filter(abs($"cosine" - $"bc") > 1e-12)
+    assert(joined.count() === 0)
+  }
+}

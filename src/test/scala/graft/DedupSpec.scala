@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "THE  quick   brown fox jumps over the lazy dog"), // exact dup of 1 modulo case/ws
+    (3L, "the quick brown fox jumps over the lazy cat"),    // near dup of 1
+    (4L, "completely different words in this one entirely distinct"),
+  ).toDF("doc_id", "text")
+
+  test("exactGroups: normalized dups share canonical id; distinct docs do not") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(g(1L) === ((1L, 2L, 0)))
+    assert(g(2L) === ((1L, 2L, 1))) // dup of 1
+    assert(g(3L)._2 === 1L)
+    assert(g(4L)._2 === 1L)
+  }
+
+  test("shingles: count and content for 3-grams") {
+    val sh = docs.filter($"doc_id" === 1)
+      .select(Dedup.shingles($"text", 3).as("sh"))
+      .first().getSeq[String](0)
+    assert(sh.length === 7) // 9 tokens → 7 shingles, all distinct here
+    assert(sh.contains("the quick brown"))
+    assert(sh.contains("the lazy dog"))
+  }
+
+  test("jaccardPairs: near-dup pair found, unrelated pair absent") {
+    // shingling is case-sensitive by design — normalization (lower) is
+    // the caller's composition step, as with fingerprint()
+    val pairs = Dedup.jaccardPairs(docs.withColumn("text", lower($"text")),
+      "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L))) // normalized-identical → jaccard 1.0...
+    assert(keys.contains((1L, 3L)))
+    assert(!keys.exists { case (a, b) => b == 4L || a == 4L })
+    val j12 = pairs.find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(math.abs(j12 - 1.0) < 1e-9)
+  }
+
+  test("simHash: identical docs get identical hashes; near dups are close in hamming") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val h = Dedup.simHash(docs.withColumn("text", lower($"text")), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
+  }
+
+  test("minhash LSH finds high-jaccard pairs at sf0.001 (recall vs exact)") {
+    val real = Tables.documents(spark, Sf0001)
+    val exact = Dedup.jaccardPairs(real, "doc_id", "text", n = 3, threshold = 0.8)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minHashCandidatePairs(real, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every ≥0.8-jaccard pair should be an LSH candidate (8 bands × 4
+    // rows: P(collide | j=0.8) = 1-(1-0.8^4)^8 ≈ 0.98; empirical set is
+    // tiny so require full recall)
+    assert(exact.nonEmpty, "fixture has no high-jaccard pairs to test recall on")
+    val missed = exact -- cand
+    assert(missed.isEmpty, s"LSH missed: $missed")
+  }
+
+  test("cosinePairs threshold boundary behavior") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)),   // cos(1,2)=1
+      (3L, Array(0.0f, 1.0f)),   // orthogonal
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosinePairs(emb, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)))
+  }
+}

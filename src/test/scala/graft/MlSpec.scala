@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.MlPipeline
+
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val feats = MlPipeline.orderFeatures(Tables.orders(spark, Sf0001))
+
+  test("label threshold splits both ways") {
+    val counts = feats.groupBy($"label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse(0, 0L) > 0 && counts.getOrElse(1, 0L) > 0)
+  }
+
+  test("stratified split keeps per-label test fraction within tolerance (M5)") {
+    val (train, test) = MlPipeline.stratifiedSplit(feats, "label", "o_orderkey", 0.2)
+    assert(train.count() + test.count() === feats.count())
+    val byLabel = feats.groupBy($"label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val testByLabel = test.groupBy($"label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    byLabel.foreach { case (l, n) =>
+      val frac = testByLabel.getOrElse(l, 0L).toDouble / n
+      assert(frac > 0.1 && frac < 0.3, s"label $l test fraction $frac")
+    }
+  }
+
+  test("GBT trains, scores, and beats the majority class on train data (M6/M7)") {
+    val model = MlPipeline.trainGbt(feats, MlPipeline.OrderFeatureCols)
+    val m = MlPipeline.evaluate(model, feats, MlPipeline.OrderFeatureCols).first()
+    val n = m.getLong(0)
+    val acc = m.getDouble(1)
+    val majority = math.max(
+      feats.filter($"label" === 1).count(), feats.filter($"label" === 0).count()).toDouble / n
+    assert(n === feats.count())
+    assert(acc >= majority - 0.01, s"train accuracy $acc below majority $majority")
+    // confusion counts partition n
+    assert(m.getLong(2) + m.getLong(3) + m.getLong(4) + m.getLong(5) === n)
+  }
+
+  test("feature importances are a distribution over the feature set (M8)") {
+    val model = MlPipeline.trainGbt(feats, MlPipeline.OrderFeatureCols)
+    val imp = MlPipeline.featureImportances(model, MlPipeline.OrderFeatureCols, spark)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(imp.keySet === MlPipeline.OrderFeatureCols.toSet)
+    assert(math.abs(imp.values.sum - 1.0) < 0.05)
+  }
+
+  test("pcaEmbed reduces to k dims deterministically across calls (M2)") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val a = MlPipeline.pcaEmbed(emb, "vec_id", "embedding", 4)
+    assert(a.columns.toSeq === Seq("vec_id", "emb_0", "emb_1", "emb_2", "emb_3"))
+    val b = MlPipeline.pcaEmbed(emb, "vec_id", "embedding", 4)
+    val diff = a.join(b.withColumnRenamed("emb_0", "b0"), "vec_id")
+      .filter(abs($"emb_0" - $"b0") > 1e-9).count()
+    assert(diff === 0)
+  }
+
+  test("hashingEmbed is deterministic and fixed-width (M1 stand-in)") {
+    val docs = Tables.documents(spark, Sf0001)
+    val e = MlPipeline.hashingEmbed(docs, "doc_id", "text", numFeatures = 64)
+    assert(e.select(size($"embedding")).distinct().collect().map(_.getInt(0)).toSeq === Seq(64))
+    val tot = e.select(sum(aggregate($"embedding", lit(0.0d), (a, x) => a + x))).first().getDouble(0)
+    val tot2 = MlPipeline.hashingEmbed(docs, "doc_id", "text", 64)
+      .select(sum(aggregate($"embedding", lit(0.0d), (a, x) => a + x))).first().getDouble(0)
+    assert(tot === tot2)
+  }
+}

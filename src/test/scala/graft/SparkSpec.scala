@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for specs: one per suite (lazy), small shuffle
+  * parallelism, UTC, AQE left at Spark defaults.
+  */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName(getClass.getSimpleName)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val Sf0001 = "/root/testdata/sf0.001"
+}
