@@ -1,0 +1,258 @@
+package graft.imdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's four-stage feature-engineering pipeline
+  * (scripts/data_processing.py:70-374) re-expressed in Scala Spark.
+  *
+  * Where the reference made a *manual physical* decision or used an
+  * anti-pattern (SURVEY.md §4.2-4.3), both behaviors exist behind
+  * [[Config.strictFidelity]], defaulting to the correct/scalable one:
+  *
+  *   - `repartition("tconst")` ×4 and `broadcast(title_crew)`
+  *     (data_processing.py:108,114,119,142,154): fidelity-only. The
+  *     broadcast hint ships an 11.3M-row table to every executor; AQE
+  *     picks the right strategy from runtime stats.
+  *   - popularity flags via 1000-alternate unanchored `rlike`
+  *     (data_processing.py:295): fidelity-only; O(rows × N) NFA scan
+  *     with prefix false-positives (nm123 matches nm1234). Default is
+  *     an exploded id-set membership + re-aggregation — linear, exact,
+  *     and a single InSet probe per id at any scale.
+  *
+  * Everything else is semantics-identical, including the quirks the
+  * output depends on: `isAdult == 0` on a string column (implicit
+  * cast), explode dropping NULL csv rows, `countries_count` counting
+  * all aka rows (not distinct regions), and the trailing `dropna()`
+  * that turns the left joins inner-ish (SURVEY.md §4.3 item 5).
+  */
+object ImdbPipeline {
+
+  case class Config(strictFidelity: Boolean = false, topN: Int = 1000)
+
+  val TitleTypes: Seq[String] = Seq("tvMovie", "movie", "tvShort", "short")
+
+  private def maybeRepartition(df: DataFrame, cfg: Config): DataFrame =
+    if (cfg.strictFidelity) df.repartition(col("tconst")) else df
+
+  /** Stage 1 — data_processing.py:70-189: filter/join the five title
+    * tables, one-hot genres (data-dependent schema via one collect,
+    * SURVEY.md §7.4 item 1) and title types, aka-count and principal
+    * aggregates, runtime buckets, final casts.
+    */
+  def initialForm(titleAkas: DataFrame, titleBasics: DataFrame, titleCrew: DataFrame,
+      titlePrincipals: DataFrame, titleRatings: DataFrame,
+      cfg: Config = Config()): DataFrame = {
+
+    val titlesCleaned = maybeRepartition(
+      titleBasics
+        .filter(col("startYear").isNotNull && col("genres").isNotNull &&
+          col("runtimeMinutes").isNotNull && col("isAdult") === 0 &&
+          col("titleType").isin(TitleTypes: _*) && col("startYear").between(2000, 2024))
+        .select("tconst", "titleType", "primaryTitle", "genres", "startYear", "runtimeMinutes"),
+      cfg)
+
+    val ratingsCleaned = maybeRepartition(
+      titleRatings
+        .filter(col("averageRating").isNotNull && col("numVotes") >= 100)
+        .select("tconst", "averageRating", "numVotes"),
+      cfg)
+
+    val crew = if (cfg.strictFidelity) broadcast(titleCrew) else titleCrew
+    val merged = titlesCleaned
+      .join(ratingsCleaned, Seq("tconst"), "inner")
+      .join(crew, Seq("tconst"), "left")
+
+    // The one place the logical plan depends on collected data
+    // (data_processing.py:122-133): distinct genres drive the output
+    // schema. Sorted for run-to-run column-order determinism (the
+    // reference's collect order is partition-dependent).
+    val uniqueGenres = merged
+      .select(explode(split(col("genres"), ",")).as("genre"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+
+    val genreCols = uniqueGenres.map(g =>
+      array_contains(split(col("genres"), ","), g).cast("int").as(s"genre_$g"))
+    val typeCols = TitleTypes.map(t =>
+      (col("titleType") === t).cast("int").as(s"title_type_$t"))
+
+    val countriesCount = maybeRepartition(
+      titleAkas.groupBy(col("titleId")).agg(count(lit(1)).as("countries_count"))
+        .withColumnRenamed("titleId", "tconst"),
+      cfg)
+
+    val principalsAgg = maybeRepartition(
+      titlePrincipals.groupBy(col("tconst")).agg(
+        count(lit(1)).as("principals_count"),
+        countDistinct(col("category")).as("principals_categories_count"),
+        sum(when(col("category") === "actor" || col("category") === "actress", 1)
+          .otherwise(0)).as("actors_count"),
+        sum(when(col("category") === "writer", 1).otherwise(0)).as("writers_count"),
+        sum(when(col("category") === "composer", 1).otherwise(0)).as("composers_count"),
+        sum(when(col("category") === "editor", 1).otherwise(0)).as("editors_count")),
+      cfg)
+
+    val bucket =
+      when(col("runtimeMinutes") < 30, 0)
+        .when(col("runtimeMinutes") >= 30 && col("runtimeMinutes") <= 90, 1)
+        .when(col("runtimeMinutes") > 90 && col("runtimeMinutes") <= 150, 2)
+        .otherwise(3)
+
+    merged
+      .join(countriesCount, Seq("tconst"), "left")
+      .join(principalsAgg, Seq("tconst"), "left")
+      .withColumn("runtimeMinutesBucket", bucket)
+      .select(Seq(
+        col("tconst"),
+        col("titleType"),
+        col("primaryTitle"),
+        col("startYear").cast("int"),
+        col("averageRating").cast("float"),
+        col("numVotes").cast("int"),
+        col("runtimeMinutes").cast("int"),
+        col("runtimeMinutesBucket").cast("int"),
+        col("writers"),
+        col("directors")) ++
+        genreCols ++ typeCols ++ Seq(
+        col("countries_count").cast("int"),
+        col("principals_count").cast("int"),
+        col("principals_categories_count").cast("int"),
+        col("actors_count").cast("int"),
+        col("writers_count").cast("int"),
+        col("composers_count").cast("int"),
+        col("editors_count").cast("int")): _*)
+  }
+
+  /** Stage 2 — data_processing.py:192-250: explode writers/directors,
+    * join person stats (size of csv lists), aggregate mean/min/max per
+    * title, join back. Titles with NULL writers/directors drop out of
+    * the exploded side and surface as NULLs after the left join —
+    * explode's NULL-drop semantics the reference relies on (F2).
+    */
+  def addPeopleColumns(mergedData: DataFrame, nameBasics: DataFrame): DataFrame = {
+    val peopleData = nameBasics.select(
+      col("nconst"),
+      size(split(col("knownForTitles"), ",")).as("numKnownForTitles"),
+      size(split(col("primaryProfession"), ",")).as("numProfessions"))
+
+    def roleStats(csvCol: String, prefix: String): DataFrame = {
+      val exploded = mergedData
+        .withColumn(s"${prefix}_id", explode(split(col(csvCol), ",")))
+        .select(col("tconst"), col(s"${prefix}_id"))
+      exploded
+        .join(peopleData, exploded(s"${prefix}_id") === peopleData("nconst"), "left")
+        .drop("nconst")
+        .groupBy(col("tconst")).agg(
+          avg(col("numKnownForTitles")).as(s"${prefix}s_known_titles_mean"),
+          min(col("numKnownForTitles")).as(s"${prefix}s_known_titles_min"),
+          max(col("numKnownForTitles")).as(s"${prefix}s_known_titles_max"),
+          avg(col("numProfessions")).as(s"${prefix}s_professions_mean"),
+          min(col("numProfessions")).as(s"${prefix}s_professions_min"),
+          max(col("numProfessions")).as(s"${prefix}s_professions_max"))
+    }
+
+    mergedData
+      .join(roleStats("writers", "writer"), Seq("tconst"), "left")
+      .join(roleStats("directors", "director"), Seq("tconst"), "left")
+  }
+
+  /** Top-N entities of a csv id column ranked by two aggregates —
+    * data_processing.py:266-288. One explode + hash agg +
+    * TakeOrderedAndProject, then a bounded collect (N ids) that feeds
+    * the flag predicate.
+    */
+  def rankEntitiesByImpact(df: DataFrame, columnName: String, n: Int,
+      ratingCol: String = "averageRating", votesCol: String = "numVotes"): Seq[String] =
+    df.select(col("tconst"), col(ratingCol), col(votesCol),
+        explode(split(col(columnName), ",")).as("entity"))
+      .groupBy(col("entity"))
+      .agg(avg(col(ratingCol)).as("avg_rating"), avg(col(votesCol)).as("avg_votes"))
+      .orderBy(col("avg_rating").desc, col("avg_votes").desc)
+      .limit(n)
+      .select("entity").collect().map(_.getString(0)).toSeq
+
+  /** Membership flag of a csv column against a collected top-id set.
+    * Fidelity: the reference's unanchored rlike over "id1|id2|…"
+    * (data_processing.py:290-298) with its prefix false-positives.
+    * Default: exact set membership on the exploded ids (InSet probe),
+    * re-aggregated with max() — linear and correct (SURVEY.md §4.3).
+    */
+  def addFlag(df: DataFrame, columnName: String, topEntities: Seq[String],
+      flagName: String, cfg: Config = Config()): DataFrame =
+    if (cfg.strictFidelity) {
+      df.withColumn(flagName,
+        when(col(columnName).isNotNull &&
+          col(columnName).rlike(topEntities.mkString("|")), 1).otherwise(0))
+    } else flagsForColumn(df, columnName, Seq(flagName -> topEntities))
+
+  /** All membership flags over one csv column in a single explode +
+    * aggregation pass (two flags share each column in stage 3, so the
+    * correct variant costs 2 shuffles total, not 4).
+    */
+  def flagsForColumn(df: DataFrame, columnName: String,
+      flags: Seq[(String, Seq[String])]): DataFrame = {
+    val aggCols = flags.map { case (name, top) =>
+      max(col("entity").isInCollection(top).cast("int")).as(name)
+    }
+    val hits = df
+      .select(col("tconst").as("flag_tconst"),
+        explode(split(col(columnName), ",")).as("entity"))
+      .groupBy(col("flag_tconst"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    flags.foldLeft(
+      df.join(hits, col("tconst") === col("flag_tconst"), "left").drop("flag_tconst")) {
+      case (d, (name, _)) => d.withColumn(name, coalesce(col(name), lit(0)))
+    }
+  }
+
+  /** Stage 3 — data_processing.py:253-315: four top-1000 rankings
+    * (directors/writers × rated/popular), four membership flags, then
+    * the reference's `dropna()` (which silently inner-izes the earlier
+    * left joins — preserved, it defines the output dataset).
+    */
+  def addPopularityColumns(mergedData: DataFrame, cfg: Config = Config()): DataFrame = {
+    val n = cfg.topN
+    val topDirectorsRated = rankEntitiesByImpact(mergedData, "directors", n)
+    val topWritersRated = rankEntitiesByImpact(mergedData, "writers", n)
+    val topDirectorsPopular =
+      rankEntitiesByImpact(mergedData, "directors", n, "numVotes", "averageRating")
+    val topWritersPopular =
+      rankEntitiesByImpact(mergedData, "writers", n, "numVotes", "averageRating")
+
+    val flagged =
+      if (cfg.strictFidelity)
+        Seq(
+          ("directors", topDirectorsRated, "hasTopRatedDirector"),
+          ("writers", topWritersRated, "hasTopRatedWriter"),
+          ("directors", topDirectorsPopular, "hasPopularDirector"),
+          ("writers", topWritersPopular, "hasPopularWriter"),
+        ).foldLeft(mergedData) { case (df, (c, top, name)) => addFlag(df, c, top, name, cfg) }
+      else {
+        // one explode+agg pass per csv column (2 flags each), then
+        // restore the reference's column order
+        val d = flagsForColumn(mergedData, "directors", Seq(
+          "hasTopRatedDirector" -> topDirectorsRated,
+          "hasPopularDirector" -> topDirectorsPopular))
+        val w = flagsForColumn(d, "writers", Seq(
+          "hasTopRatedWriter" -> topWritersRated,
+          "hasPopularWriter" -> topWritersPopular))
+        w.select((mergedData.columns.toSeq ++ Seq("hasTopRatedDirector",
+          "hasTopRatedWriter", "hasPopularDirector", "hasPopularWriter")).map(col): _*)
+      }
+
+    flagged.na.drop()
+  }
+
+  /** Stage 4 — data_processing.py:318-337: drop identity/leak columns. */
+  def cleanupColumns(mergedData: DataFrame): DataFrame =
+    mergedData.drop("tconst", "titleType", "genre", "directors", "writers", "numVotes")
+
+  /** The full ETL — data_processing.py:340-374. */
+  def generateDataset(t: ImdbReader.ImdbTables, cfg: Config = Config()): DataFrame = {
+    val initial = initialForm(t.titleAkas, t.titleBasics, t.titleCrew,
+      t.titlePrincipals, t.titleRatings, cfg)
+    val withPeople = addPeopleColumns(initial, t.nameBasics)
+    val withPopularity = addPopularityColumns(withPeople, cfg)
+    cleanupColumns(withPopularity)
+  }
+}

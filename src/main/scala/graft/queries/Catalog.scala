@@ -22,7 +22,7 @@ final case class Q(
 object Catalog {
   lazy val all: Seq[Q] =
     RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ MlQueries.all
+      SimilarityQueries.all ++ MlQueries.all ++ ImdbQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
