@@ -28,15 +28,29 @@ object Dedup {
   def md5Hash48(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
-  /** Distinct word n-gram shingles. Requires ≥ n tokens (callers filter
-    * shorter docs; sequence() would reverse on negative spans).
+  /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    * array column (an attribute, not an inline expression). Passing
+    * `TextStats.tokens(text)` directly here would re-evaluate the
+    * whole interpreted filter(split(...)) once per element_at — a
+    * quadratic blowup per row. Stage it with [[withShingles]] instead;
+    * CollapseProject keeps a multiply-referenced non-cheap alias
+    * materialized, so the split runs once per row.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextStats.tokens(text)
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
     val idx = sequence(lit(0), size(toks) - n)
     array_distinct(transform(idx, i =>
       concat_ws(" ", (0 until n).map(k => element_at(toks, (i + k + 1).cast("int"))): _*)))
   }
+
+  /** Adds a distinct-shingle array column `sh`, keeping only docs with
+    * ≥ n tokens (sequence() would reverse on negative spans).
+    */
+  def withShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docs
+      .withColumn("__toks", TextStats.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol).as("doc"), shinglesFromTokens(col("__toks"), n).as("sh"))
 
   /** Exact duplicate grouping by normalized-text fingerprint: every doc
     * mapped to its group's canonical (min) id + group size. One
@@ -58,9 +72,7 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs
-      .filter(TextStats.tokenCount(col(textCol)) >= n)
-      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+    val sh = withShingles(docs, idCol, textCol, n)
     val sizes = sh.select(col("doc"), size(col("sh")).as("n_sh"))
     val inv = sh.select(col("doc"), explode(col("sh")).as("s"))
     val common = inv.as("a").join(inv.as("b"),
@@ -103,30 +115,43 @@ object Dedup {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  def minHashSignature(sh: Column, k: Int = 32, seed: Long = 42L): Column = {
+  /** MinHash signatures for all docs, computed shuffle-parallel:
+    * explode shingles (one row each), md5-hash once per row (codegen'd
+    * projection), then k permutation minima as k plain `min`
+    * aggregates in ONE hash agg — partial aggregation makes this a
+    * single map-side-combined pass at any scale, with no interpreted
+    * higher-order expressions in the hot path. Output: doc,
+    * mh_0..mh_{k-1}.
+    */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, seed: Long = 42L): DataFrame = {
     val coeffs = minHashCoeffs(k, seed)
-    val hashes = transform(sh, s => pmod(conv(substring(md5(s), 1, 7), 16, 10).cast("long"),
-      lit(MersennePrime31)))
-    array(coeffs.map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(MersennePrime31))))
-    }: _*)
+    val hashed = withShingles(docs, idCol, textCol, n)
+      .select(col("doc"), explode(col("sh")).as("s"))
+      .select(col("doc"), pmod(conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long"),
+        lit(MersennePrime31)).as("h"))
+    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime31))).as(s"mh_$i")
+    }
+    hashed.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding over MinHash signatures: signature split into `bands`
     * groups of `rowsPerBand`; docs sharing any band bucket are
     * candidate pairs (then exact-verified by Jaccard on demand).
     * Probability a pair with Jaccard j collides: 1 − (1 − j^r)^b.
+    * The pair join runs on (band, band_key) — Σ bucket² work, never a
+    * cross join.
     */
   def minHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = docs
-      .filter(TextStats.tokenCount(col(textCol)) >= n)
-      .select(col(idCol).as("doc"),
-        minHashSignature(shingles(col(textCol), n), k, seed).as("sig"))
+    val sig = minHashSignatures(docs, idCol, textCol, n, k, seed)
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
+    }
     val banded = sig.select(col("doc"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table shape. The reference has
+  * no streaming surface (SURVEY.md §2.10) — this is the extension a
+  * large-scale ingestion pipeline needs, built the Spark-native way:
+  * declarative windowed aggregations with watermarks where built-ins
+  * suffice, `flatMapGroupsWithState` only for the genuinely custom
+  * state machine.
+  *
+  * Scale posture: every operator here keys state by user/window, so
+  * state is hash-partitioned across executors and bounded by the
+  * watermark (old windows are evicted); nothing accumulates on the
+  * driver.
+  */
+object EventStream {
+
+  /** events.parquet shape with a proper timestamp (see Tables.events
+    * for the TIMESTAMP(NANOS) caveat — a streaming source should feed
+    * micros).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** File-based streaming source over a directory of parquet drops. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling/sliding window counts per event type with a watermark:
+    * late events beyond `watermarkDelay` are dropped, closed windows
+    * are emitted exactly once in append mode.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "5 minutes",
+      slide: Option[String] = None, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val win = slide.fold(window(col("ts"), windowLen))(s => window(col("ts"), windowLen, s))
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Session windows per user via the built-in session_window (gap
+    * closes a session) — compose, don't hand-roll (SURVEY.md §7.3).
+    */
+  def sessionized(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("n_events"), col("total_value"))
+
+  /** Running per-user totals emitted on every update — the custom
+    * state machine built-ins can't express (emit-on-change semantics),
+    * via flatMapGroupsWithState. State: (event count, value sum).
+    */
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), UserTotals](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var v = v0
+          rows.foreach { e => n += 1; v += e.value }
+          state.update((n, v))
+          Iterator(UserTotals(userId, n, v))
+      }
+  }
+
+  /** Synchronous drain into an in-memory table for tests/smoke: starts
+    * the query, processes everything available, returns the query name
+    * to SELECT from.
+    */
+  def runToMemory(df: DataFrame, name: String,
+      outputMode: OutputMode = OutputMode.Append): Unit = {
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -23,8 +23,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("shingles: count and content for 3-grams") {
-    val sh = docs.filter($"doc_id" === 1)
-      .select(Dedup.shingles($"text", 3).as("sh"))
+    val sh = Dedup.withShingles(docs.filter($"doc_id" === 1), "doc_id", "text", 3)
+      .select($"sh")
       .first().getSeq[String](0)
     assert(sh.length === 7) // 9 tokens → 7 shingles, all distinct here
     assert(sh.contains("the quick brown"))

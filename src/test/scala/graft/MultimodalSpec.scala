@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.syntheticMedia(spark, 90)
+
+  test("synthetic media is deterministic and schema-complete") {
+    val a = media.collect().sortBy(_.media_id)
+    val b = Multimodal.syntheticMedia(spark, 90).collect().sortBy(_.media_id)
+    assert(a.length === 90)
+    assert(a.zip(b).forall { case (x, y) =>
+      x.media_id == y.media_id && x.content.sameElements(y.content) })
+    assert(media.toDF().schema.fieldNames.toSeq ===
+      Multimodal.mediaSchema.fieldNames.toSeq)
+  }
+
+  test("feature extraction: one row per blob, sane statistics, stable hash") {
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === 90)
+    feats.foreach { f =>
+      assert(f.mean_byte >= 0 && f.mean_byte <= 255, s"mean ${f.mean_byte}")
+      assert(f.byte_entropy >= 0 && f.byte_entropy <= 8, s"entropy ${f.byte_entropy}")
+      assert(f.content_hash.length === 32)
+      assert(f.n_bytes >= 256 && f.n_bytes < 1024)
+    }
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.sortBy(_.media_id).map(_.content_hash).toSeq ===
+      again.sortBy(_.media_id).map(_.content_hash).toSeq)
+  }
+
+  test("frame sampling: only video rows, every-Nth chunks, generator cardinality") {
+    val frames = Multimodal.sampleFrames(media, frameSize = 64, everyNth = 4)
+    val byMedia = frames.collect().groupBy(_.media_id)
+    val videoIds = media.filter(_.kind == "video").collect().map(_.media_id).toSet
+    assert(byMedia.keySet.subsetOf(videoIds))
+    assert(byMedia.nonEmpty)
+    byMedia.values.foreach { fs =>
+      assert(fs.map(_.frame_idx).forall(_ % 4 === 0))
+      assert(fs.map(_.frame_idx).distinct.length === fs.length)
+    }
+    // cardinality: ceil(len/64) chunks → every 4th kept
+    val m0 = media.filter(_.kind == "video").collect().minBy(_.media_id)
+    val expected = (0 until (m0.content.length + 63) / 64).count(_ % 4 == 0)
+    assert(byMedia(m0.media_id).length === expected)
+  }
+
+  test("hash dedup groups identical blobs") {
+    val dupped = media.union(media.filter(_.media_id < 5)) // re-add 5 dups
+    val groups = Multimodal.dedupByHash(Multimodal.extractFeatures(dupped))
+    assert(groups.filter($"n_copies" === 2).count() === 5)
+    assert(groups.count() === 90)
+  }
+
+  test("processing distributes: partition count preserved through mapPartitions") {
+    val parts = media.repartition(6)
+    assert(Multimodal.extractFeatures(parts).rdd.getNumPartitions === 6)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowed counts with watermark: in-order events land in their windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = EventStream.windowedCounts(input.toDF(), windowLen = "5 minutes",
+      watermarkDelay = "1 minute")
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 2, "click", 2.0),
+      Event(3, ts(6), 1, "view", 3.0),
+      Event(4, ts(30), 1, "click", 9.0)) // advances watermark past both windows
+    EventStream.runToMemory(agg, "win_counts")
+    val rows = spark.table("win_counts")
+      .select($"event_type", $"n", $"total_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // windows [10:00,10:05) click×2 and [10:05,10:10) view×1 are closed
+    // by the watermark; the 10:30 window is still open → not emitted
+    assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+  }
+
+  test("late event beyond the watermark is dropped from a closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = EventStream.windowedCounts(input.toDF(), windowLen = "5 minutes",
+      watermarkDelay = "1 minute")
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_test").start()
+    input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(30), 1, "click", 1.0))
+    q.processAllAvailable() // watermark → 10:29, [10:00,10:05) closed with n=1
+    input.addData(Event(3, ts(1), 1, "click", 100.0)) // late by 28 min → dropped
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("late_test")
+      .filter($"event_type" === "click" && minute($"window_start") === 0)
+      .select($"n").collect().map(_.getLong(0))
+    assert(closed.toSeq === Seq(1L)) // late row did not reopen/augment it
+  }
+
+  test("sessionization groups events by gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = EventStream.sessionized(input.toDF(), gap = "5 minutes",
+      watermarkDelay = "1 minute")
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(2), 1, "click", 1.0),  // same session (gap 2 < 5)
+      Event(3, ts(20), 1, "click", 1.0), // new session
+      Event(4, ts(50), 2, "view", 1.0))  // closes user 1's sessions via watermark
+    EventStream.runToMemory(agg, "sessions")
+    val rows = spark.table("sessions").filter($"user_id" === 1)
+      .select($"n_events").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq === Seq(1L, 2L))
+  }
+
+  test("runningUserTotals emits cumulative state across batches (flatMapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val totals = EventStream.runningUserTotals(input.toDS())
+    val q = totals.toDF().writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("running_totals").start()
+    input.addData(Event(1, ts(0), 7, "click", 1.5), Event(2, ts(1), 7, "click", 2.5))
+    q.processAllAvailable()
+    input.addData(Event(3, ts(2), 7, "view", 6.0))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("running_totals")
+      .select($"n_events", $"total_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(emitted === Set((2L, 4.0), (3L, 10.0))) // batch1 state, then batch2 state
+  }
+
+  test("batch shape of the streaming agg matches q21 on static data") {
+    // the same windowed aggregation expressed on the static events
+    // table (streaming/batch unification): hour windows over sf0.001
+    val ev = Tables.events(spark, Sf0001)
+    val windowed = ev.groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    assert(windowed.count() > 0)
+  }
+}
