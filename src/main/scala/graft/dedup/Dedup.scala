@@ -52,6 +52,46 @@ object Dedup {
       .filter(size(col("__toks")) >= n)
       .select(col(idCol).as("doc"), shinglesFromTokens(col("__toks"), n).as("sh"))
 
+  /** One row per (doc, distinct hashed shingle). Each token is
+    * md5-hashed to [0, 2^31) once (a single linear pass per doc), then
+    * shingle POSITIONS are exploded and each n-gram hash is combined
+    * positionally with modular arithmetic in a plain codegen'd
+    * projection. No shingle strings are ever built — profiling showed
+    * interpreted concat_ws dominating the dedup path — and the
+    * Generate (explode) boundary materializes the token-hash array, so
+    * CollapseProject cannot inline the md5 pass into every element_at
+    * (which is quadratic). Downstream joins/aggs run on longs.
+    *
+    * Hash collisions conflate shingles with probability
+    * ~|shingles|²/2^32 (the standard MinHash-literature trade); the
+    * formula is md5-derived so any engine reproduces it bit-for-bit —
+    * the DuckDB oracle mirrors it exactly.
+    */
+  def hashedShingleRows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val tokHash = docs
+      .withColumn("__toks", TextStats.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol).as("doc"),
+        transform(col("__toks"), t =>
+          pmod(conv(substring(md5(t), 1, 12), 16, 10).cast("long"),
+            lit(MersennePrime31))).as("th"))
+    tokHash
+      .select(col("doc"), col("th"),
+        posexplode(sequence(lit(1), size(col("th")) - (n - 1))))
+      .select(col("doc"),
+        (0 until n).map(k => element_at(col("th"), col("col").cast("int") + k))
+          .reduce((acc, h) => (acc * lit(ShingleMixer) + h) % lit(MersennePrime31))
+          .as("s"))
+      .distinct()
+  }
+
+  /** Positional mixer for hashed shingles: token hashes are < 2^31 and
+    * the mixer < 2^21, so acc·C + h stays < 2^52 — no 64-bit overflow
+    * in either Spark or the DuckDB oracle.
+    */
+  val ShingleMixer = 1048583L
+
   /** Exact duplicate grouping by normalized-text fingerprint: every doc
     * mapped to its group's canonical (min) id + group size. One
     * shuffle on the fingerprint; survivors = rows where
@@ -72,9 +112,8 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = withShingles(docs, idCol, textCol, n)
-    val sizes = sh.select(col("doc"), size(col("sh")).as("n_sh"))
-    val inv = sh.select(col("doc"), explode(col("sh")).as("s"))
+    val inv = hashedShingleRows(docs, idCol, textCol, n)
+    val sizes = inv.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val common = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
@@ -126,10 +165,8 @@ object Dedup {
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, seed: Long = 42L): DataFrame = {
     val coeffs = minHashCoeffs(k, seed)
-    val hashed = withShingles(docs, idCol, textCol, n)
-      .select(col("doc"), explode(col("sh")).as("s"))
-      .select(col("doc"), pmod(conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long"),
-        lit(MersennePrime31)).as("h"))
+    val hashed = hashedShingleRows(docs, idCol, textCol, n)
+      .withColumnRenamed("s", "h")
     val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime31))).as(s"mh_$i")
     }
@@ -167,13 +204,13 @@ object Dedup {
     */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val v = emb.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+    import graft.functions.VectorExprs
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("norm", VectorExprs.l2Norm(col("v")))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-          lit(0.0d), (acc, x) => acc + x) / (col("a.norm") * col("b.norm"))).as("cosine"))
+        VectorExprs.cosineWithNorms(col("a.v"), col("b.v"),
+          col("a.norm"), col("b.norm")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the ANN/dedup hot path.
+  *
+  * `zip_with` + `aggregate` are HigherOrderFunctions — they evaluate
+  * interpreted (no whole-stage codegen), which made the O(n²·d)
+  * brute-force cosine scans ~20× slower than necessary. A BinaryExpression
+  * with `doGenCode` keeps the dot product inside the generated loop:
+  * one fused while-loop over the two ArrayData buffers, accumulating in
+  * double (preference order (b) of SURVEY.md §7.3 / the build brief:
+  * custom Expression before UDF).
+  *
+  * Accumulation is strictly sequential left-to-right, matching both the
+  * previous fold formulation and DuckDB's list_cosine_similarity over
+  * DOUBLE[] — the t2 oracle hash-compare depends on that bit-for-bit.
+  * Float inputs are widened element-wise to double (exact).
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product needs array<float|double> inputs, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
+    var s = 0.0d
+    var i = 0
+    while (i < n) {
+      val x: Double = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y: Double = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getL = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val getR = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.$getL($i)) * ((double) $b.$getR($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  /** v₁ · v₂ in double precision (codegen'd). */
+  def dot(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
+
+  /** ‖v‖₂ via the same kernel. */
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** cos(a, b) with externally precomputed norms (stage them once per
+    * side before a pair join — don't recompute per pair).
+    */
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+}

@@ -39,10 +39,15 @@ object DedupQueries {
 
   private val dd02Sql =
     """WITH sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
-      |        FROM documents)
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(th) - 1),
+      |    i -> ((th[i] * 1048583 + th[i+1]) % 2147483647 * 1048583 + th[i+2]) % 2147483647)) AS sh
+      |  FROM (
+      |    SELECT doc_id, list_transform(toks,
+      |      t -> ('0x' || substr(md5(t), 1, 12))::BIGINT % 2147483647) AS th,
+      |      toks
+      |    FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |          FROM documents)
+      |  )
       |  WHERE len(toks) >= 3
       |), inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
       |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),

