@@ -21,9 +21,9 @@ final case class Q(
 
 object Catalog {
   lazy val all: Seq[Q] =
-    RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ MlQueries.all ++ ImdbQueries.all ++
-      MultimodalQueries.all
+    RelationalQueries.all ++ ExtendedQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ MlQueries.all ++
+      ImdbQueries.all ++ MultimodalQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
