@@ -130,16 +130,15 @@ object Dedup {
   /** SimHash fingerprint (one long per doc): md5-hash each token, then
     * per bit take the sign of Σ±1 votes over token occurrences. Docs
     * whose simhashes differ in few bits are near-dups. `bits` ≤ 48.
+    * One row per token through a typed vote-vector aggregator
+    * (graft.functions.SimHashAggregator) — no bits× row explosion,
+    * map-side combinable.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 48): DataFrame =
     docs.select(col(idCol), explode(TextStats.tokens(col(textCol))).as("t"))
       .select(col(idCol), md5Hash48(col("t")).as("h"))
-      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("bit"))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
       .groupBy(col(idCol))
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, CAST(bit AS INT))"))
-        .otherwise(0L)).as("simhash"))
+      .agg(graft.functions.SimHashAgg.simhash(col("h"), bits).as("simhash"))
 
   /** MinHash signature: k permutation-hashes h_i(x) = (a_i·x + b_i)
     * mod p over the doc's shingle hashes, taking the min per i.

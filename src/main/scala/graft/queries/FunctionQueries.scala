@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar/aggregate function breadth: exact percentiles, date/time,
+  * string, NULL-handling, and JSON extraction — each mirrored in
+  * DuckDB for the oracle gate. Where the two engines' function
+  * semantics differ (dayofweek origin), the mapping is explicit in
+  * the SQL.
+  */
+object FunctionQueries {
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`).
+    */
+  private def q31Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy(col("l_returnflag"))
+
+  private val q31Sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Date/time function surface. Spark's dayofweek is 1-based
+    * Sunday-first; DuckDB's is 0-based Sunday-first → +1 in the
+    * oracle.
+    */
+  private def q32Datetime(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
+      .orderBy(col("o_orderkey"))
+
+  private val q32Sql =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+      |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+      |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+      |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+      |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
+      |FROM orders
+      |WHERE o_orderkey < 2000
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** String function surface incl. edit distance. */
+  private def q33Strings(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        length(col("p_name")).as("name_len"),
+        lpad(col("p_brand"), 10, "#").as("brand_pad"),
+        reverse(col("p_type")).as("type_rev"),
+        levenshtein(col("p_type"), lit("STANDARD")).as("type_dist"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("name_novowel"))
+      .orderBy(col("p_partkey"))
+
+  private val q33Sql =
+    """SELECT p_partkey,
+      |  upper(p_name) AS name_upper,
+      |  substr(p_name, 1, 5) AS name_pfx,
+      |  CAST(length(p_name) AS INTEGER) AS name_len,
+      |  lpad(p_brand, 10, '#') AS brand_pad,
+      |  reverse(p_type) AS type_rev,
+      |  CAST(levenshtein(p_type, 'STANDARD') AS INTEGER) AS type_dist,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** NULL-handling surface: nullif to synthesize NULLs, coalesce /
+    * fill to recover them, null-aware equality.
+    */
+  private def q34NullHandling(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 2000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_returnflag"), lit("A")).as("flag_or_null"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("flag_or_null"),
+        coalesce(col("flag_or_null"), lit("defaulted")).as("flag_filled"),
+        col("flag_or_null").isNull.cast("int").as("was_null"),
+        (col("flag_or_null") <=> lit("R")).cast("int").as("null_safe_eq_r"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q34Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  nullif(l_returnflag, 'A') AS flag_or_null,
+      |  coalesce(nullif(l_returnflag, 'A'), 'defaulted') AS flag_filled,
+      |  CAST(nullif(l_returnflag, 'A') IS NULL AS INTEGER) AS was_null,
+      |  CAST(nullif(l_returnflag, 'A') IS NOT DISTINCT FROM 'R' AS INTEGER) AS null_safe_eq_r
+      |FROM lineitem
+      |WHERE l_orderkey < 2000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** JSON extraction from the events.props string column + downstream
+    * aggregation.
+    */
+  private def q35Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        round(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  private val q35Sql =
+    """SELECT event_type,
+      |  count(CAST(props->>'$.k' AS INTEGER)) AS n_with_k,
+      |  round(avg(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
+      |  CAST(min(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS min_k,
+      |  CAST(max(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q31_percentiles", q31Percentiles, Some(q31Sql)),
+    Q("q32_datetime", q32Datetime, Some(q32Sql)),
+    Q("q33_strings", q33Strings, Some(q33Sql)),
+    Q("q34_null_handling", q34NullHandling, Some(q34Sql)),
+    Q("q35_json", q35Json, Some(q35Sql)),
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.AsOf
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  test("asofJoinLatest picks the latest right row at or before each left ts") {
+    val left = Seq(
+      (1L, ts(5), "p1"),
+      (1L, ts(10), "p2"),
+      (1L, ts(2), "p0"),  // before any right row
+      (2L, ts(7), "p3"),
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts(3), 30.0),
+      (1L, ts(5), 50.0),  // exactly at p1's ts → inclusive match
+      (1L, ts(8), 80.0),
+      (2L, ts(1), 10.0),
+    ).toDF("user_id", "ts", "v")
+    val out = AsOf.asofJoinLatest(left, right, "user_id", "ts", "v")
+      .select($"tag", $"v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out === Map(
+      "p0" -> None,        // nothing at or before 10:02
+      "p1" -> Some(50.0),  // ts-equal right row wins (inclusive)
+      "p2" -> Some(80.0),  // latest ≤ 10:10
+      "p3" -> Some(10.0)))
+  }
+
+  test("asofJoinLatest preserves all left rows and columns") {
+    val left = Seq((1L, ts(1), "only")).toDF("user_id", "ts", "tag")
+    val right = Seq((9L, ts(0), 1.0)).toDF("user_id", "ts", "v")
+    val out = AsOf.asofJoinLatest(left, right, "user_id", "ts", "v")
+    assert(out.columns.toSet === Set("user_id", "ts", "tag", "v"))
+    assert(out.count() === 1)
+    assert(out.filter($"v".isNull).count() === 1) // no key match → NULL carry
+  }
+
+  test("typed SimHash aggregator equals the per-bit vote definition") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta gamma alpha"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val fast = graft.dedup.Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast(1L) === fast(2L))
+    assert(fast(1L) !== fast(3L))
+    // independent recomputation via the explicit explode formulation
+    val slow = docs
+      .select($"doc_id", explode(graft.text.TextStats.tokens($"text")).as("t"))
+      .select($"doc_id", graft.dedup.Dedup.md5Hash48($"t").as("h"))
+      .select($"doc_id", $"h", explode(sequence(lit(0), lit(47))).as("bit"))
+      .groupBy($"doc_id", $"bit")
+      .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"vote" > 0, expr("shiftleft(1L, CAST(bit AS INT))"))
+        .otherwise(0L)).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === slow)
+  }
+}
