@@ -136,11 +136,30 @@ object FunctionQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Sketch aggregates: HLL++ approximate distinct and approximate
+    * percentiles per group — the bounded-memory forms of q31/A2 for
+    * 100 TB cardinalities. Sketch internals are engine-specific →
+    * rows-only in the gate; accuracy vs exact is asserted in
+    * SketchSpec.
+    */
+  private def q38Sketches(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        round(element_at(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9)), lit(1000)), 1), 4).as("approx_p50"),
+        round(element_at(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9)), lit(1000)), 2), 4).as("approx_p90"))
+      .orderBy(col("l_returnflag"))
+
   val all: Seq[Q] = Seq(
     Q("q31_percentiles", q31Percentiles, Some(q31Sql)),
     Q("q32_datetime", q32Datetime, Some(q32Sql)),
     Q("q33_strings", q33Strings, Some(q33Sql)),
     Q("q34_null_handling", q34NullHandling, Some(q34Sql)),
     Q("q35_json", q35Json, Some(q35Sql)),
+    Q("q38_sketches", q38Sketches, None),
   )
 }

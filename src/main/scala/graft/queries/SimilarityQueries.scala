@@ -47,8 +47,21 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF (k-means cells, nProbe nearest centroids) top-5 — the second
+    * ANN scale path; recall-tested against sim01 in AnnSpec.
+    */
+  private def sim03IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nLists = 16, nProbe = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("sim01_brute_topk", sim01BruteTopK, Some(sim01Sql)),
     Q("sim02_lsh_topk", sim02LshTopK, None),
+    Q("sim03_ivf_topk", sim03IvfTopK, None),
   )
 }

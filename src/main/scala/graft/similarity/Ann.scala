@@ -62,6 +62,50 @@ object Ann {
       when(dot(v, lp) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** IVF-style top-k: a k-means coarse quantizer (MLlib, seeded)
+    * partitions the corpus into nLists cells; each query probes its
+    * nProbe nearest centroids and scores only those cells. The second
+    * classic ANN scale path next to sign-LSH: at 100 TB the corpus is
+    * scanned once to assign cells (one shuffle on cell id), queries
+    * broadcast, and per-query work is corpus/nLists × nProbe.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpusVec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("feat",
+        array_to_vector(transform(col("cv"), x => x.cast("double"))))
+    val km = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("feat")
+      .setPredictionCol("cell")
+    val model = km.fit(corpusVec)
+    val cells = model.transform(corpusVec)
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+      .withColumn("cn", norm(col("cv")))
+    // each query probes its nProbe nearest centroids (tiny driver-side
+    // centroid table burned in as literals)
+    val centroids = model.clusterCenters.zipWithIndex
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val centroidDist = centroids.map { case (c, i) =>
+      val lc = array(c.toArray.map(lit): _*)
+      struct((-dot(col("qv"), lc) / col("qn")).as("negSim"), lit(i).as("cell"))
+    }
+    val qProbed = q
+      .withColumn("probes", slice(array_sort(array(centroidDist: _*)), 1, nProbe))
+      .withColumn("cell", explode(transform(col("probes"), p => p.getField("cell"))))
+      .drop("probes")
+    val scored = cells.join(broadcast(qProbed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** LSH-bucketed top-k: score only same-signature pairs. Recall < 1 by
     * construction (tested against [[bruteForceTopK]] in AnnSpec);
     * raising nBits shrinks buckets, lowering it raises recall.
