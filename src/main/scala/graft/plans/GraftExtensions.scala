@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * expressions in the SQL function registry so `spark.sql` users get
+  * them too (`SELECT graft_dot(a, b)`), not just the Column API.
+  *
+  * Wire up with either
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  * or programmatically `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.dotProductDescriptor)
+  }
+}
+
+object GraftExtensions {
+  val dotProductDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_dot(a, b) takes exactly two array arguments")
+      DotProduct(children.head, children(1))
+    })
+
+  /** Register on an existing session (tests / REPL convenience). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = dotProductDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

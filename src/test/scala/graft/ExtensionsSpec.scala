@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.GraftExtensions
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_dot is callable from SQL after registration and matches the Column API") {
+    GraftExtensions.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    df.createOrReplaceTempView("v_vecs")
+    val sqlVals = spark.sql("SELECT graft_dot(a, b) AS d FROM v_vecs")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(sqlVals === Seq(32.0, 0.0))
+    val colVals = df.select(graft.functions.VectorExprs.dot($"a", $"b"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(sqlVals === colVals)
+  }
+
+  test("graft_dot compiles under forced codegen (fallback disabled)") {
+    GraftExtensions.register(spark)
+    // with fallback off, a broken doGenCode would throw instead of
+    // silently degrading to interpreted evaluation
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val emb = Tables.embeddings(spark, Sf0001).limit(100)
+      emb.createOrReplaceTempView("v_emb")
+      val total = spark.sql("SELECT sum(graft_dot(embedding, embedding)) FROM v_emb")
+        .first().getDouble(0)
+      assert(total > 0.0)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+}
