@@ -140,6 +140,33 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(graft.functions.SimHashAgg.simhash(col("h"), bits).as("simhash"))
 
+  /** SimHash near-dup pairs via banded indexing (pigeonhole: a pair
+    * within `maxHamming` bit flips must share at least one of
+    * `bands` equal-width bands when maxHamming < bands). Join on
+    * (band, band bits) — Σ bucket² work — then exact hamming filter
+    * with bit_count(xor). The scale path for simhash, vs comparing
+    * all O(n²) fingerprint pairs.
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 48, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sh = simHash(docs, idCol, textCol, bits)
+      .select(col(idCol).as("doc"), col("simhash"))
+    val banded = sh.select(col("doc"), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_bits") === col("b.band_bits") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** MinHash signature: k permutation-hashes h_i(x) = (a_i·x + b_i)
     * mod p over the doc's shingle hashes, taking the min per i.
     * Coefficients come from a fixed seed so signatures are

@@ -247,12 +247,24 @@ object ImdbPipeline {
   def cleanupColumns(mergedData: DataFrame): DataFrame =
     mergedData.drop("tconst", "titleType", "genre", "directors", "writers", "numVotes")
 
-  /** The full ETL — data_processing.py:340-374. */
+  /** The full ETL — data_processing.py:340-374. The merged frame is
+    * persisted before stage 3: the four top-N rankings are four
+    * separate jobs over it (plus the final write), and without a cache
+    * each re-executes the whole 8-join upstream DAG — the reference
+    * recomputes it 5× (SURVEY.md §3.1 actions 3-4). Semantics
+    * unchanged; at 100 TB use StorageLevel.DISK_ONLY or a parquet
+    * checkpoint instead of memory.
+    */
   def generateDataset(t: ImdbReader.ImdbTables, cfg: Config = Config()): DataFrame = {
     val initial = initialForm(t.titleAkas, t.titleBasics, t.titleCrew,
       t.titlePrincipals, t.titleRatings, cfg)
-    val withPeople = addPeopleColumns(initial, t.nameBasics)
-    val withPopularity = addPopularityColumns(withPeople, cfg)
-    cleanupColumns(withPopularity)
+    val withPeople = addPeopleColumns(initial, t.nameBasics).persist()
+    try {
+      val withPopularity = addPopularityColumns(withPeople, cfg)
+      // materialize the (small) final dataset before dropping the cache:
+      // cleanup only prunes columns, so this forces the last job through
+      // the cached frame rather than a post-unpersist recompute
+      cleanupColumns(withPopularity).localCheckpoint(eager = true)
+    } finally withPeople.unpersist()
   }
 }

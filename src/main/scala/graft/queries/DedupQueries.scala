@@ -110,11 +110,44 @@ object DedupQueries {
       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** SimHash near-dup pairs within hamming distance 3 via banded
+    * indexing. The oracle uses the plain O(n²) formulation — the
+    * pigeonhole banding provably returns the same set.
+    */
+  private def dd06SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val dd06Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), z -> z != '')) AS t
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS h FROM tok
+      |), b AS (
+      |  SELECT doc_id, h, unnest(range(48)) AS bit FROM h
+      |), v AS (
+      |  SELECT doc_id, bit,
+      |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM b GROUP BY doc_id, bit
+      |), s AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM v GROUP BY doc_id
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dd01_exact_dedup", dd01Exact, Some(dd01Sql)),
     Q("dd02_jaccard_pairs", dd02Jaccard, Some(dd02Sql)),
     Q("dd03_simhash", dd03Simhash, Some(dd03Sql)),
     Q("dd04_minhash_lsh", dd04MinhashLsh, None),
     Q("dd05_cosine_pairs", dd05CosinePairs, Some(dd05Sql)),
+    Q("dd06_simhash_pairs", dd06SimhashPairs, Some(dd06Sql)),
   )
 }

@@ -21,8 +21,16 @@ object ImdbQueries {
       .orderBy(col("genre"), col("startYear"))
   }
 
+  /** The flagship ETL at synthetic scale (30k titles / 6k people,
+    * generated distributed) — measures the real 8-join + 4-ranking
+    * pipeline in the bench, not a toy fixture.
+    */
+  private def imdbPipelineSynth(s: SparkSession, dir: String): DataFrame =
+    ImdbPipeline.generateDataset(graft.imdb.ImdbSynth.tables(s, 30000L, 6000L))
+
   val all: Seq[Q] = Seq(
     Q("imdb_pipeline_demo", imdbPipeline, None),
     Q("imdb_trends_demo", imdbTrends, None),
+    Q("imdb_pipeline_synth", imdbPipelineSynth, None),
   )
 }
