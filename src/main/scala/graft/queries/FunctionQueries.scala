@@ -154,6 +154,63 @@ object FunctionQueries {
           array(lit(0.5), lit(0.9)), lit(1000)), 2), 4).as("approx_p90"))
       .orderBy(col("l_returnflag"))
 
+  /** Bivariate statistics per group: Pearson correlation, sample
+    * covariance/variance (identical definitions in both engines;
+    * rounded for float-order independence).
+    */
+  private def q39Stats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+        round(var_samp(col("l_discount")), 6).as("var_disc"))
+      .orderBy(col("l_returnflag"))
+
+  private val q39Sql =
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+      |  round(var_samp(l_discount), 6) AS var_disc
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Array-function surface: sort/union/intersect/except/flatten over
+    * token arrays built from two string columns.
+    */
+  private def q40Arrays(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        split(col("p_name"), " ").as("a"),
+        array(col("p_type"), col("p_brand")).as("b"))
+      .select(col("p_partkey"),
+        array_sort(col("a")).as("sorted_name"),
+        size(array_union(col("a"), col("b"))).as("n_union"),
+        size(array_intersect(col("a"), col("b"))).as("n_common"),
+        size(array_except(col("a"), col("b"))).as("n_only_name"),
+        flatten(array(col("a"), col("b"))).as("all_tokens"))
+      .select(col("p_partkey"),
+        concat_ws("|", col("sorted_name")).as("sorted_name"),
+        col("n_union"), col("n_common"), col("n_only_name"),
+        concat_ws("|", col("all_tokens")).as("all_tokens"))
+      .orderBy(col("p_partkey"))
+
+  private val q40Sql =
+    """WITH t AS (
+      |  SELECT p_partkey, string_split(p_name, ' ') AS a,
+      |    [p_type, p_brand] AS b
+      |  FROM part
+      |)
+      |SELECT p_partkey,
+      |  array_to_string(list_sort(a), '|') AS sorted_name,
+      |  CAST(len(list_distinct(list_concat(a, b))) AS INTEGER) AS n_union,
+      |  CAST(len(list_intersect(a, b)) AS INTEGER) AS n_common,
+      |  CAST(len(list_filter(list_distinct(a), x -> NOT list_contains(b, x))) AS INTEGER) AS n_only_name,
+      |  array_to_string(list_concat(a, b), '|') AS all_tokens
+      |FROM t
+      |ORDER BY p_partkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_percentiles", q31Percentiles, Some(q31Sql)),
     Q("q32_datetime", q32Datetime, Some(q32Sql)),
@@ -161,5 +218,7 @@ object FunctionQueries {
     Q("q34_null_handling", q34NullHandling, Some(q34Sql)),
     Q("q35_json", q35Json, Some(q35Sql)),
     Q("q38_sketches", q38Sketches, None),
+    Q("q39_stats", q39Stats, Some(q39Sql)),
+    Q("q40_arrays", q40Arrays, Some(q40Sql)),
   )
 }

@@ -82,6 +82,29 @@ class StreamingSpec extends SparkSpec {
     assert(emitted === Set((2L, 4.0), (3L, 10.0))) // batch1 state, then batch2 state
   }
 
+  test("file-source streaming: parquet drops flow through readEvents end-to-end") {
+    // write two micros-precision parquet drops into a temp dir, then
+    // drive the real file-based source (not MemoryStream)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    val batch1 = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 2, "view", 2.0)).toDF().withColumn("props", lit(null).cast("string"))
+    batch1.coalesce(1).write.mode("append").parquet(dir)
+    val stream = EventStream.readEvents(spark, dir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("file_stream").start()
+    q.processAllAvailable()
+    val batch2 = Seq(Event(3, ts(2), 1, "click", 3.0)).toDF()
+      .withColumn("props", lit(null).cast("string"))
+    batch2.coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("file_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("click" -> 2L, "view" -> 1L)) // second drop picked up
+  }
+
   test("batch shape of the streaming agg matches q21 on static data") {
     // the same windowed aggregation expressed on the static events
     // table (streaming/batch unification): hour windows over sf0.001
