@@ -36,6 +36,24 @@ class ScaleSpec extends SparkSpec {
     assert(shares.sum <= 1.0)
   }
 
+  test("writeBucketed makes same-key aggregation shuffle-free") {
+    val path = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+    Scale.writeBucketed(Tables.orders(spark, Sf0001), "graft_orders_bucketed",
+      "o_custkey", 4, s"$path/orders")
+    val agg = spark.table("graft_orders_bucketed")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+    agg.collect()
+    // bucketed scan already provides hashpartitioning(o_custkey) → the
+    // aggregation needs no Exchange
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+    // and the unbucketed equivalent DOES shuffle, proving the contrast
+    val unbucketed = Tables.orders(spark, Sf0001)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+    unbucketed.collect()
+    assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("sortedForPruning yields requested partitioning and sorted output") {
     val df = Scale.sortedForPruning(Tables.orders(spark, Sf0001), Seq("o_orderdate"), 4)
     assert(df.rdd.getNumPartitions === 4)

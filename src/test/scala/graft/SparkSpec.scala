@@ -13,6 +13,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse") // keep saveAsTable out of the repo dir
     .getOrCreate()
 
   val Sf0001 = "/root/testdata/sf0.001"
