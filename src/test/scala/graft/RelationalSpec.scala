@@ -59,4 +59,11 @@ class RelationalSpec extends SparkSpec with TableDrivenPropertyChecks {
     val undeclared = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(undeclared.isEmpty)
   }
+
+  test("catalog has no duplicate query names (a dup would silently shadow in the Map)") {
+    val names = graft.queries.Catalog.all.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate names: ${dups.mkString(", ")}")
+    assert(SparkEntry.queries.size === names.size)
+  }
 }
