@@ -94,7 +94,13 @@ object MlPipeline {
     */
   def evaluate(model: GBTClassificationModel, df: DataFrame,
       featureCols: Seq[String], labelCol: String = "label"): DataFrame = {
-    val scored = model.transform(assemble(df, featureCols))
+    val transformed = model.transform(assemble(df, featureCols))
+    val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+      .setLabelCol(labelCol)
+      .setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderROC")
+      .evaluate(transformed)
+    val scored = transformed
       .select(col(labelCol).cast("int").as("label"), col("prediction").cast("int").as("pred"))
     scored.agg(
       count(lit(1)).as("n"),
@@ -103,6 +109,7 @@ object MlPipeline {
       sum(when(col("label") === 0 && col("pred") === 1, 1).otherwise(0)).as("fp"),
       sum(when(col("label") === 1 && col("pred") === 0, 1).otherwise(0)).as("fn"),
       sum(when(col("label") === 0 && col("pred") === 0, 1).otherwise(0)).as("tn"))
+      .withColumn("auc", round(lit(auc), 4))
   }
 
   /** Global feature-importance ranking (the public-API analogue of the

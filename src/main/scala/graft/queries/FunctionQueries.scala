@@ -211,6 +211,53 @@ object FunctionQueries {
       |FROM t
       |ORDER BY p_partkey""".stripMargin
 
+  /** Generator NULL semantics: explode_outer keeps rows whose array is
+    * NULL (vs explode's silent drop, F2) — mirrored in DuckDB with a
+    * LEFT JOIN LATERAL unnest.
+    */
+  private def q41ExplodeOuter(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        explode_outer(split(nullif(col("p_type"), lit("ECONOMY")), " ")).as("token"))
+      .orderBy(col("p_partkey"), col("token"))
+
+  private val q41Sql =
+    """SELECT p_partkey, t.token
+      |FROM part
+      |LEFT JOIN LATERAL (
+      |  SELECT unnest(string_split(nullif(p_type, 'ECONOMY'), ' ')) AS token
+      |) t ON TRUE
+      |ORDER BY p_partkey, token""".stripMargin
+
+  /** Map-typed columns: build a map, probe keys, enumerate sorted
+    * keys. Scalar/array outputs so the oracle comparison stays typed.
+    */
+  private def q42MapFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"),
+        map(lit("status"), col("o_orderstatus"),
+          lit("prio"), col("o_orderpriority")).as("m"))
+      .select(col("o_orderkey"),
+        element_at(col("m"), "status").as("status_val"),
+        element_at(col("m"), "missing").as("missing_val"),
+        size(col("m")).as("n_entries"),
+        concat_ws("|", array_sort(map_keys(col("m")))).as("keys_sorted"))
+      .orderBy(col("o_orderkey"))
+
+  private val q42Sql =
+    """SELECT o_orderkey,
+      |  map_extract(m, 'status')[1] AS status_val,
+      |  map_extract(m, 'missing')[1] AS missing_val,
+      |  CAST(cardinality(m) AS INTEGER) AS n_entries,
+      |  array_to_string(list_sort(map_keys(m)), '|') AS keys_sorted
+      |FROM (
+      |  SELECT o_orderkey,
+      |    MAP {'status': o_orderstatus, 'prio': o_orderpriority} AS m
+      |  FROM orders WHERE o_orderkey < 1000
+      |)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_percentiles", q31Percentiles, Some(q31Sql)),
     Q("q32_datetime", q32Datetime, Some(q32Sql)),
@@ -220,5 +267,7 @@ object FunctionQueries {
     Q("q38_sketches", q38Sketches, None),
     Q("q39_stats", q39Stats, Some(q39Sql)),
     Q("q40_arrays", q40Arrays, Some(q40Sql)),
+    Q("q41_explode_outer", q41ExplodeOuter, Some(q41Sql)),
+    Q("q42_map_funcs", q42MapFuncs, Some(q42Sql)),
   )
 }
