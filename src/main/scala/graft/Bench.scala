@@ -1,6 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point (driver contract, BASELINE.md).
+  *
+  * Times every catalog query on `SPARK_GRAFT_SF_DIR` and prints ONE
+  * compact JSON line. Round 1 lesson: the driver only keeps a tail of
+  * stdout when parsing this line, and a per-query map over the full
+  * 67-query catalog at full double precision overflowed that buffer
+  * (BENCH_r01.json came back `"parsed": null`). So the printed line
+  * carries the total plus a fixed HEADLINE subset rounded to
+  * milliseconds; the full per-query breakdown goes to
+  * `target/bench_detail.json` for local inspection.
+  */
 object Bench {
+  /** Representative subset across query families — keep this list short
+    * enough that the JSON line stays well under ~1500 chars.
+    */
+  private val headline = Seq(
+    "q01_pricing_summary", "q04_join_inner", "q07_topk", "q13_trends",
+    "q21_time_bucket", "q22_window_rank", "q26_cube", "q30_sql_entry",
+    "dd02_jaccard_pairs", "dd04_minhash_lsh", "sim01_brute_topk",
+    "sim03_ivf_topk", "tx02_quality", "ml03_gbt_eval",
+    "mm01_media_features", "imdb_pipeline_demo", "imdb_pipeline_synth")
+
+  private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,9 +45,17 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val total = r3(results.map(_._2).sum)
+    val hs = results.filter { case (k, _) => headline.contains(k) }
+    val qs = hs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val detail = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    try {
+      val p = java.nio.file.Paths.get("target/bench_detail.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -26,6 +26,9 @@ object AsOf {
     */
   def asofJoinLatest(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, valueCol: String): DataFrame = {
+    require(!left.columns.contains(valueCol),
+      s"asofJoinLatest: left already has a column named '$valueCol'; " +
+        "rename it (the as-of value column is appended to the left schema)")
     val leftCols = left.columns
     val l = left
       .withColumn("__is_right", lit(0))

@@ -19,9 +19,17 @@ object Scale {
     * skew) — AQE splits post-shuffle partitions, salting splits the KEY
     * itself. Cost: the small side is replicated ×buckets, so keep it
     * the dimension side.
+    *
+    * Only inner/left joins are supported: the exploded small side would
+    * emit each unmatched small-side row ×buckets under right/full outer
+    * semantics, so those are rejected up front.
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       buckets: Int = 8, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer", "leftouter")
+        .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got '$joinType' " +
+        "(outer small-side rows would be duplicated ×buckets)")
     val saltedLarge = large.withColumn("__salt",
       (rand(seed = 42) * buckets).cast("int"))
     val saltedSmall = small.withColumn("__salt",

@@ -21,7 +21,8 @@ final case class Q(
 
 object Catalog {
   lazy val all: Seq[Q] =
-    RelationalQueries.all ++ ExtendedQueries.all ++ FunctionQueries.all ++
+    RelationalQueries.all ++ ExtendedQueries.all ++ Extended2Queries.all ++
+      FunctionQueries.all ++
       JoinQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MlQueries.all ++
       ImdbQueries.all ++ MultimodalQueries.all

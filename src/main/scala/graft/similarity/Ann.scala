@@ -49,18 +49,26 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** Deterministic random hyperplanes: nBits × dim doubles in [-1, 1). */
+  /** Deterministic random hyperplanes: nBits × dim doubles in [-1, 1).
+    * nBits is capped at 31 because [[signature]] packs one bit per plane
+    * into a positive Int.
+    */
   def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    require(nBits >= 1 && nBits <= 31,
+      s"nBits must be in [1, 31] (bits pack into an Int), got $nBits")
     val rnd = new scala.util.Random(seed)
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
   }
 
   /** Sign-LSH bucket id: bit i = [v · h_i > 0], packed into an int. */
-  def signature(v: Column, planes: Seq[Seq[Double]]): Column =
+  def signature(v: Column, planes: Seq[Seq[Double]]): Column = {
+    require(planes.size <= 31,
+      s"at most 31 hyperplanes pack into an Int signature, got ${planes.size}")
     planes.zipWithIndex.map { case (p, i) =>
       val lp = array(p.map(lit): _*)
       when(dot(v, lp) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
 
   /** IVF-style top-k: a k-means coarse quantizer (MLlib, seeded)
     * partitions the corpus into nLists cells; each query probes its
@@ -83,13 +91,18 @@ object Ann {
       .select(col("neighbor_id"), col("cv"), col("cell"))
       .withColumn("cn", norm(col("cv")))
     // each query probes its nProbe nearest centroids (tiny driver-side
-    // centroid table burned in as literals)
+    // centroid table burned in as literals). Probes rank by Euclidean
+    // distance — the same metric the k-means quantizer assigns cells
+    // by: dist² = |q|² − 2·q·c + |c|², and |q|² is constant per query,
+    // so |c|² − 2·q·c orders identically.
     val centroids = model.clusterCenters.zipWithIndex
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val centroidDist = centroids.map { case (c, i) =>
       val lc = array(c.toArray.map(lit): _*)
-      struct((-dot(col("qv"), lc) / col("qn")).as("negSim"), lit(i).as("cell"))
+      val cNormSq = c.toArray.map(x => x * x).sum
+      struct((lit(cNormSq) - lit(2.0) * dot(col("qv"), lc)).as("dist"),
+        lit(i).as("cell"))
     }
     val qProbed = q
       .withColumn("probes", slice(array_sort(array(centroidDist: _*)), 1, nProbe))

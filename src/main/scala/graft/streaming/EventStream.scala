@@ -14,8 +14,9 @@ import org.apache.spark.sql.types._
   *
   * Scale posture: every operator here keys state by user/window, so
   * state is hash-partitioned across executors and bounded by the
-  * watermark (old windows are evicted); nothing accumulates on the
-  * driver.
+  * watermark — closed windows are evicted, and the running-totals
+  * state machine arms an event-time idle timeout per user; nothing
+  * accumulates on the driver.
   */
 object EventStream {
 
@@ -69,24 +70,70 @@ object EventStream {
   /** Running per-user totals emitted on every update — the custom
     * state machine built-ins can't express (emit-on-change semantics),
     * via flatMapGroupsWithState. State: (event count, value sum).
+    *
+    * Running totals have no window to close, so state is bounded by
+    * evicting users idle longer than `idleGapMs` of EVENT time: each
+    * update arms an event-time timeout at (latest event + gap), and
+    * when the watermark passes it the user's state is dropped. Event
+    * time (not processing time) keeps eviction deterministic on replay
+    * AND keeps test/ops semantics sane — a processing-time timeout
+    * makes the engine self-schedule no-data batches forever, which
+    * busy-loops `processAllAvailable`. A totals stream that must never
+    * forget a user should persist evicted totals downstream and
+    * re-seed on the user's return.
     */
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
-  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+  def runningUserTotals(events: Dataset[Event],
+      watermarkDelay: String = "10 minutes",
+      idleGapMs: Long = 3600L * 1000): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
+      .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Double), UserTotals](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         case (userId, rows, state: GroupState[(Long, Double)]) =>
-          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
-          var n = n0
-          var v = v0
-          rows.foreach { e => n += 1; v += e.value }
-          state.update((n, v))
-          Iterator(UserTotals(userId, n, v))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+            var n = n0
+            var v = v0
+            var maxTs = Long.MinValue
+            rows.foreach { e =>
+              n += 1; v += e.value
+              if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
+            }
+            state.update((n, v))
+            // timeout must sit above the current watermark or Spark
+            // rejects it; late-arriving batches can have maxTs below it
+            state.setTimeoutTimestamp(
+              math.max(maxTs + idleGapMs, state.getCurrentWatermarkMs() + 1))
+            Iterator(UserTotals(userId, n, v))
+          }
       }
   }
+
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * static dimension (broadcast by Catalyst when small) — no state, no
+    * watermark needed; the static side is re-planned per batch so slow
+    * dimension updates are picked up.
+    */
+  def enriched(events: DataFrame, dim: DataFrame, key: String = "event_type"): DataFrame =
+    events.join(dim, Seq(key), "left")
+
+  /** Streaming exactly-once dedup by event_id bounded by the watermark:
+    * duplicates arriving within the watermark window are dropped, state
+    * for ids older than the watermark is evicted (unbounded dedup state
+    * is the classic streaming OOM).
+    */
+  def dedupedEvents(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Synchronous drain into an in-memory table for tests/smoke: starts
     * the query, processes everything available, returns the query name

@@ -51,6 +51,13 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall@5 = $recall")
   }
 
+  test("hyperplanes rejects nBits outside the Int-packable range") {
+    val e = intercept[IllegalArgumentException] { Ann.hyperplanes(32, 8) }
+    assert(e.getMessage.contains("[1, 31]"))
+    intercept[IllegalArgumentException] { Ann.hyperplanes(0, 8) }
+    assert(Ann.hyperplanes(31, 4).size === 31) // boundary accepted
+  }
+
   test("LSH candidate scoring never invents neighbors (subset of all pairs, correct cosines)") {
     val emb = Tables.embeddings(spark, Sf0001).limit(50)
     val q = emb.filter($"vec_id" < 3)

@@ -41,6 +41,15 @@ class AsOfSpec extends SparkSpec {
     assert(out.filter($"v".isNull).count() === 1) // no key match → NULL carry
   }
 
+  test("asofJoinLatest rejects a left frame that already has the value column") {
+    val left = Seq((1L, ts(1), 0.0)).toDF("user_id", "ts", "v")
+    val right = Seq((1L, ts(0), 1.0)).toDF("user_id", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asofJoinLatest(left, right, "user_id", "ts", "v")
+    }
+    assert(e.getMessage.contains("already has a column named 'v'"))
+  }
+
   test("typed SimHash aggregator equals the per-bit vote definition") {
     val docs = Seq(
       (1L, "alpha beta gamma alpha"),

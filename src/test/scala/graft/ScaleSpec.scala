@@ -27,6 +27,15 @@ class ScaleSpec extends SparkSpec {
     assert(out.filter($"w".isNotNull).count() === 1)
   }
 
+  test("saltedJoin rejects outer join types that would duplicate small-side rows") {
+    val large = Seq((1L, "a")).toDF("k", "v")
+    val small = Seq((1L, "x"), (2L, "y")).toDF("k", "w")
+    val e = intercept[IllegalArgumentException] {
+      Scale.saltedJoin(large, small, "k", buckets = 4, joinType = "full")
+    }
+    assert(e.getMessage.contains("inner/left"))
+  }
+
   test("keySkewProfile ranks heavy keys with shares summing <= 1") {
     val prof = Scale.keySkewProfile(Tables.lineitem(spark, Sf0001), "l_suppkey", 5)
       .collect()

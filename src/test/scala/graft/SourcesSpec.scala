@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("JSON lines round-trip preserves values under an explicit schema") {
+    val dir = tmpDir("graft_json_") + "/out"
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -0.25)).toDF("id", "name", "score")
+    Sources.writeJsonLines(df, dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val back = Sources.readJsonLines(spark, dir, schema)
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(back.toSeq === Seq((1L, "alpha", 1.5), (2L, "beta", -0.25)))
+  }
+
+  test("malformed JSON rows degrade to NULLs (PERMISSIVE), not job failure") {
+    val dir = tmpDir("graft_json_bad_")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "data.json"),
+      "{\"id\": 1, \"name\": \"ok\"}\n{not json at all\n".getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val rows = Sources.readJsonLines(spark, dir, schema).collect()
+    assert(rows.length === 2)
+    assert(rows.count(_.isNullAt(0)) === 1) // corrupt row → NULL fields
+  }
+
+  test("ORC round-trip preserves values and types") {
+    val dir = tmpDir("graft_orc_") + "/out"
+    val df = Tables.part(spark, Sf0001).limit(100)
+    Sources.writeOrc(df, dir)
+    val back = Sources.readOrc(spark, dir)
+    assert(back.schema === df.schema)
+    assert(back.count() === 100)
+    val a = df.agg(round(sum($"p_retailprice"), 2)).first().getDouble(0)
+    val b = back.agg(round(sum($"p_retailprice"), 2)).first().getDouble(0)
+    assert(a === b)
+  }
+
+  test("partitioned parquet write prunes non-matching partitions at scan time") {
+    val dir = tmpDir("graft_part_") + "/out"
+    val orders = Tables.orders(spark, Sf0001)
+      .withColumn("order_year", year($"o_orderdate"))
+    Sources.writePartitionedParquet(orders, dir, Seq("order_year"))
+    val back = Sources.readPartitionedParquet(spark, dir)
+      .filter($"order_year" === 1995)
+    // the year predicate must become a PartitionFilter (directory-level
+    // pruning), not a row-level data filter over all partitions
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("order_year"),
+      s"expected partition pruning in plan:\n$plan")
+    val expected = orders.filter($"order_year" === 1995).count()
+    assert(back.count() === expected && expected > 0)
+  }
+}

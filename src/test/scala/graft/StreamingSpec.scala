@@ -105,6 +105,65 @@ class StreamingSpec extends SparkSpec {
     assert(counts === Map("click" -> 2L, "view" -> 1L)) // second drop picked up
   }
 
+  test("runningUserTotals evicts idle users once the watermark passes the idle gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val totals = EventStream.runningUserTotals(input.toDS(),
+      watermarkDelay = "1 minute", idleGapMs = 5L * 60 * 1000)
+    val q = totals.toDF().writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("evicted_totals").start()
+    input.addData(Event(1, ts(0), 7, "click", 1.0)) // timeout armed at 10:05
+    q.processAllAvailable()
+    input.addData(Event(2, ts(30), 9, "click", 2.0)) // watermark → 10:29 ≫ 10:05
+    q.processAllAvailable()
+    input.addData(Event(3, ts(31), 7, "click", 5.0)) // user 7 returns post-eviction
+    q.processAllAvailable()
+    q.stop()
+    val user7 = spark.table("evicted_totals").filter($"user_id" === 7)
+      .select($"n_events", $"total_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // state restarted from zero after eviction: (1,1.0) then (1,5.0) — not (2,6.0)
+    assert(user7 === Set((1L, 1.0), (1L, 5.0)))
+  }
+
+  test("stream-static join enriches each micro-batch from a static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq(("click", 2.0), ("view", 0.5)).toDF("event_type", "weight")
+    val out = EventStream.enriched(input.toDF(), dim)
+      .select($"event_id", $"weight" * $"value" as "weighted")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enriched_ev").start()
+    input.addData(
+      Event(1, ts(0), 1, "click", 3.0),
+      Event(2, ts(1), 2, "view", 4.0),
+      Event(3, ts(2), 3, "scroll", 9.0)) // no dim row → left join NULL
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched_ev").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(rows === Map(1L -> Some(6.0), 2L -> Some(2.0), 3L -> None))
+  }
+
+  test("streaming dedup within watermark drops duplicate event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val out = EventStream.dedupedEvents(input.toDF(), watermarkDelay = "10 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("deduped_ev").start()
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(1), 1, "click", 1.0), // same id, within watermark → dropped
+      Event(2, ts(2), 2, "view", 2.0))
+    q.processAllAvailable()
+    input.addData(Event(1, ts(3), 1, "click", 1.0)) // still within watermark → dropped
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("deduped_ev").select($"event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L))
+  }
+
   test("batch shape of the streaming agg matches q21 on static data") {
     // the same windowed aggregation expressed on the static events
     // table (streaming/batch unification): hour windows over sf0.001
