@@ -19,9 +19,10 @@ object Bench {
   private val headline = Seq(
     "q01_pricing_summary", "q04_join_inner", "q07_topk", "q13_trends",
     "q21_time_bucket", "q22_window_rank", "q26_cube", "q30_sql_entry",
-    "dd02_jaccard_pairs", "dd04_minhash_lsh", "sim01_brute_topk",
-    "sim03_ivf_topk", "tx02_quality", "ml03_gbt_eval",
-    "mm01_media_features", "imdb_pipeline_demo", "imdb_pipeline_synth")
+    "dd02_jaccard_pairs", "dd04_minhash_lsh", "dd07_incremental",
+    "sim01_brute_topk", "sim03_ivf_topk", "tx02_quality", "tx07_curate",
+    "ml03_gbt_eval", "mm01_media_features", "imdb_pipeline_demo",
+    "imdb_pipeline_synth")
 
   private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
 
@@ -34,12 +35,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up JIT/codegen and file-listing paths so the first timed
-    // query doesn't absorb session start-up; queries run in sorted
-    // name order for round-over-round comparability.
+    // Warm up JIT/codegen, shuffle, window, hash/regex expression, and
+    // full-scan paths so the alphabetically-first timed query (dd01)
+    // doesn't absorb session start-up — profiled at ~3 s of cold scan +
+    // codegen otherwise (ProfileDedup), vs 0.7 s steady-state. Queries
+    // run in sorted name order for round-over-round comparability.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
-    catch { case _: Throwable => () }
+    spark.range(100000L).selectExpr("id % 32 AS k", "id")
+      .groupBy("k").count().collect()
+    spark.range(10000L).selectExpr("id % 8 AS k", "id")
+      .selectExpr("k", "row_number() OVER (PARTITION BY k ORDER BY id) AS rn")
+      .filter("rn <= 3").collect()
+    spark.range(10000L)
+      .selectExpr("md5(regexp_replace(cast(id AS string), '0+', ' ')) AS f",
+        "filter(split(cast(id AS string), '1'), x -> length(x) > 0) AS t")
+      .selectExpr("count(distinct f)", "sum(size(t))").collect()
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

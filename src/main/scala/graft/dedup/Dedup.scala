@@ -106,6 +106,24 @@ object Dedup {
         (col(idCol) =!= col("canonical_id")).cast("int").as("is_dup"))
   }
 
+  /** Incremental exact dedup: drop incoming docs whose normalized-text
+    * fingerprint already exists in the corpus (anti-join on the
+    * fingerprint), and dedup the survivors among themselves (keep the
+    * min-id doc per fingerprint). The shape every continuously-fed
+    * training pipeline needs: the corpus side reduces to a distinct
+    * fingerprint set, so at 100 TB it is one shuffle of 32-char keys —
+    * or zero shuffles when both sides are bucketed by fingerprint
+    * (ops.Scale.writeBucketed).
+    */
+  def dedupAgainstCorpus(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val incFp = incoming.select(col(idCol), TextStats.fingerprint(col(textCol)).as("fp"))
+    val corpusFps = corpus.select(TextStats.fingerprint(col(textCol)).as("fp")).distinct()
+    val fresh = incFp.join(corpusFps, Seq("fp"), "left_anti")
+    val canonical = fresh.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+    canonical.select(col(idCol))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join:
     * explode distinct shingles, self-join on shingle, count common,
     * jaccard = common / (|A| + |B| − common). Pairs are (a < b).

@@ -142,6 +142,29 @@ object DedupQueries {
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Incremental dedup: docs 400+ arrive against the 0–399 corpus;
+    * keep canonical fresh docs only.
+    */
+  private def dd07Incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.dedupAgainstCorpus(
+      docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+      "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  private val dd07Sql =
+    """WITH fp AS (
+      |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents
+      |), fresh AS (
+      |  SELECT i.doc_id, i.fp FROM fp i
+      |  WHERE i.doc_id >= 400
+      |    AND NOT EXISTS (SELECT 1 FROM fp c WHERE c.doc_id < 400 AND c.fp = i.fp)
+      |)
+      |SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dd01_exact_dedup", dd01Exact, Some(dd01Sql)),
     Q("dd02_jaccard_pairs", dd02Jaccard, Some(dd02Sql)),
@@ -149,5 +172,6 @@ object DedupQueries {
     Q("dd04_minhash_lsh", dd04MinhashLsh, None),
     Q("dd05_cosine_pairs", dd05CosinePairs, Some(dd05Sql)),
     Q("dd06_simhash_pairs", dd06SimhashPairs, Some(dd06Sql)),
+    Q("dd07_incremental", dd07Incremental, Some(dd07Sql)),
   )
 }

@@ -128,11 +128,85 @@ object TextQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish piece counts (whitespace-independent token-budget
+    * estimate): alphabetic runs / digit runs / single marks.
+    */
+  private def tx06BpePieces(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        bpePieceCount(col("text")).as("n_pieces"),
+        size(array_distinct(bpePieces(lower(col("text"))))).as("n_distinct_pieces"))
+      .orderBy(col("doc_id"))
+
+  private val tx06Sql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_pieces,
+      |  CAST(len(list_distinct(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS INTEGER) AS n_distinct_pieces
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** End-to-end training-data curation: keep documents that (a) are the
+    * canonical copy of their exact-dup group, (b) classify as English
+    * by the marker heuristic, (c) score ≥ 0.6 composite quality. The
+    * flagship composition of the text/dedup operators — three narrow
+    * projections + one fingerprint shuffle at any scale.
+    */
+  private def tx07Curate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dups = graft.dedup.Dedup.exactGroups(docs, "doc_id", "text")
+      .select(col("doc_id"), col("is_dup"))
+    withLangId(docs, "text")
+      .select(col("doc_id"), col("lang_pred"),
+        round(qualityScore(col("text")), 4).as("quality"))
+      .join(dups, "doc_id")
+      .filter(col("is_dup") === 0 && col("lang_pred") === "en" && col("quality") >= 0.6)
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tx07Sql =
+    """WITH t AS (
+      |  SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, text,
+      |    len(toks) AS n, len(list_distinct(toks)) AS nd,
+      |    len(list_filter(toks, x -> list_contains(
+      |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS nstop,
+      |    len(list_filter(toks, x -> list_contains(['the','a','is','and','of'], x))) AS c_en,
+      |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS c_de,
+      |    len(list_filter(toks, x -> list_contains(['el','la','los','y','es'], x))) AS c_es,
+      |    len(list_filter(toks, x -> list_contains(['le','la','et','les','est'], x))) AS c_fr
+      |  FROM t
+      |), scored AS (
+      |  SELECT doc_id,
+      |    round(0.4 * least(n / 50.0, 1.0) + 0.4 * (nd / CAST(n AS DOUBLE))
+      |        + 0.2 * least(5.0 * (nstop / CAST(n AS DOUBLE)), 1.0), 4) AS quality,
+      |    CASE WHEN c_en = greatest(c_en, c_de, c_es, c_fr) AND greatest(c_en, c_de, c_es, c_fr) > 0 THEN 'en'
+      |         WHEN c_de = greatest(c_en, c_de, c_es, c_fr) AND greatest(c_en, c_de, c_es, c_fr) > 0 THEN 'de'
+      |         WHEN c_es = greatest(c_en, c_de, c_es, c_fr) AND greatest(c_en, c_de, c_es, c_fr) > 0 THEN 'es'
+      |         WHEN c_fr = greatest(c_en, c_de, c_es, c_fr) AND greatest(c_en, c_de, c_es, c_fr) > 0 THEN 'fr'
+      |         ELSE 'und' END AS lang_pred
+      |  FROM m
+      |), fp AS (
+      |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents
+      |), dup AS (
+      |  SELECT doc_id, CAST(doc_id != min(doc_id) OVER (PARTITION BY fp) AS INTEGER) AS is_dup
+      |  FROM fp
+      |)
+      |SELECT s.doc_id, s.quality
+      |FROM scored s JOIN dup d ON s.doc_id = d.doc_id
+      |WHERE d.is_dup = 0 AND s.lang_pred = 'en' AND s.quality >= 0.6
+      |ORDER BY s.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("tx01_token_stats", tx01TokenStats, Some(tx01Sql)),
     Q("tx02_quality", tx02Quality, Some(tx02Sql)),
     Q("tx03_lang_id", tx03LangId, Some(tx03Sql)),
     Q("tx04_token_freq", tx04TokenFreq, Some(tx04Sql)),
     Q("tx05_fingerprint", tx05Fingerprint, Some(tx05Sql)),
+    Q("tx06_bpe_pieces", tx06BpePieces, Some(tx06Sql)),
+    Q("tx07_curate", tx07Curate, Some(tx07Sql)),
   )
 }

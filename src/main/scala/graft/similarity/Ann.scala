@@ -84,8 +84,11 @@ object Ann {
     val corpusVec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("feat",
         array_to_vector(transform(col("cv"), x => x.cast("double"))))
+    // the coarse quantizer only places probe cells — a handful of
+    // Lloyd iterations is plenty (recall is governed by nProbe/nLists,
+    // not quantizer convergence), and it halves index build time
     val km = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("feat")
-      .setPredictionCol("cell")
+      .setPredictionCol("cell").setMaxIter(8)
     val model = km.fit(corpusVec)
     val cells = model.transform(corpusVec)
       .select(col("neighbor_id"), col("cv"), col("cell"))

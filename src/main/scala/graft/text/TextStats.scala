@@ -127,4 +127,19 @@ object TextStats {
     */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** BPE-ish pre-tokenization regex: alphabetic runs, digit runs, and
+    * single non-alphanumeric marks as separate pieces — the
+    * whitespace-independent piece segmentation LLM tokenizers apply
+    * before merges (a real BPE would then merge pieces against a
+    * learned vocabulary; counting pre-merge pieces is the standard
+    * cheap token-budget estimate).
+    */
+  val BpePieceRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** All BPE-ish pieces of a text, in order (codegen'd, no UDF). */
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit(BpePieceRegex), lit(0))
+
+  def bpePieceCount(text: Column): Column = size(bpePieces(text))
 }

@@ -22,6 +22,19 @@ class DedupSpec extends SparkSpec {
     assert(g(4L)._2 === 1L)
   }
 
+  test("dedupAgainstCorpus drops corpus dups and self-dups, keeps fresh canonicals") {
+    val corpus = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "ALPHA  beta gamma"),        // dup of corpus doc 1 → dropped
+      (11L, "totally new content here"), // fresh
+      (12L, "Totally NEW content here"), // self-dup of 11 → 11 kept
+      (13L, "another fresh document"),
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstCorpus(incoming, corpus, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(11L, 13L))
+  }
+
   test("shingles: count and content for 3-grams") {
     val sh = Dedup.withShingles(docs.filter($"doc_id" === 1), "doc_id", "text", 3)
       .select($"sh")

@@ -60,6 +60,16 @@ class TextSpec extends SparkSpec {
     assert(fps("a") !== fps("c"))
   }
 
+  test("bpePieces segments words, digit runs, and marks separately") {
+    val df = Seq(("a", "GPT-4 costs $0.03/1k tokens!")).toDF("id", "text")
+    val pieces = df.select(TextStats.bpePieces($"text").as("p"))
+      .first().getSeq[String](0)
+    assert(pieces === Seq("GPT", "-", "4", "costs", "$", "0", ".", "03",
+      "/", "1", "k", "tokens", "!"))
+    val n = df.select(TextStats.bpePieceCount($"text")).first().getInt(0)
+    assert(n === 13)
+  }
+
   test("quality score is within [0,1] on real documents") {
     val docs = Tables.documents(spark, Sf0001)
     val mm = docs.select(
