@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked program output straight through instead of routing it via
+// sbt's logger: the driver parses Bench's one-line JSON from stdout, and
+// the logger's "[info] " prefix breaks that parse (BENCH_r01/r02 both
+// came back "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

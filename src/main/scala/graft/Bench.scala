@@ -27,6 +27,10 @@ object Bench {
   private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
 
   def main(args: Array[String]): Unit = {
+    // Fail loudly if the hand-maintained headline list drifts from the
+    // catalog — a renamed query must not silently vanish from the JSON.
+    val missing = headline.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty, s"headline names not in catalog: ${missing.mkString(",")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -58,7 +62,15 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Untimed isolation between queries: drop SQL cache and nudge the
+      // ContextCleaner (localCheckpoint/persist blocks are freed on GC)
+      // so one query's leftover blocks don't tax the next one's timing.
+      // Profiled: heavy queries ran 3-7x slower inside the sequential
+      // bench than in isolation before this (r2: q21 6.8s vs 0.4s).
+      try { spark.catalog.clearCache(); System.gc() }
+      catch { case _: Throwable => () }
+      name -> dt
     }
     val total = r3(results.map(_._2).sum)
     val hs = results.filter { case (k, _) => headline.contains(k) }
@@ -71,7 +83,10 @@ object Bench {
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "warmup" tags the timing regime (v2 = full table pre-scan before
+    // timing, since round 2) so round-over-round totals aren't compared
+    // across different warmup regimes (ADVICE r2).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"v2-full-prescan","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -188,15 +188,27 @@ object ImdbPipeline {
   /** All membership flags over one csv column in a single explode +
     * aggregation pass (two flags share each column in stage 3, so the
     * correct variant costs 2 shuffles total, not 4).
+    *
+    * Membership is a broadcast join against the collected top-id sets,
+    * not an `isInCollection` literal list: 4 × 1000 string literals
+    * embedded in the plan made analysis/codegen the dominant cost of
+    * the whole pipeline at bench scale, and a broadcast hash probe is
+    * the same O(1)-per-row work without the plan bloat.
     */
   def flagsForColumn(df: DataFrame, columnName: String,
       flags: Seq[(String, Seq[String])]): DataFrame = {
-    val aggCols = flags.map { case (name, top) =>
-      max(col("entity").isInCollection(top).cast("int")).as(name)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lookup = flags.zipWithIndex.flatMap { case ((_, top), i) =>
+      top.distinct.map(id => (id, i))
+    }.toDF("entity", "flag_idx")
+    val aggCols = flags.zipWithIndex.map { case ((name, _), i) =>
+      max(when(col("flag_idx") === i, 1).otherwise(0)).as(name)
     }
     val hits = df
       .select(col("tconst").as("flag_tconst"),
         explode(split(col(columnName), ",")).as("entity"))
+      .join(broadcast(lookup), Seq("entity"), "inner")
       .groupBy(col("flag_tconst"))
       .agg(aggCols.head, aggCols.tail: _*)
     flags.foldLeft(

@@ -76,7 +76,16 @@ object MlPipeline {
     // RDD[Instance] for the boosting iterations itself; a DataFrame
     // persist on top is a pure extra materialization pass (measured
     // +80% on ml03 at sf0.1).
-    val assembled = assemble(train, featureCols)
+    //
+    // Coalesce the training input: boosting runs ~maxIter × maxDepth
+    // sequential jobs over the cached instances, so per-task overhead
+    // multiplies — shuffle-partition-count parallelism (32) on a small
+    // train set is pure scheduling cost. defaultParallelism/8 keeps
+    // plenty of parallelism on a real cluster (coalesce never
+    // *increases* partition count, so a large input is untouched).
+    val gbtParts = math.max(1,
+      train.sparkSession.sparkContext.defaultParallelism / 8)
+    val assembled = assemble(train.coalesce(gbtParts), featureCols)
     new GBTClassifier()
       .setLabelCol(labelCol)
       .setFeaturesCol("features")
@@ -98,7 +107,12 @@ object MlPipeline {
     */
   def evaluate(model: GBTClassificationModel, df: DataFrame,
       featureCols: Seq[String], labelCol: String = "label"): DataFrame = {
+    // Persist the scored frame: the AUC evaluator and the metrics agg
+    // are separate actions, and without a cache each re-runs the whole
+    // upstream DAG (for a sampleBy/anti-join test split that is two
+    // extra shuffles) plus per-row tree scoring.
     val transformed = model.transform(assemble(df, featureCols))
+      .select(col(labelCol), col("rawPrediction"), col("prediction")).persist()
     val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
       .setLabelCol(labelCol)
       .setRawPredictionCol("rawPrediction")
@@ -106,7 +120,7 @@ object MlPipeline {
       .evaluate(transformed)
     val scored = transformed
       .select(col(labelCol).cast("int").as("label"), col("prediction").cast("int").as("pred"))
-    scored.agg(
+    val out = scored.agg(
       count(lit(1)).as("n"),
       round(avg((col("label") === col("pred")).cast("double")), 4).as("accuracy"),
       sum(when(col("label") === 1 && col("pred") === 1, 1).otherwise(0)).as("tp"),
@@ -114,6 +128,10 @@ object MlPipeline {
       sum(when(col("label") === 1 && col("pred") === 0, 1).otherwise(0)).as("fn"),
       sum(when(col("label") === 0 && col("pred") === 0, 1).otherwise(0)).as("tn"))
       .withColumn("auc", round(lit(auc), 4))
+      // single row: materialize eagerly so the cache can be dropped now
+      .localCheckpoint(true)
+    transformed.unpersist()
+    out
   }
 
   /** Global feature-importance ranking (the public-API analogue of the

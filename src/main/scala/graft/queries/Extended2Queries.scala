@@ -209,14 +209,19 @@ object Extended2Queries {
   private def q52ArgMax(s: SparkSession, dir: String): DataFrame =
     Tables.supplier(s, dir)
       .groupBy(col("s_nationkey"))
-      .agg(max_by(col("s_name"), col("s_acctbal")).as("richest"),
-        min_by(col("s_name"), col("s_acctbal")).as("poorest"),
+      // Composite ordering key breaks acctbal ties on name so the
+      // result is deterministic (both engines' arg_max are otherwise
+      // free to pick any tied row). DuckDB's arg_max can't order by a
+      // struct, so both sides use lexicographic struct max/min + field
+      // extraction — identical semantics.
+      .agg(max_by(col("s_name"), struct(col("s_acctbal"), col("s_name"))).as("richest"),
+        min_by(col("s_name"), struct(col("s_acctbal"), col("s_name"))).as("poorest"),
         round(max(col("s_acctbal")), 2).as("top_bal"))
       .orderBy(col("s_nationkey"))
 
   private val q52Sql =
-    """SELECT s_nationkey, arg_max(s_name, s_acctbal) AS richest,
-      |  arg_min(s_name, s_acctbal) AS poorest,
+    """SELECT s_nationkey, max(struct_pack(b := s_acctbal, n := s_name)).n AS richest,
+      |  min(struct_pack(b := s_acctbal, n := s_name)).n AS poorest,
       |  round(max(s_acctbal), 2) AS top_bal
       |FROM supplier
       |GROUP BY s_nationkey

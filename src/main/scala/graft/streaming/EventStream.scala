@@ -78,11 +78,13 @@ object EventStream {
     * time (not processing time) keeps eviction deterministic on replay
     * AND keeps test/ops semantics sane — a processing-time timeout
     * makes the engine self-schedule no-data batches forever, which
-    * busy-loops `processAllAvailable`. A totals stream that must never
-    * forget a user should persist evicted totals downstream and
-    * re-seed on the user's return.
+    * busy-loops `processAllAvailable`. On eviction the final total is
+    * emitted once more with `evicted = true`, so a downstream sink can
+    * persist it and re-seed on the user's return — without that flush
+    * the last total would be silently lost with the state.
     */
-  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double,
+      evicted: Boolean = false)
 
   def runningUserTotals(events: Dataset[Event],
       watermarkDelay: String = "10 minutes",
@@ -96,8 +98,13 @@ object EventStream {
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         case (userId, rows, state: GroupState[(Long, Double)]) =>
           if (state.hasTimedOut) {
+            // Final flush: emit the last total (flagged) before dropping
+            // state so downstream can persist evicted totals.
+            val last = state.getOption.map { case (n, v) =>
+              UserTotals(userId, n, v, evicted = true)
+            }
             state.remove()
-            Iterator.empty
+            last.iterator
           } else {
             val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
             var n = n0

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch profiler (driver-side tooling, not library surface): times
+  * the named catalog queries, several rounds each, after Bench's warmup
+  * — separates cold-start from steady-state cost so optimization work
+  * targets the right component.
+  *
+  * Usage: runMain graft.tools.ProfileQ q30_sql_entry ml03_gbt_eval
+  */
+object ProfileQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.range(100000L).selectExpr("id % 32 AS k", "id")
+      .groupBy("k").count().collect()
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
+
+    val names = if (args.nonEmpty) args.toSeq else Seq("q01_pricing_summary")
+    for (r <- 1 to rounds; name <- names) {
+      val fn = graft.queries.Catalog.queries(name)
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[$r] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+    }
+    spark.stop()
+  }
+}

@@ -120,10 +120,12 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val user7 = spark.table("evicted_totals").filter($"user_id" === 7)
-      .select($"n_events", $"total_value").collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).toSet
-    // state restarted from zero after eviction: (1,1.0) then (1,5.0) — not (2,6.0)
-    assert(user7 === Set((1L, 1.0), (1L, 5.0)))
+      .select($"n_events", $"total_value", $"evicted").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    // state restarted from zero after eviction: (1,1.0) then (1,5.0) — not
+    // (2,6.0) — and eviction flushed the final (1,1.0) flagged so a sink
+    // can persist it
+    assert(user7 === Set((1L, 1.0, false), (1L, 1.0, true), (1L, 5.0, false)))
   }
 
   test("stream-static join enriches each micro-batch from a static dimension") {
