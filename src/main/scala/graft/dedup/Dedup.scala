@@ -241,6 +241,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate-cluster assignment from near-dup pairs: connected
+    * components by iterative min-label propagation, the canonical
+    * post-LSH step (pairs → clusters → keep one canonical doc per
+    * cluster). Returns (doc_id, cluster_id, cluster_size) for every
+    * doc that appears in at least one pair; docs with no edges are
+    * trivially their own cluster and are left to the caller.
+    *
+    * Scale posture: each round is one shuffle (neighbor-min agg) over
+    * the edge list, and labels are localCheckpoint'ed so lineage stays
+    * flat. Convergence is O(component diameter) rounds — near-dup
+    * clusters are shallow (stars around a canonical doc), so 2-3
+    * rounds in practice; `maxIter` bounds adversarial chains, and the
+    * loop exits early on the first round with zero label changes. For
+    * graphs with genuinely deep components, swap in alternating
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce"), which converges in O(log n) rounds on the same
+    * join+agg primitives.
+    */
+  def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = e0.union(e0.select(col("dst"), col("src")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("src") === labels("v"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, labels("v") === nbrMin("dst"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label") < col("label")).as("changed"))
+        .localCheckpoint()
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.drop("changed")
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("v").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
   /** Embedding near-dup pairs: exact cosine over all (a < b) pairs via
     * a join with precomputed norms. Quadratic — the LSH variant in
     * graft.similarity.Ann is the scale path; this is the exact

@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 
-/** Deduplication queries over the documents/embeddings tables.
-  * dd01–dd03 and dd05 are DuckDB-oracle-checkable (the hashing is
-  * md5-based Column arithmetic, reproducible in any engine); the
-  * MinHash/LSH candidate generation (dd04) is rows-only here and
-  * recall-tested against exact Jaccard in the ScalaTest suite.
+/** Deduplication queries over the documents/embeddings tables. All are
+  * DuckDB-oracle-checkable: the hashing is md5-based Column arithmetic
+  * reproducible in any engine, and the seeded MinHash permutation
+  * family (dd04) is interpolated into generated oracle SQL. MinHash
+  * recall is additionally asserted against exact Jaccard in DedupSpec.
   */
 object DedupQueries {
 
@@ -87,13 +87,58 @@ object DedupQueries {
       |FROM v GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
-  /** MinHash+LSH candidate pairs (8 bands × 4 rows). Not ANSI-SQL
-    * expressible compactly (seeded permutation family) → rows-only in
-    * the driver gate; recall is asserted in DedupSpec.
+  /** MinHash+LSH candidate pairs (8 bands × 4 rows). The permutation
+    * family is seeded, so the oracle SQL is GENERATED with the same
+    * coefficients as literals (Dedup.minHashCoeffs keeps both sides in
+    * sync); banding "docs sharing any band bucket" is expressed as a
+    * UNION of per-band signature equi-joins — set-identical to the
+    * band-key join because the "_"-concat of numeric keys is injective.
     */
   private def dd04MinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashCandidatePairs(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Distinct hashed-shingle CTE shared by dd02/dd04/dd08 oracles —
+    * mirrors Dedup.hashedShingleRows (md5 token hash → positional mix,
+    * n=3). Body only, so callers choose WITH vs WITH RECURSIVE.
+    */
+  private val shingleCteBody =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(th) - 1),
+      |    i -> ((th[i] * 1048583 + th[i+1]) % 2147483647 * 1048583 + th[i+2]) % 2147483647)) AS sh
+      |  FROM (
+      |    SELECT doc_id, list_transform(toks,
+      |      t -> ('0x' || substr(md5(t), 1, 12))::BIGINT % 2147483647) AS th,
+      |      toks
+      |    FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |          FROM documents)
+      |  )
+      |  WHERE len(toks) >= 3
+      |)""".stripMargin
+
+  private val dd04Sql: String = {
+    val bands = 8; val rowsPerBand = 4
+    val coeffs = Dedup.minHashCoeffs(bands * rowsPerBand)
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"    min((h * $a + $b) % 2147483647) AS mh_$i"
+    }.mkString(",\n")
+    val bandJoins = (0 until bands).map { bd =>
+      val conds = (0 until rowsPerBand)
+        .map(r => s"a.mh_${bd * rowsPerBand + r} = b.mh_${bd * rowsPerBand + r}")
+        .mkString(" AND ")
+      s"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n" +
+        s"  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND $conds"
+    }.mkString("\n  UNION\n")
+    s"""WITH $shingleCteBody, inv AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM inv GROUP BY doc_id
+       |), pairs AS (
+       |$bandJoins
+       |)
+       |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Embedding-cosine near-dup pairs at threshold 0.35 (exact,
     * quadratic baseline; the LSH path is sim02).
@@ -165,13 +210,54 @@ object DedupQueries {
       |SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp
       |ORDER BY doc_id""".stripMargin
 
+  /** Duplicate clusters: connected components over the exact-Jaccard
+    * near-dup pairs (dd02's edges) via iterative min-label
+    * propagation. The oracle computes the same min-reachable-id
+    * labels with a recursive CTE over the symmetrized edge list.
+    */
+  private def dd08Clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.5)
+    Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
+      .orderBy(col("doc_id"))
+  }
+
+  private val dd08Sql =
+    s"""WITH RECURSIVE $shingleCteBody,
+       | inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       | sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+       | cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       | ), pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sizes na ON doc_a = na.doc_id
+       |  JOIN sizes nb ON doc_b = nb.doc_id
+       |  WHERE common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE) >= 0.5
+       | ), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       | ), walk(v, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, walk.label FROM walk JOIN edges e ON walk.v = e.src
+       | ), labels AS (
+       |  SELECT v AS doc_id, min(label) AS cluster_id FROM walk GROUP BY v
+       | )
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM labels
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dd01_exact_dedup", dd01Exact, Some(dd01Sql)),
     Q("dd02_jaccard_pairs", dd02Jaccard, Some(dd02Sql)),
     Q("dd03_simhash", dd03Simhash, Some(dd03Sql)),
-    Q("dd04_minhash_lsh", dd04MinhashLsh, None),
+    Q("dd04_minhash_lsh", dd04MinhashLsh, Some(dd04Sql)),
     Q("dd05_cosine_pairs", dd05CosinePairs, Some(dd05Sql)),
     Q("dd06_simhash_pairs", dd06SimhashPairs, Some(dd06Sql)),
     Q("dd07_incremental", dd07Incremental, Some(dd07Sql)),
+    Q("dd08_dup_clusters", dd08Clusters, Some(dd08Sql)),
   )
 }

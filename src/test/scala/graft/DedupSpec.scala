@@ -79,6 +79,19 @@ class DedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed: $missed")
   }
 
+  test("duplicateClusters: min-label components over a hand-built pair graph") {
+    // components: {1,2,3} (chain 1-2, 2-3), {7,9}, and a 3-hop chain
+    // {10,11,12,13} that needs >1 propagation round to converge
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L),
+      (10L, 11L), (11L, 12L), (12L, 13L)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (9L, 7L, 2L),
+      (10L, 10L, 4L), (11L, 10L, 4L), (12L, 10L, 4L), (13L, 10L, 4L)))
+  }
+
   test("cosinePairs threshold boundary behavior") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)),

@@ -18,6 +18,17 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("daily HLL sketches merged via hll_union_agg estimate within 5% of exact") {
+    val ev = Tables.events(spark, Sf0001)
+    val daily = ev.groupBy(to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    val merged = daily.agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx")).first().getLong(0)
+    val exact = ev.agg(countDistinct($"user_id")).first().getLong(0)
+    // merging daily partial sketches must estimate the all-time distinct
+    // count as well as a single global sketch would
+    assert(math.abs(merged - exact).toDouble / exact < 0.05, s"exact=$exact merged=$merged")
+  }
+
   test("percentile_approx within 2% of exact interpolated percentile") {
     val li = Tables.lineitem(spark, Sf0001)
     val r = li.agg(

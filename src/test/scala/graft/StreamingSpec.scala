@@ -128,6 +128,24 @@ class StreamingSpec extends SparkSpec {
     assert(user7 === Set((1L, 1.0, false), (1L, 1.0, true), (1L, 5.0, false)))
   }
 
+  test("stream-stream interval join attributes converts to in-window triggers only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = EventStream.attributed(clicks.toDF(), buys.toDF(),
+      watermarkDelay = "1 minute", within = "30 minutes")
+    clicks.addData(Event(1, ts(0), 1, "click", 0.0))
+    buys.addData(
+      Event(101, ts(10), 1, "purchase", 50.0), // 10 min after click → joined
+      Event(102, ts(45), 1, "purchase", 70.0), // 45 min after → outside window
+      Event(103, ts(5), 2, "purchase", 30.0))  // no click for user 2
+    EventStream.runToMemory(joined, "attributed")
+    val rows = spark.table("attributed")
+      .select($"user_id", $"trigger_id", $"convert_id", $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows === Set((1L, 1L, 101L, 50.0)))
+  }
+
   test("stream-static join enriches each micro-batch from a static dimension") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
