@@ -285,6 +285,18 @@ object Dedup {
       .select(col("v").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  /** The final curation step: drop every clustered doc except its
+    * cluster's canonical (min-id) member. Docs that never appeared in
+    * a near-dup pair pass through untouched (left-anti against the
+    * non-canonical set — one broadcast-able shuffle, since the
+    * non-canonical set is |dups|, far smaller than the corpus).
+    */
+  def keepCanonical(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Embedding near-dup pairs: exact cosine over all (a < b) pairs via
     * a join with precomputed norms. Quadratic — the LSH variant in
     * graft.similarity.Ann is the scale path; this is the exact

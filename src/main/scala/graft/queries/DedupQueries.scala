@@ -250,6 +250,48 @@ object DedupQueries {
        |FROM labels
        |ORDER BY doc_id""".stripMargin
 
+  /** End-to-end near-dup curation: cluster the exact-Jaccard pairs,
+    * keep each cluster's canonical doc, pass untouched docs through —
+    * the deduped-corpus view a training pipeline actually materializes
+    * (the dedup analogue of tx07's quality curation).
+    */
+  private def dd09Curate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    Dedup.keepCanonical(docs, "doc_id", Dedup.duplicateClusters(pairs, "doc_a", "doc_b"))
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dd09Sql =
+    s"""WITH RECURSIVE $shingleCteBody,
+       | inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       | sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+       | cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       | ), pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sizes na ON doc_a = na.doc_id
+       |  JOIN sizes nb ON doc_b = nb.doc_id
+       |  WHERE common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE) >= 0.5
+       | ), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       | ), walk(v, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, walk.label FROM walk JOIN edges e ON walk.v = e.src
+       | ), labels AS (
+       |  SELECT v AS doc_id, min(label) AS cluster_id FROM walk GROUP BY v
+       | )
+       |SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars
+       |FROM documents d
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM labels l WHERE l.doc_id = d.doc_id AND l.cluster_id != d.doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dd01_exact_dedup", dd01Exact, Some(dd01Sql)),
     Q("dd02_jaccard_pairs", dd02Jaccard, Some(dd02Sql)),
@@ -259,5 +301,6 @@ object DedupQueries {
     Q("dd06_simhash_pairs", dd06SimhashPairs, Some(dd06Sql)),
     Q("dd07_incremental", dd07Incremental, Some(dd07Sql)),
     Q("dd08_dup_clusters", dd08Clusters, Some(dd08Sql)),
+    Q("dd09_curated_corpus", dd09Curate, Some(dd09Sql)),
   )
 }

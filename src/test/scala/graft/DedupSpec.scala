@@ -92,6 +92,14 @@ class DedupSpec extends SparkSpec {
       (10L, 10L, 4L), (11L, 10L, 4L), (12L, 10L, 4L), (13L, 10L, 4L)))
   }
 
+  test("keepCanonical drops non-canonical members, passes unclustered docs") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L, 2L), (2L, 1L, 2L)).toDF("doc_id", "cluster_id", "cluster_size")
+    val kept = Dedup.keepCanonical(docs, "doc_id", clusters)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 9L))
+  }
+
   test("cosinePairs threshold boundary behavior") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)),

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import graft.queries.Catalog
+
+/** Executable checks for the plan properties SCALE.md claims: filters
+  * reach the parquet scans, projections prune the read schema, and
+  * dimension joins broadcast. These pin the *shape* of the plan, not
+  * timings — a regression here (e.g. a filter stuck above a join, a
+  * scan reading every column) is a scale bug even when sf0.001 results
+  * stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q59 star join: dims broadcast, order-date filter pushed, lineitem scan pruned") {
+    val plan = formatted(Catalog.queries("q59_tpch_q5")(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"), "dimension joins should broadcast")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("o_orderdate")),
+      "order-date range filter should reach the orders parquet scan")
+    val lineitemSchema = plan.linesIterator
+      .find(l => l.contains("ReadSchema") && l.contains("l_extendedprice"))
+    assert(lineitemSchema.exists(l => !l.contains("l_returnflag") && !l.contains("l_quantity")),
+      s"lineitem scan should read only the 4 needed columns, got: $lineitemSchema")
+  }
+
+  test("q01 pricing summary: shipdate filter pushed, partial aggregation present") {
+    val plan = formatted(Catalog.queries("q01_pricing_summary")(spark, Sf0001))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_shipdate")),
+      "shipdate filter should reach the lineitem scan")
+    assert(plan.contains("HashAggregate"), "aggregation should be hash-based")
+    // partial + final pair → map-side combine before the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "expected partial and final hash aggregates")
+  }
+
+  test("q58 hash sample keeps sampling as a scan-adjacent filter, no shuffle") {
+    val plan = formatted(Catalog.queries("q58_hash_sample")(spark, Sf0001))
+    // deterministic sampling must not repartition the table: the only
+    // exchange allowed is the final order-by's range partitioning
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"sampling should add no shuffles, found $exchanges exchange nodes")
+  }
+}
