@@ -45,4 +45,36 @@ object AsOf {
       .filter(col("__is_right") === 0)
       .drop("__is_right")
   }
+
+  /** Same semantics through the custom whole-operator path
+    * (graft.plans.AsofJoin → AsofMergeJoinExec): preference tier (c),
+    * used when inputs are bucketed/sorted by key so the merge runs
+    * shuffle-free — the composition above can't avoid its window
+    * shuffle. Results are identical (AsOfSpec asserts it; the q36
+    * DuckDB oracle checks both).
+    */
+  def asofJoinLatestExec(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftPlanBridge
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val spark = left.sparkSession
+    graft.plans.GraftExtensions.registerStrategy(spark)
+    val lPlan = GraftPlanBridge.analyzed(left)
+    // NULL right keys/timestamps can never match; dropping them up
+    // front keeps the merge loop tight. Fresh aliases give the right
+    // side new exprIds — both sides usually derive from the same scan,
+    // and duplicate ids across children would confuse column pruning.
+    val rPlan0 = GraftPlanBridge.analyzed(
+      right.filter(col(keyCol).isNotNull && col(tsCol).isNotNull))
+    val rPlan = Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        sys.error(s"asofJoinLatestExec: no column '$name' in ${plan.output.map(_.name)}"))
+    val node = graft.plans.AsofJoin(lPlan, rPlan,
+      attr(lPlan, keyCol), attr(rPlan, keyCol),
+      attr(lPlan, tsCol), attr(rPlan, tsCol),
+      Seq(attr(rPlan, valueCol)))
+    GraftPlanBridge.ofRows(spark, node)
+  }
 }

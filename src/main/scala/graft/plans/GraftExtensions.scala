@@ -20,6 +20,7 @@ import graft.functions.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
+    ext.injectPlannerStrategy(_ => new AsofStrategy)
   }
 }
 
@@ -36,5 +37,18 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val (id, info, builder) = dotProductDescriptor
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    registerStrategy(spark)
+  }
+
+  /** Idempotently add the as-of planner strategy to an existing
+    * session (the extensions-config path injects it at build time;
+    * this covers sessions built without it).
+    */
+  def registerStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val has = spark.experimental.extraStrategies.exists(_.isInstanceOf[AsofStrategy])
+    if (!has) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ new AsofStrategy
+    }
   }
 }

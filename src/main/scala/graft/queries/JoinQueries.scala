@@ -74,8 +74,28 @@ object JoinQueries {
       |GROUP BY band
       |ORDER BY band""".stripMargin
 
+  /** Identical as-of semantics through the custom whole-operator path
+    * (graft.plans.AsofJoin → AsofMergeJoinExec, preference tier (c)) —
+    * gated against the SAME DuckDB ASOF JOIN oracle as q36, proving
+    * the custom physical operator end-to-end.
+    */
+  private def q36bAsofExec(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(round(max(col("value")), 2).as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    AsOf.asofJoinLatestExec(purchases, clicks, "user_id", "ts", "click_value")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("q36_asof_join", q36Asof, Some(q36Sql)),
+    Q("q36b_asof_exec", q36bAsofExec, Some(q36Sql)),
     Q("q37_range_join", q37RangeJoin, Some(q37Sql)),
   )
 }

@@ -41,6 +41,37 @@ class AsOfSpec extends SparkSpec {
     assert(out.filter($"v".isNull).count() === 1) // no key match → NULL carry
   }
 
+  test("custom AsofMergeJoinExec matches the edge-case semantics of the composition") {
+    val left = Seq(
+      (1L, ts(5), "p1"), (1L, ts(10), "p2"), (1L, ts(2), "p0"), (2L, ts(7), "p3"),
+      (3L, ts(4), "p4"), // key with no right rows at all
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts(3), 30.0), (1L, ts(5), 50.0), (1L, ts(8), 80.0), (2L, ts(1), 10.0),
+      (4L, ts(0), 99.0), // right-only key, must not leak into key 3
+    ).toDF("user_id", "ts", "v")
+    val out = AsOf.asofJoinLatestExec(left, right, "user_id", "ts", "v")
+      .select($"tag", $"v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out === Map(
+      "p0" -> None, "p1" -> Some(50.0), "p2" -> Some(80.0), "p3" -> Some(10.0),
+      "p4" -> None))
+  }
+
+  test("custom exec equals the composition on real data and plans a merge join") {
+    val ev = Tables.events(spark, Sf0001)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(round(max($"value"), 2).as("click_value"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val composed = AsOf.asofJoinLatest(purchases, clicks, "user_id", "ts", "click_value")
+    val custom = AsOf.asofJoinLatestExec(purchases, clicks, "user_id", "ts", "click_value")
+    assert(custom.schema.fieldNames.toSeq === composed.schema.fieldNames.toSeq)
+    assert(custom.exceptAll(composed).isEmpty && composed.exceptAll(custom).isEmpty)
+    assert(custom.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
+      "expected the custom physical operator in the plan")
+  }
+
   test("asofJoinLatest rejects a left frame that already has the value column") {
     val left = Seq((1L, ts(1), 0.0)).toDF("user_id", "ts", "v")
     val right = Seq((1L, ts(0), 1.0)).toDF("user_id", "ts", "v")

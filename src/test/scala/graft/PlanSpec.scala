@@ -39,6 +39,33 @@ class PlanSpec extends SparkSpec {
       "expected partial and final hash aggregates")
   }
 
+  test("bucketed+sorted inputs run the custom as-of join with ZERO exchanges") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, Sf0001)
+    // one write task → one file per bucket, so the scan reports both
+    // bucket partitioning AND in-bucket sort order
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .repartition(1)
+      .write.mode("overwrite").bucketBy(4, "user_id").sortBy("user_id", "ts")
+      .saveAsTable("b_purchases")
+    ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(round(max(col("value")), 2).as("click_value"))
+      .repartition(1)
+      .write.mode("overwrite").bucketBy(4, "user_id").sortBy("user_id", "ts")
+      .saveAsTable("b_clicks")
+    val out = graft.ops.AsOf.asofJoinLatestExec(
+      spark.table("b_purchases"), spark.table("b_clicks"),
+      "user_id", "ts", "click_value")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofMergeJoin"), plan.take(2000))
+    assert(!plan.contains("Exchange"),
+      s"bucketed as-of join should be shuffle-free:\n${plan.take(2000)}")
+    assert(out.count() === spark.table("b_purchases").count(),
+      "as-of join must preserve every left row")
+  }
+
   test("q58 hash sample keeps sampling as a scan-adjacent filter, no shuffle") {
     val plan = formatted(Catalog.queries("q58_hash_sample")(spark, Sf0001))
     // deterministic sampling must not repartition the table: the only
