@@ -40,6 +40,24 @@ case class AsofJoin(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule completing the extension trio (expression /
+  * strategy / rule): push a limit into the as-of join's LEFT child.
+  * The operator emits exactly one row per left row, so limiting the
+  * probe side first is semantics-preserving — the same rewrite
+  * Catalyst's LimitPushDown applies to the streamed side of outer
+  * joins, which cannot know about this node. At scale this turns
+  * "LIMIT n over an as-of join of two huge tables" into an as-of join
+  * of n rows against one table.
+  */
+class AsofLimitPushDown extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit}
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case g @ GlobalLimit(_, ll @ LocalLimit(le, j: AsofJoin))
+        if !j.left.isInstanceOf[LocalLimit] =>
+      g.copy(child = ll.copy(child = j.copy(left = LocalLimit(le, j.left))))
+  }
+}
+
 class AsofStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsofJoin(l, r, lk, rk, lts, rts, vals) =>

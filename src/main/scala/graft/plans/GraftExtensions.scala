@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectPlannerStrategy(_ => new AsofStrategy)
+    ext.injectOptimizerRule(_ => new AsofLimitPushDown)
   }
 }
 
@@ -40,15 +41,18 @@ object GraftExtensions {
     registerStrategy(spark)
   }
 
-  /** Idempotently add the as-of planner strategy to an existing
-    * session (the extensions-config path injects it at build time;
-    * this covers sessions built without it).
+  /** Idempotently add the as-of planner strategy + optimizer rule to
+    * an existing session (the extensions-config path injects them at
+    * build time; this covers sessions built without it).
     */
   def registerStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val has = spark.experimental.extraStrategies.exists(_.isInstanceOf[AsofStrategy])
-    if (!has) {
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsofStrategy])) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new AsofStrategy
+    }
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[AsofLimitPushDown])) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new AsofLimitPushDown
     }
   }
 }

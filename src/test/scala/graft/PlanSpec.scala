@@ -42,6 +42,17 @@ class PlanSpec extends SparkSpec {
   test("bucketed+sorted inputs run the custom as-of join with ZERO exchanges") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, Sf0001)
+    // the metastore is fresh per JVM but the warehouse dir persists —
+    // clear both so overwrite can't trip LOCATION_ALREADY_EXISTS
+    Seq("b_purchases", "b_clicks").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get(s"/tmp/graft_warehouse/$t")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     // one write task → one file per bucket, so the scan reports both
     // bucket partitioning AND in-bucket sort order
     ev.filter(col("event_type") === "purchase")
@@ -64,6 +75,26 @@ class PlanSpec extends SparkSpec {
       s"bucketed as-of join should be shuffle-free:\n${plan.take(2000)}")
     assert(out.count() === spark.table("b_purchases").count(),
       "as-of join must preserve every left row")
+  }
+
+  test("AsofLimitPushDown pushes LIMIT into the as-of join's probe side") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, Sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(round(max(col("value")), 2).as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val limited = graft.ops.AsOf.asofJoinLatestExec(
+      purchases, clicks, "user_id", "ts", "click_value").limit(7)
+    val optimized = limited.queryExecution.optimizedPlan
+    val pushed = optimized.collect {
+      case j: graft.plans.AsofJoin
+          if j.left.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalLimit] => j
+    }
+    assert(pushed.nonEmpty,
+      s"expected LocalLimit pushed into AsofJoin's left child:\n$optimized")
+    assert(limited.count() === 7)
   }
 
   test("q58 hash sample keeps sampling as a scan-adjacent filter, no shuffle") {
