@@ -280,6 +280,12 @@ object Dedup {
       labels = updated.drop("changed")
       iter += 1
     }
+    // A silent non-converged exit would hand back wrong cluster_ids
+    // for any component deeper than maxIter; fail loudly instead so
+    // the caller can raise maxIter or switch to large-star/small-star.
+    require(converged,
+      s"duplicateClusters: label propagation did not converge in $maxIter rounds; " +
+        "a component has diameter > maxIter — raise maxIter or use large-star/small-star")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("v").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))

@@ -68,9 +68,13 @@ object AsOf {
     val rPlan0 = GraftPlanBridge.analyzed(
       right.filter(col(keyCol).isNotNull && col(tsCol).isNotNull))
     val rPlan = Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
-    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
-      plan.output.find(_.name == name).getOrElse(
-        sys.error(s"asofJoinLatestExec: no column '$name' in ${plan.output.map(_.name)}"))
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) = {
+      val matches = plan.output.filter(_.name == name)
+      require(matches.size == 1,
+        s"asofJoinLatestExec: expected exactly one column '$name' in " +
+          s"${plan.output.map(_.name)}, found ${matches.size}")
+      matches.head
+    }
     val node = graft.plans.AsofJoin(lPlan, rPlan,
       attr(lPlan, keyCol), attr(rPlan, keyCol),
       attr(lPlan, tsCol), attr(rPlan, tsCol),

@@ -50,10 +50,10 @@ object MlQueries {
     * call.
     */
   private val modelCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.classification.GBTClassificationModel]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.ml.classification.GBTClassificationModel]
 
   private def trainedModel(s: SparkSession, dir: String) =
-    modelCache.getOrElseUpdate(dir, {
+    modelCache.getOrElseUpdate((s, dir), {
       val feats = MlPipeline.orderFeatures(Tables.orders(s, dir))
       val (train, _) = MlPipeline.stratifiedSplit(feats, "label", "o_orderkey")
       MlPipeline.trainGbt(train, MlPipeline.OrderFeatureCols)
