@@ -22,7 +22,7 @@ final case class Q(
 object Catalog {
   lazy val all: Seq[Q] =
     RelationalQueries.all ++ ExtendedQueries.all ++ Extended2Queries.all ++
-      Extended3Queries.all ++
+      Extended3Queries.all ++ Extended4Queries.all ++
       FunctionQueries.all ++
       JoinQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MlQueries.all ++

@@ -1,0 +1,478 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextStats
+
+/** Round-4 widening: event-log analytics (sessionization, funnel,
+  * cohort retention, rolling time windows) and corpus-curation
+  * operators a training-data pipeline needs (TF-IDF, benchmark
+  * contamination, PII redaction, repetition filtering, sequence
+  * packing, domain mixing). All DuckDB-oracle-checked.
+  *
+  * Scale posture (shared): every query here shuffles at most on a
+  * bounded key (user_id, doc_id, source, term) — no driver-side
+  * loops, no collects; window functions partition on high-cardinality
+  * keys so state per partition stays small at 100 TB.
+  */
+object Extended4Queries {
+
+  /** Gap-based sessionization (30-min inactivity boundary): the
+    * standard event-log → session rollup. One shuffle on user_id for
+    * the window, then the session aggregate reuses the same
+    * partitioning (no second exchange). Timestamps compared in exact
+    * integer microseconds (unix_micros / epoch_us) so engine float
+    * handling can never move a boundary.
+    */
+  /** Core sessionization: input must carry (user_id, event_id, us);
+    * a gap strictly greater than `gapUs` starts a new session. Public
+    * for spec-level edge testing (exact-boundary and tie semantics).
+    */
+  def sessionize(e: DataFrame, gapUs: Long): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    e.withColumn("gap", col("us") - lag(col("us"), 1).over(ord))
+      .withColumn("is_new",
+        when(col("gap").isNull || col("gap") > lit(gapUs), 1).otherwise(0))
+      .withColumn("session_seq", sum(col("is_new"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        round((max(col("us")) - min(col("us"))) / lit(1000000.0), 3).as("span_sec"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  private def q62Sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us")),
+      gapUs = 1800000000L)
+
+  private val q62Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+      |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM f)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  round((max(us) - min(us)) / 1000000.0, 3) AS span_sec
+      |FROM sess GROUP BY 1, 2
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** Ordered conversion funnel view → click → purchase: each stage's
+    * event must come strictly after the user's previous-stage entry
+    * time. Three narrow aggregates chained by broadcast-able
+    * per-user joins (the per-stage user sets only shrink); counts
+    * come out as one 3-row summary.
+    */
+  private def q63Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("v_us"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("us") > col("v_us"))
+      .groupBy("user_id").agg(min("us").as("c_us"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("us") > col("c_us"))
+      .groupBy("user_id").agg(min("us").as("p_us"))
+    v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+      .unionByName(c.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
+      .unionByName(p.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
+      .select(col("stage"), col("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  private val q63Sql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND us > v_us GROUP BY 1),
+      |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND us > c_us GROUP BY 1)
+      |SELECT stage, n_users FROM (
+      |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |  UNION ALL SELECT '2_click', count(*) FROM c
+      |  UNION ALL SELECT '3_purchase', count(*) FROM p)
+      |ORDER BY stage""".stripMargin
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; n_users counts who was still active k weeks later. Two
+    * shuffles (per-user first-week, then cohort×offset count-distinct)
+    * — both on keys that scale with users, not events.
+    */
+  private def q64Cohort(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val first = e.groupBy("user_id").agg(min("wk").as("cohort"))
+    e.join(first, "user_id")
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private val q64Sql =
+    """WITH e AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+      |  CAST(datediff('day', cohort, wk) / 7 AS INTEGER) AS week_offset,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** TF-IDF top-3 terms per document (corpus-relative salience — the
+    * classic retrieval/quality feature). tf and df are two aggregates
+    * over the exploded token stream; N comes in by broadcast, so the
+    * only wide exchanges are on (doc_id, term) and term. Ranking runs
+    * on the rounded score with a lexicographic tiebreak so the result
+    * is engine-independent.
+    */
+  private def q65Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val terms = toks.select(col("doc_id"), size(col("toks")).as("doc_len"),
+      explode(col("toks")).as("term"))
+    val tf = terms.groupBy("doc_id", "doc_len", "term").agg(count(lit(1)).as("cnt"))
+    val dfreq = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = toks.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .filter(col("doc_id") < 50)
+      .withColumn("tfidf",
+        round((col("cnt") / col("doc_len")) * log(col("n_docs") / col("df")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  private val q65Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM documents),
+      |terms AS (SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS term
+      |          FROM toks WHERE len(toks) > 0),
+      |tf AS (SELECT doc_id, doc_len, term, count(*) AS cnt FROM terms GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM toks WHERE len(toks) > 0),
+      |scored AS (
+      |  SELECT doc_id, term, round((cnt / doc_len) * ln(n_docs / df), 6) AS tfidf
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      |  WHERE doc_id < 50),
+      |ranked AS (
+      |  SELECT doc_id, term, tfidf,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rk
+      |  FROM scored)
+      |SELECT doc_id, rk, term, tfidf FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
+  /** Fixed 10-bin histogram of l_extendedprice with data-driven
+    * bounds: the min/max scalar row is broadcast, so the whole plan is
+    * scan → broadcast-join → partial/final count — one shuffle of 10
+    * rows regardless of input size.
+    */
+  private def q66Histogram(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
+    val st = li.agg(min("x").as("mn"), max("x").as("mx"))
+    li.crossJoin(broadcast(st))
+      .withColumn("bucket",
+        least(floor((col("x") - col("mn")) / ((col("mx") - col("mn")) / 10)), lit(9))
+          .cast("int"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(st))
+      .select(col("bucket"),
+        round(col("mn") + col("bucket") * (col("mx") - col("mn")) / 10, 2).as("lo"),
+        round(col("mn") + (col("bucket") + 1) * (col("mx") - col("mn")) / 10, 2).as("hi"),
+        col("n"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q66Sql =
+    """WITH st AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem),
+      |b AS (SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 10)), 9) AS INTEGER) AS bucket
+      |      FROM lineitem, st)
+      |SELECT bucket,
+      |  round(mn + bucket * (mx - mn) / 10, 2) AS lo,
+      |  round(mn + (bucket + 1) * (mx - mn) / 10, 2) AS hi,
+      |  count(*) AS n
+      |FROM b, st GROUP BY bucket, mn, mx
+      |ORDER BY bucket""".stripMargin
+
+  /** Exact median plus a deterministic mode per group. Spark's mode()
+    * is tie-arbitrary, so the mode is computed explicitly as
+    * argmax(count) with a lexicographic tiebreak — same derivation on
+    * both engines, so it always hash-matches.
+    */
+  private def q67ModeMedian(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val med = li.groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 2).as("median_qty"))
+    val cnts = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag").orderBy(col("cnt").desc, col("l_linestatus"))
+    val mode = cnts.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_linestatus").as("mode_status"),
+        col("cnt").as("mode_n"))
+    med.join(mode, "l_returnflag")
+      .select(col("l_returnflag"), col("median_qty"), col("mode_status"), col("mode_n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q67Sql =
+    """WITH med AS (SELECT l_returnflag, round(median(l_quantity), 2) AS median_qty
+      |             FROM lineitem GROUP BY 1),
+      |c AS (SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem GROUP BY 1, 2),
+      |m AS (SELECT l_returnflag, l_linestatus AS mode_status, cnt AS mode_n,
+      |        row_number() OVER (PARTITION BY l_returnflag ORDER BY cnt DESC, l_linestatus) AS rk
+      |      FROM c)
+      |SELECT med.l_returnflag AS l_returnflag, median_qty, mode_status, mode_n
+      |FROM med JOIN m ON med.l_returnflag = m.l_returnflag AND rk = 1
+      |ORDER BY med.l_returnflag""".stripMargin
+
+  /** 7-day rolling revenue per customer: a RANGE frame over integer
+    * epoch-days (value-based, so gaps in order dates are handled
+    * correctly — ROWS frames would not be). One shuffle on o_custkey;
+    * ties on the same day share the frame by RANGE-peer semantics.
+    */
+  private def q68RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"),
+      datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).as("d"))
+    val w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-6, 0)
+    o.withColumn("rolling_7d", round(sum("o_totalprice").over(w), 2))
+      .select(col("o_orderkey"), col("o_custkey"), col("d"), col("rolling_7d"))
+      .orderBy(col("o_custkey"), col("d"), col("o_orderkey"))
+  }
+
+  private val q68Sql =
+    """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS d
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, d,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY d
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rolling_7d
+      |FROM o
+      |ORDER BY o_custkey, d, o_orderkey""".stripMargin
+
+  /** Benchmark-contamination check — the eval-hygiene step of an LLM
+    * data pipeline: fraction of each corpus doc's word 5-gram shingles
+    * that appear in a held-out "benchmark" set (here docs 0-24). The
+    * benchmark shingle set is distinct-reduced and broadcast, so the
+    * corpus side never shuffles on shingles — a scan-side hash probe
+    * even at 100 TB.
+    */
+  private def tx08Contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
+        .as("sh5"))
+      .distinct()
+    val bench = sh.filter(col("doc_id") < 25).select(col("sh5")).distinct()
+      .withColumn("hit", lit(1))
+    sh.filter(col("doc_id") >= 25)
+      .join(broadcast(bench), Seq("sh5"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).as("n_matched"))
+      .filter(col("n_matched") > 0)
+      .withColumn("contamination", round(col("n_matched") / col("n_shingles"), 4))
+      .select(col("doc_id"), col("n_shingles"), col("n_matched"), col("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tx08Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS sh5
+      |  FROM toks WHERE len(toks) >= 5),
+      |bench AS (SELECT DISTINCT sh5 FROM sh WHERE doc_id < 25),
+      |corpus AS (SELECT doc_id, sh5 FROM sh WHERE doc_id >= 25)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN b.sh5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      |  round(CAST(sum(CASE WHEN b.sh5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    / CAST(count(*) AS DOUBLE), 4) AS contamination
+      |FROM corpus c LEFT JOIN bench b USING (sh5)
+      |GROUP BY doc_id
+      |HAVING sum(CASE WHEN b.sh5 IS NOT NULL THEN 1 ELSE 0 END) > 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** PII redaction: email/phone patterns replaced with placeholder
+    * tags, with per-doc match counts. The testdata corpus carries no
+    * real PII, so deterministic synthetic contact strings are woven in
+    * (identically on both engines) to exercise the patterns; the
+    * redaction itself is a pure codegen'd projection — no shuffle at
+    * any scale. The fingerprint column proves the redacted text
+    * matches byte-for-byte across engines.
+    */
+  private def tx09PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val aug = concat(
+      lit("contact user"), col("doc_id").cast("string"), lit("@example.com tel +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" "),
+      when(col("doc_id") % 3 === 0, lit("cc admin@test.org ")).otherwise(lit("")),
+      col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(emailRe)).as("n_email"),
+        regexp_count(col("aug"), lit(phoneRe)).as("n_phone"),
+        md5(regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("red_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tx09Sql =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    'contact user' || CAST(doc_id AS VARCHAR) || '@example.com tel +1-555-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN 'cc admin@test.org ' ELSE '' END || text AS aug
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+      |  CAST(len(regexp_extract_all(aug, '\+1-555-[0-9]{4}')) AS INTEGER) AS n_phone,
+      |  md5(regexp_replace(regexp_replace(aug,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS red_fp
+      |FROM aug
+      |ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style repetition score: fraction of duplicated word
+    * bigrams per document (1 − distinct/total), the standard
+    * boilerplate/degenerate-text filter. Explode + two-level count so
+    * the heavy lifting is a (doc_id, bigram) aggregate — map-side
+    * combinable, one shuffle.
+    */
+  private def tx10Repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))"))
+        .as("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), countDistinct(col("bg")).as("n_distinct"))
+      .withColumn("dup_frac", round(lit(1) - col("n_distinct") / col("n_bigrams"), 4))
+      .withColumn("is_repetitive",
+        when(col("dup_frac") > 0.2, 1).otherwise(0))
+      .orderBy(col("doc_id"))
+
+  private val tx10Sql =
+    """WITH bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))) AS bg
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 2)
+      |SELECT doc_id, count(*) AS n_bigrams, count(DISTINCT bg) AS n_distinct,
+      |  round(1 - count(DISTINCT bg) / CAST(count(*) AS DOUBLE), 4) AS dup_frac,
+      |  CASE WHEN round(1 - count(DISTINCT bg) / CAST(count(*) AS DOUBLE), 4) > 0.2
+      |       THEN 1 ELSE 0 END AS is_repetitive
+      |FROM bg GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Sequence packing (concat-and-chunk): assign docs to fixed 512-
+    * token training sequences by cumulative token count, per source
+    * shard. Packing is inherently sequential, so the running total is
+    * a window cumsum per source — at 100 TB you pack within shards
+    * (source × date) in parallel rather than globally, which is
+    * exactly what the partition key expresses.
+    */
+  private def mx01Pack(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+      TextStats.tokenCount(col("text")).as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", floor((col("cum_tokens") - col("n_tokens")) / lit(512)))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"), col("pack_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val mx01Sql =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), z -> z != '')) AS INTEGER) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM t)
+      |SELECT source, doc_id, n_tokens, cum_tokens,
+      |  CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_id
+      |FROM c
+      |ORDER BY source, doc_id""".stripMargin
+
+  /** Domain mixing: deterministic hash-downsampling of every source to
+    * the size of the smallest one (uniform mix). The per-source rate
+    * table is tiny and broadcast; membership is a pure function of
+    * doc_id (same md5-bucket trick as q58), so the sample is stable
+    * across engines, runs, and partitionings — the property a
+    * reproducible training-data pipeline needs.
+    */
+  private def mx02Mix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+    val minN = counts.agg(min("n_total").as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("th", round(lit(10000) * col("min_n") / col("n_total")).cast("long"))
+    val kept = docs
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("long"), lit(10000)))
+      .join(broadcast(rates.select(col("source"), col("th"))), "source")
+      .filter(col("bucket") < col("th"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    counts.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_total"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val mx02Sql =
+    """WITH counts AS (SELECT source, count(*) AS n_total FROM documents GROUP BY 1),
+      |rates AS (
+      |  SELECT source, n_total,
+      |    CAST(round(10000 * (SELECT min(n_total) FROM counts) / n_total) AS BIGINT) AS th
+      |  FROM counts),
+      |kept AS (
+      |  SELECT source, count(*) AS n_kept
+      |  FROM documents d JOIN rates USING (source)
+      |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 < th
+      |  GROUP BY 1)
+      |SELECT source, n_total, coalesce(n_kept, 0) AS n_kept
+      |FROM counts LEFT JOIN kept USING (source)
+      |ORDER BY source""".stripMargin
+
+  // Keep `all` LAST: object init order would null-out any Q referencing
+  // a val defined after it.
+  val all: Seq[Q] = Seq(
+    Q("q62_sessionize", q62Sessionize, Some(q62Sql)),
+    Q("q63_funnel", q63Funnel, Some(q63Sql)),
+    Q("q64_cohort_retention", q64Cohort, Some(q64Sql)),
+    Q("q65_tfidf", q65Tfidf, Some(q65Sql)),
+    Q("q66_histogram", q66Histogram, Some(q66Sql)),
+    Q("q67_mode_median", q67ModeMedian, Some(q67Sql)),
+    Q("q68_rolling_window", q68RollingWindow, Some(q68Sql)),
+    Q("tx08_contamination", tx08Contamination, Some(tx08Sql)),
+    Q("tx09_pii_redact", tx09PiiRedact, Some(tx09Sql)),
+    Q("tx10_repetition", tx10Repetition, Some(tx10Sql)),
+    Q("mx01_pack", mx01Pack, Some(mx01Sql)),
+    Q("mx02_mix", mx02Mix, Some(mx02Sql)))
+}
