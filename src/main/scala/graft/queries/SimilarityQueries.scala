@@ -6,9 +6,10 @@ import graft.Tables
 import graft.similarity.Ann
 
 /** Similarity-search queries over the embeddings table. sim01 (exact
-  * brute force) is DuckDB-oracle-checkable; sim02 (sign-LSH) uses a
-  * seeded hyperplane family not expressible in ANSI SQL → rows-only
-  * here, recall-tested against sim01 in AnnSpec.
+  * brute force) and sim02 (sign-LSH, seeded hyperplanes interpolated
+  * into generated SQL) are DuckDB-oracle-checked; sim03's k-means
+  * quantizer is not SQL-expressible → rows-only, recall-tested
+  * against sim01 in AnnSpec.
   */
 object SimilarityQueries {
 
@@ -47,6 +48,41 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Generated DuckDB oracle for sim02: the seeded hyperplane family
+    * is burned into the SQL as double literals (same Ann.hyperplanes
+    * call, so bit-for-bit the same planes), bucket = Σ 2^i over planes
+    * with v·h_i > 0, then same-bucket cosine top-5. Dot-product parity
+    * holds because both engines fold element-wise in index order over
+    * exact float→double widenings (the same parity sim01 relies on).
+    * The testdata embedding dim (64) is fixed here; the Spark side
+    * reads it dynamically.
+    */
+  private val sim02Sql: String = {
+    val planes = Ann.hyperplanes(nBits = 8, dim = 64)
+    val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, v,
+       |    $sigExpr AS bucket
+       |  FROM e),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_cosine_similarity(q.v, c.v) AS cosine
+       |  FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, round(cosine, 4) AS cosine
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** IVF (k-means cells, nProbe nearest centroids) top-5 — the second
     * ANN scale path; recall-tested against sim01 in AnnSpec.
     */
@@ -61,7 +97,7 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(
     Q("sim01_brute_topk", sim01BruteTopK, Some(sim01Sql)),
-    Q("sim02_lsh_topk", sim02LshTopK, None),
+    Q("sim02_lsh_topk", sim02LshTopK, Some(sim02Sql)),
     Q("sim03_ivf_topk", sim03IvfTopK, None),
   )
 }
