@@ -173,6 +173,27 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Idempotent micro-batch sink: foreachBatch + dynamic partition
+    * overwrite, the exactly-once pattern for non-transactional stores.
+    * The update-mode aggregate re-emits a key's latest value each
+    * batch; writing it with dynamic partitionOverwriteMode replaces
+    * exactly the partitions present in the batch, so a replayed batch
+    * (failure between write and checkpoint commit) rewrites the same
+    * partitions instead of appending duplicates. At scale this is the
+    * standard sink shape for parquet/object-store targets: idempotence
+    * comes from keyed overwrite, not sink transactions.
+    */
+  def upsertToParquet(agg: DataFrame, partitionCol: String, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    agg.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+      }
+      .start()
+
   /** Synchronous drain into an in-memory table for tests/smoke: starts
     * the query, processes everything available, returns the query name
     * to SELECT from.

@@ -184,6 +184,27 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L))
   }
 
+  test("foreachBatch upsert sink: replayed keys overwrite, not duplicate") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val input = MemoryStream[Event]
+    val agg = input.toDF()
+      .withWatermark("ts", "1 minute")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val q = EventStream.upsertToParquet(agg, "event_type", s"$dir/out", s"$dir/ckpt")
+    input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "view", 1.0))
+    q.processAllAvailable()
+    // second batch re-emits the updated 'click' row: dynamic partition
+    // overwrite must REPLACE the click partition (n=1 → n=3), keep view
+    input.addData(Event(3, ts(2), 1, "click", 1.0), Event(4, ts(3), 3, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$dir/out")
+      .select($"event_type", $"n").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows === Set(("click", 3L), ("view", 1L)))
+  }
+
   test("batch shape of the streaming agg matches q21 on static data") {
     // the same windowed aggregation expressed on the static events
     // table (streaming/batch unification): hour windows over sf0.001
