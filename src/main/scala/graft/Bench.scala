@@ -22,7 +22,9 @@ object Bench {
     "dd02_jaccard_pairs", "dd04_minhash_lsh", "dd07_incremental",
     "sim01_brute_topk", "sim03_ivf_topk", "tx02_quality", "tx07_curate",
     "ml03_gbt_eval", "mm01_media_features", "imdb_pipeline_demo",
-    "imdb_pipeline_synth")
+    "imdb_pipeline_synth",
+    // round-4 families
+    "q62_sessionize", "q65_tfidf", "tx08_contamination", "mx01_pack")
 
   private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, ZOrder2}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * expressions in the SQL function registry so `spark.sql` users get
@@ -20,6 +20,7 @@ import graft.functions.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
+    ext.injectFunction(GraftExtensions.zOrderDescriptor)
     ext.injectPlannerStrategy(_ => new AsofStrategy)
     ext.injectOptimizerRule(_ => new AsofLimitPushDown)
   }
@@ -34,10 +35,19 @@ object GraftExtensions {
       DotProduct(children.head, children(1))
     })
 
+  val zOrderDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_zorder2"),
+    new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder2"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_zorder2(x, y) takes exactly two integral arguments")
+      ZOrder2(children.head, children(1))
+    })
+
   /** Register on an existing session (tests / REPL convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = dotProductDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(dotProductDescriptor, zOrderDescriptor).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
     registerStrategy(spark)
   }
 

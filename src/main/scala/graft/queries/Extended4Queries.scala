@@ -460,6 +460,70 @@ object Extended4Queries {
       |FROM counts LEFT JOIN kept USING (source)
       |ORDER BY source""".stripMargin
 
+  /** Z-order layout key (custom codegen Expression graft.functions.
+    * ZOrder2): Morton interleave of bucketed (partkey, suppkey) — the
+    * clustering key that buys 2-D row-group pruning when the table is
+    * written sorted by it (ZOrder.clusterByZ). The oracle reproduces
+    * the interleave with the generated 32-term per-bit formula, so the
+    * magic-constant codegen kernel is verified bit-for-bit.
+    */
+  private def q69Zorder(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 65536).as("px"),
+        (col("l_suppkey") % 65536).as("sy"))
+      .withColumn("zval", graft.functions.ZOrder.zOrder2(col("px"), col("sy")))
+      .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+
+  private val q69Sql: String = {
+    val terms = (0 until 16).flatMap { k =>
+      Seq(s"(((px >> $k) & 1) * ${1L << (2 * k)})",
+        s"(((sy >> $k) & 1) * ${1L << (2 * k + 1)})")
+    }.mkString("\n      + ")
+    s"""WITH b AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey % 65536 AS px, l_suppkey % 65536 AS sy
+       |  FROM lineitem WHERE l_orderkey < 100)
+       |SELECT l_orderkey, l_linenumber, px, sy,
+       |  $terms AS zval
+       |FROM b
+       |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
+  }
+
+  /** Sliding-window chunking with overlap (window 128 tokens, stride
+    * 96): the retrieval/context-window preprocessing step between
+    * cleaning and packing. One explode over per-doc chunk starts — a
+    * narrow map, no shuffle; chunk identity is fingerprinted so the
+    * oracle verifies the chunk CONTENT, not just its bounds.
+    */
+  private def mx03Chunk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, size(toks), 96)")).as("st"))
+      .select(col("doc_id"),
+        expr("CAST((st - 1) DIV 96 AS INT)").as("chunk_idx"),
+        col("st").cast("int").as("st"),
+        expr("CAST(size(slice(toks, st, 128)) AS INT)").as("n_chunk_tokens"),
+        md5(expr("concat_ws(' ', slice(toks, st, 128))")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val mx03Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM documents),
+      |starts AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 96)) AS st
+      |  FROM toks WHERE len(toks) > 0)
+      |SELECT doc_id,
+      |  CAST((st - 1) // 96 AS INTEGER) AS chunk_idx,
+      |  CAST(st AS INTEGER) AS st,
+      |  CAST(len(toks[st:st+127]) AS INTEGER) AS n_chunk_tokens,
+      |  md5(array_to_string(toks[st:st+127], ' ')) AS chunk_fp
+      |FROM starts
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   // Keep `all` LAST: object init order would null-out any Q referencing
   // a val defined after it.
   val all: Seq[Q] = Seq(
@@ -473,6 +537,8 @@ object Extended4Queries {
     Q("tx08_contamination", tx08Contamination, Some(tx08Sql)),
     Q("tx09_pii_redact", tx09PiiRedact, Some(tx09Sql)),
     Q("tx10_repetition", tx10Repetition, Some(tx10Sql)),
+    Q("q69_zorder", q69Zorder, Some(q69Sql)),
     Q("mx01_pack", mx01Pack, Some(mx01Sql)),
-    Q("mx02_mix", mx02Mix, Some(mx02Sql)))
+    Q("mx02_mix", mx02Mix, Some(mx02Sql)),
+    Q("mx03_chunk", mx03Chunk, Some(mx03Sql)))
 }
