@@ -97,6 +97,43 @@ class PlanSpec extends SparkSpec {
     assert(limited.count() === 7)
   }
 
+  test("runtime bloom-filter pruning injects on a selective fact-fact join") {
+    // The 100 TB story for fact⋈fact joins where one side carries a
+    // selective filter: Catalyst's InjectRuntimeFilter plants a
+    // bloom_filter_agg on the filtered side and a might_contain probe
+    // on the scan of the big side, pruning shuffle input at runtime.
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val prev = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" ->
+        s.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        s.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        s.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        s.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      // sf0.001 scans are far below the 10GB production default — the
+      // threshold exists to skip tiny scans, which is exactly our fixture
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // force a shuffle join so the runtime filter is the only pruning path
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(s, Sf0001)
+      val o = Tables.orders(s, Sf0001).filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") || optimized.contains("might_contain"),
+        s"expected a runtime bloom filter in the optimized plan:\n$optimized")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("q58 hash sample keeps sampling as a scan-adjacent filter, no shuffle") {
     val plan = formatted(Catalog.queries("q58_hash_sample")(spark, Sf0001))
     // deterministic sampling must not repartition the table: the only
