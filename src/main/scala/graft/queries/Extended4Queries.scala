@@ -524,6 +524,155 @@ object Extended4Queries {
       |FROM starts
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Skew-salted join through the verified surface: orders⋈customer
+    * via ops.Scale.saltedJoin (random salt on the big side, salt
+    * explosion on the small side) aggregated per nation. The oracle is
+    * the PLAIN join's SQL — proving the salting machinery is
+    * result-invariant, which is the whole point: it only changes the
+    * shuffle key distribution, never the join semantics.
+    */
+  private def q70SaltedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scale.saltedJoin(
+        Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice")),
+        Tables.customer(s, dir).select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        key = "o_custkey", buckets = 8)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_nationkey"))
+
+  private val q70Sql =
+    """SELECT c_nationkey, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** Batch upsert (MERGE INTO semantics) through ops.Merge: a
+    * deterministic CDC batch (rate-changed accounts + inserted keys,
+    * derived from the table itself so both engines build the same
+    * batch) merged into customer. The oracle replays the same merge in
+    * SQL — updates win, unmatched targets pass, inserts append.
+    */
+  private def q71MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val tgt = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val updates = tgt.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 100).as("c_acctbal"),
+        lit("UPDATED").as("c_mktsegment"))
+      .unionByName(tgt.filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_acctbal"),
+          lit("INSERTED").as("c_mktsegment")))
+    graft.ops.Merge.mergeUpsert(tgt, updates, "c_custkey")
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"),
+        col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q71Sql =
+    """WITH tgt AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+      |upd AS (
+      |  SELECT c_custkey AS k, c_acctbal + 100 AS u_bal, 'UPDATED' AS u_seg
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_acctbal, 'INSERTED'
+      |  FROM customer WHERE c_custkey % 97 = 0)
+      |SELECT coalesce(k, c_custkey) AS c_custkey,
+      |  round(coalesce(u_bal, c_acctbal), 2) AS c_acctbal,
+      |  coalesce(u_seg, c_mktsegment) AS c_mktsegment
+      |FROM tgt FULL JOIN upd ON c_custkey = k
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Gaps-and-islands: collapse each customer's consecutive same-status
+    * order runs into [start, end] ranges — the SCD2 / run-length
+    * compaction pattern. The island id is the classic difference of
+    * two row_numbers; both windows share one (custkey-ordered) shuffle.
+    */
+  private def q72Islands(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+      col("o_orderstatus"), col("o_orderdate").cast("date").as("d"))
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("d"), col("o_orderkey"))
+    val byCustStatus = Window.partitionBy("o_custkey", "o_orderstatus")
+      .orderBy(col("d"), col("o_orderkey"))
+    o.withColumn("grp",
+        row_number().over(byCust) - row_number().over(byCustStatus))
+      .groupBy(col("o_custkey"), col("o_orderstatus"), col("grp"))
+      .agg(date_format(min(col("d")), "yyyy-MM-dd").as("run_start"),
+        date_format(max(col("d")), "yyyy-MM-dd").as("run_end"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("o_custkey") < 100)
+      .drop("grp")
+      .orderBy(col("o_custkey"), col("run_start"), col("o_orderstatus"))
+  }
+
+  private val q72Sql =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS d
+      |  FROM orders),
+      |g AS (
+      |  SELECT o_custkey, o_orderstatus, d,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+      |      - row_number() OVER (PARTITION BY o_custkey, o_orderstatus ORDER BY d, o_orderkey) AS grp
+      |  FROM o)
+      |SELECT o_custkey, o_orderstatus,
+      |  strftime(min(d), '%Y-%m-%d') AS run_start,
+      |  strftime(max(d), '%Y-%m-%d') AS run_end,
+      |  count(*) AS n_orders
+      |FROM g WHERE o_custkey < 100
+      |GROUP BY o_custkey, o_orderstatus, grp
+      |ORDER BY o_custkey, run_start, o_orderstatus""".stripMargin
+
+  /** Snapshot diff (CDC extraction): two deterministic versions of the
+    * orders table (v2 bumps some totals, drops some keys, gains later
+    * orders) classified into added / removed / changed via
+    * ops.Merge.snapshotDiff's presence-marker full-outer join.
+    */
+  private def q73SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    val v1 = base.filter(col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val v2 = base.filter(col("o_orderdate") < lit("1997-07-01")
+        && col("o_orderkey") % 13 =!= 0)
+      // additive bump, not *1.1: a multiplicative change can land the
+      // double exactly on a .xx5 rounding boundary where engines'
+      // half-rounding rules diverge; adding keeps 2-dec values exact
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1000)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    graft.ops.Merge.snapshotDiff(v1, v2, "o_orderkey", Seq("o_totalprice"))
+      .select(col("o_orderkey"), col("change_type"),
+        round(col("old_o_totalprice"), 2).as("old_total"),
+        round(col("new_o_totalprice"), 2).as("new_total"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q73Sql =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderdate < '1997-01-01'),
+      |v2 AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderdate < '1997-07-01' AND o_orderkey % 13 != 0),
+      |j AS (
+      |  SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+      |    v1.o_totalprice AS old_total, v2.o_totalprice AS new_total,
+      |    v1.o_orderkey IS NOT NULL AS in_old, v2.o_orderkey IS NOT NULL AS in_new
+      |  FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+      |SELECT o_orderkey,
+      |  CASE WHEN NOT in_old THEN 'added'
+      |       WHEN NOT in_new THEN 'removed'
+      |       WHEN old_total IS DISTINCT FROM new_total THEN 'changed'
+      |       ELSE 'unchanged' END AS change_type,
+      |  round(old_total, 2) AS old_total,
+      |  round(new_total, 2) AS new_total
+      |FROM j
+      |WHERE CASE WHEN NOT in_old THEN 'added'
+      |           WHEN NOT in_new THEN 'removed'
+      |           WHEN old_total IS DISTINCT FROM new_total THEN 'changed'
+      |           ELSE 'unchanged' END != 'unchanged'
+      |ORDER BY o_orderkey""".stripMargin
+
   // Keep `all` LAST: object init order would null-out any Q referencing
   // a val defined after it.
   val all: Seq[Q] = Seq(
@@ -538,6 +687,10 @@ object Extended4Queries {
     Q("tx09_pii_redact", tx09PiiRedact, Some(tx09Sql)),
     Q("tx10_repetition", tx10Repetition, Some(tx10Sql)),
     Q("q69_zorder", q69Zorder, Some(q69Sql)),
+    Q("q70_salted_join", q70SaltedJoin, Some(q70Sql)),
+    Q("q71_merge_upsert", q71MergeUpsert, Some(q71Sql)),
+    Q("q72_islands", q72Islands, Some(q72Sql)),
+    Q("q73_snapshot_diff", q73SnapshotDiff, Some(q73Sql)),
     Q("mx01_pack", mx01Pack, Some(mx01Sql)),
     Q("mx02_mix", mx02Mix, Some(mx02Sql)),
     Q("mx03_chunk", mx03Chunk, Some(mx03Sql)))
