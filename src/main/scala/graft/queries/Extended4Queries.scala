@@ -673,6 +673,51 @@ object Extended4Queries {
       |           ELSE 'unchanged' END != 'unchanged'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Quality-weighted sampling without replacement (Efraimidis–
+    * Spirakis A-ES): key = −ln(u)/w with u a deterministic md5-derived
+    * uniform and w = TextStats.qualityScore — the top-100 by key IS a
+    * weighted sample, reproducible across engines/runs/partitionings
+    * (the same property q58/mx02 give uniform sampling, extended to
+    * weights). orderBy+limit plans as TakeOrderedAndProject: each
+    * partition keeps its local top-100, the driver merges — no global
+    * sort at any scale.
+    */
+  private def mx04WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextStats
+    val scored = Tables.documents(s, dir)
+      .filter(TextStats.tokenCount(col("text")) > 0)
+      .select(col("doc_id"), TextStats.qualityScore(col("text")).as("w"),
+        ((pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("long"), lit(10000)) + 1) / lit(10001.0)).as("u"))
+      .withColumn("skey", -log(col("u")) / col("w"))
+    scored.orderBy(col("skey"), col("doc_id")).limit(100)
+      .select(col("doc_id"), round(col("w"), 4).as("weight"),
+        round(col("skey"), 6).as("skey"))
+  }
+
+  private val mx04Sql =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+      |    len(list_filter(toks, x -> list_contains(
+      |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS nstop
+      |  FROM t WHERE len(toks) > 0),
+      |w AS (
+      |  SELECT doc_id,
+      |    0.4 * least(n / 50.0, 1.0) + 0.4 * (nd / CAST(n AS DOUBLE))
+      |      + 0.2 * least(5.0 * (nstop / CAST(n AS DOUBLE)), 1.0) AS w
+      |  FROM m),
+      |s AS (
+      |  SELECT doc_id, w,
+      |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 + 1) / 10001.0 AS u
+      |  FROM w)
+      |SELECT doc_id, round(w, 4) AS weight, round(-ln(u) / w, 6) AS skey
+      |FROM s
+      |ORDER BY -ln(u) / w, doc_id
+      |LIMIT 100""".stripMargin
+
   // Keep `all` LAST: object init order would null-out any Q referencing
   // a val defined after it.
   val all: Seq[Q] = Seq(
@@ -693,5 +738,6 @@ object Extended4Queries {
     Q("q73_snapshot_diff", q73SnapshotDiff, Some(q73Sql)),
     Q("mx01_pack", mx01Pack, Some(mx01Sql)),
     Q("mx02_mix", mx02Mix, Some(mx02Sql)),
-    Q("mx03_chunk", mx03Chunk, Some(mx03Sql)))
+    Q("mx03_chunk", mx03Chunk, Some(mx03Sql)),
+    Q("mx04_weighted_sample", mx04WeightedSample, Some(mx04Sql)))
 }

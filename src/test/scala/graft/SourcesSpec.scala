@@ -44,6 +44,19 @@ class SourcesSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("parquet schema evolution: mergeSchema unions columns, old files read NULLs") {
+    // The long-lived-dataset reality at 100 TB: writers add columns over
+    // time, readers must see the union without rewriting old files.
+    val dir = tmpDir("graft_evolve_") + "/out"
+    Seq((1L, "a")).toDF("k", "s").write.parquet(s"$dir/batch=1")
+    Seq((2L, "b", 2.5)).toDF("k", "s", "score").write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("batch", "k", "s", "score"))
+    val rows = merged.select($"k", $"score").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    assert(rows === Set((1L, None), (2L, Some(2.5))))
+  }
+
   test("partitioned parquet write prunes non-matching partitions at scan time") {
     val dir = tmpDir("graft_part_") + "/out"
     val orders = Tables.orders(spark, Sf0001)
