@@ -54,4 +54,52 @@ class PropertySpec extends SparkSpec {
       assert(got === xs.sorted.reverse.take(k))
     }
   }
+
+  test("sessionize partitions events exactly: counts conserve, spans fit gaps") {
+    // random per-user event-time sets → sessions must (1) cover every
+    // event exactly once, (2) have nonnegative spans, (3) number
+    // sessions contiguously from 1 per user
+    val gen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 86400L)))
+    val events = samples(gen, 6).flatten.zipWithIndex
+      .map { case ((u, sec), i) => (u, i.toLong, sec * 1000000L) }
+    val df = events.toDF("user_id", "event_id", "us")
+    val out = graft.queries.Extended4Queries.sessionize(df, gapUs = 600L * 1000000L)
+      .select($"user_id", $"session_seq", $"n_events", $"span_sec")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._3).sum === events.length.toLong)
+    assert(out.forall(_._4 >= 0.0))
+    out.groupBy(_._1).foreach { case (_, sess) =>
+      val seqs = sess.map(_._2).sorted.toSeq
+      assert(seqs === (1L to sess.length.toLong).toSeq)
+    }
+  }
+
+  test("z-order codes are unique over distinct 16-bit coordinate pairs") {
+    val gen = Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L))
+    val pts = samples(gen, 400).distinct
+    val codes = pts.toDF("x", "y")
+      .select(graft.functions.ZOrder.zOrder2($"x", $"y").as("z"))
+      .as[Long].collect()
+    assert(codes.length === pts.length)
+    assert(codes.distinct.length === pts.length, "interleave must be injective")
+    assert(codes.forall(z => z >= 0L && z <= 0xFFFFFFFFL))
+  }
+
+  test("mergeUpsert is idempotent and key-complete on random batches") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(1L, 20L), Gen.chooseNum(0, 1000)))
+    val tgtRows = samples(gen, 1).flatten.distinctBy(_._1)
+    val updRows = samples(gen, 2).flatten.distinctBy(_._1)
+    val tgt = tgtRows.toDF("k", "v")
+    val upd = updRows.toDF("k", "v")
+    val once = graft.ops.Merge.mergeUpsert(tgt, upd, "k")
+    val twice = graft.ops.Merge.mergeUpsert(once, upd, "k")
+    val a = once.as[(Long, Int)].collect().sortBy(_._1).toSeq
+    val b = twice.as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(a === b, "re-applying the same batch must be a no-op")
+    assert(a.map(_._1).toSet === (tgtRows.map(_._1) ++ updRows.map(_._1)).toSet)
+    val updMap = updRows.toMap
+    a.foreach { case (k, v) =>
+      updMap.get(k).foreach(uv => assert(v === uv, s"update must win for key $k"))
+    }
+  }
 }
