@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph centrality on DataFrames — the corpus-quality
+  * propagation step of web-scale data curation (link-graph authority
+  * scores feeding document quality weights).
+  *
+  * Scale posture: each iteration is one join (edges ⋈ ranks, both
+  * partitioned on the source key) plus one map-side-combinable sum per
+  * destination — the exact shape MapReduce/Pregel PageRank uses.
+  * Lineage is cut per iteration with localCheckpoint so 10 iterations
+  * don't build a 10-deep plan; the edge list and out-degrees are
+  * materialized once and reused by every round.
+  */
+object Graph {
+
+  /** Simplified (non-normalized) PageRank: rank₀ = 1, then
+    * rankᵢ(v) = (1 − d) + d · Σ_{(u,v)∈E} rankᵢ₋₁(u) / outdeg(u)
+    * for a FIXED iteration count — deterministic, so an engine-
+    * independent oracle can replay it (unrolled per-iteration SQL).
+    * Dangling nodes contribute nothing (their mass is not
+    * redistributed), matching the common simplified formulation.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().localCheckpoint()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(outDeg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("outdeg")).as("incoming"))
+      ranks = nodes
+        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("incoming"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

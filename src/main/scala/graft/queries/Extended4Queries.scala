@@ -718,6 +718,44 @@ object Extended4Queries {
       |ORDER BY -ln(u) / w, doc_id
       |LIMIT 100""".stripMargin
 
+  /** Link-graph centrality (simplified PageRank, 10 fixed iterations)
+    * over a deterministic part→supplier projection graph — the
+    * corpus-quality propagation op of web-scale curation. The oracle
+    * UNROLLS the iterations into chained SQL CTEs (generated), with
+    * damping literals interpolated from the exact Scala doubles so
+    * both engines iterate identical IEEE arithmetic.
+    */
+  private def q74PageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(s, dir)
+      .select((col("l_partkey") % 100).as("src"), (col("l_suppkey") % 100).as("dst"))
+    graft.ops.Graph.pageRank(edges, "src", "dst", iters = 10, damping = 0.85)
+      .select(col("node"), round(col("rank"), 4).as("rank"))
+      .orderBy(col("node"))
+  }
+
+  private val q74Sql: String = {
+    val damping = 0.85
+    val base = (1.0 - damping).toString // exact double repr, not "0.15"
+    val d = damping.toString
+    val iterCtes = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    CAST($base AS DOUBLE) + CAST($d AS DOUBLE) * coalesce(c.incoming, 0.0) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank / od.outdeg) AS incoming
+         |    FROM e JOIN od USING (src) JOIN r${i - 1} r ON r.node = e.src
+         |    GROUP BY e.dst) c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_partkey % 100 AS src, l_suppkey % 100 AS dst FROM lineitem),
+       |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+       |$iterCtes
+       |SELECT node, round(rank, 4) AS rank FROM r10
+       |ORDER BY node""".stripMargin
+  }
+
   // Keep `all` LAST: object init order would null-out any Q referencing
   // a val defined after it.
   val all: Seq[Q] = Seq(
@@ -736,6 +774,7 @@ object Extended4Queries {
     Q("q71_merge_upsert", q71MergeUpsert, Some(q71Sql)),
     Q("q72_islands", q72Islands, Some(q72Sql)),
     Q("q73_snapshot_diff", q73SnapshotDiff, Some(q73Sql)),
+    Q("q74_pagerank", q74PageRank, Some(q74Sql)),
     Q("mx01_pack", mx01Pack, Some(mx01Sql)),
     Q("mx02_mix", mx02Mix, Some(mx02Sql)),
     Q("mx03_chunk", mx03Chunk, Some(mx03Sql)),
