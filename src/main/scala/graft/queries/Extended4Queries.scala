@@ -756,6 +756,42 @@ object Extended4Queries {
        |ORDER BY node""".stripMargin
   }
 
+  /** Unigram NLL scoring — the perplexity-filter stand-in (CCNet-style
+    * quality gating without a neural LM): score each doc by the mean
+    * −ln p(token) under the corpus unigram distribution. Low scores =
+    * stereotypical text, high = rare-token soup; production pipelines
+    * threshold both tails. Two map-side-combined aggregates (corpus
+    * counts, per-doc mean) joined through a broadcast of the (small)
+    * vocabulary stats.
+    */
+  private def tx11UnigramNll(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+    val vocab = terms.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = terms.agg(count(lit(1)).as("total"))
+    terms.join(broadcast(vocab), "t").crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("c") / col("total"))), 4).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tx11Sql =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(toks) AS t
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) > 0),
+      |vocab AS (SELECT t, count(*) AS c FROM terms GROUP BY 1),
+      |total AS (SELECT count(*) AS total FROM terms)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round(avg(-ln(c / CAST(total AS DOUBLE))), 4) AS avg_nll
+      |FROM terms JOIN vocab USING (t) CROSS JOIN total
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // Keep `all` LAST: object init order would null-out any Q referencing
   // a val defined after it.
   val all: Seq[Q] = Seq(
@@ -769,6 +805,7 @@ object Extended4Queries {
     Q("tx08_contamination", tx08Contamination, Some(tx08Sql)),
     Q("tx09_pii_redact", tx09PiiRedact, Some(tx09Sql)),
     Q("tx10_repetition", tx10Repetition, Some(tx10Sql)),
+    Q("tx11_unigram_nll", tx11UnigramNll, Some(tx11Sql)),
     Q("q69_zorder", q69Zorder, Some(q69Sql)),
     Q("q70_salted_join", q70SaltedJoin, Some(q70Sql)),
     Q("q71_merge_upsert", q71MergeUpsert, Some(q71Sql)),
