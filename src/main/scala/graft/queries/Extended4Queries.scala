@@ -792,6 +792,137 @@ object Extended4Queries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Signed-hash bag-of-words embedding (feature hashing with a ±1
+    * sign hash — Weinberger et al.'s unbiased variant), md5-derived so
+    * any engine reproduces it bit-for-bit, unlike HashingTF's
+    * murmur3 (ml06 stays rows-only for that reason). Sparse output
+    * (doc, dim, weight) — the layout a 100 TB embedding table wants
+    * anyway (dense arrays waste 98% of storage at this sparsity).
+    */
+  private def ml07Md5Embed(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .withColumn("h",
+        pmod(conv(substring(md5(col("t")), 1, 12), 16, 10).cast("long"), lit(1048576)))
+    terms
+      .select(col("doc_id"), (col("h") % 64).cast("int").as("dim"),
+        (((col("h") / 64).cast("long") % 2) * 2 - 1).as("sign"))
+      .groupBy("doc_id", "dim").agg(sum(col("sign")).as("weight"))
+      .filter(col("weight") =!= 0)
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
+  private val ml07Sql =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(toks) AS t
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |        FROM documents WHERE doc_id < 100)
+      |  WHERE len(toks) > 0),
+      |h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(t), 1, 12))::BIGINT % 1048576 AS h
+      |  FROM terms)
+      |SELECT doc_id, CAST(h % 64 AS INTEGER) AS dim,
+      |  CAST(sum((h // 64) % 2 * 2 - 1) AS BIGINT) AS weight
+      |FROM h
+      |GROUP BY doc_id, dim
+      |HAVING sum((h // 64) % 2 * 2 - 1) != 0
+      |ORDER BY doc_id, dim""".stripMargin
+
+  /** The end-to-end curation pipeline a training-data user actually
+    * runs, composed from this library's operators in one plan:
+    * exact-dedup (keep canonical) → quality gate (≥ 0.5) → repetition
+    * gate (dup bigram frac ≤ 0.4) → benchmark-decontamination (no
+    * shared 5-gram with docs 0–24) → curated corpus with per-doc
+    * stats. Every stage is the same logic its standalone gate query
+    * verifies (dd01/tx02/tx10/tx08); this proves they COMPOSE — one
+    * DAG, shuffles only on doc_id and the broadcast benchmark set.
+    */
+  private def mx05CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextStats
+    val docs = Tables.documents(s, dir)
+    val canon = graft.dedup.Dedup.exactGroups(docs, "doc_id", "text")
+      .filter(col("is_dup") === 0).select(col("doc_id"))
+    val toks = docs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val quality = docs.filter(TextStats.tokenCount(col("text")) > 0)
+      .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"),
+        TextStats.tokenCount(col("text")).as("n_tokens"))
+    val rep = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))"))
+        .as("bg"))
+      .groupBy("doc_id")
+      .agg((lit(1) - countDistinct(col("bg")) / count(lit(1))).as("dup_frac"))
+    val sh = toks.filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
+        .as("s5"))
+      .distinct()
+    val contaminated = sh.filter(col("doc_id") >= 25)
+      .join(broadcast(sh.filter(col("doc_id") < 25).select(col("s5")).distinct()), "s5")
+      .select(col("doc_id")).distinct()
+    docs.select(col("doc_id"), col("source"))
+      .join(canon, "doc_id")
+      .join(quality, "doc_id")
+      .join(rep, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") >= 25 && col("quality") >= 0.5 && col("dup_frac") <= 0.4)
+      .select(col("doc_id"), col("source"), round(col("quality"), 4).as("quality"),
+        col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mx05Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM documents),
+      |fp AS (
+      |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS c FROM fp)
+      |  WHERE doc_id = c),
+      |m AS (
+      |  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+      |    len(list_filter(toks, x -> list_contains(
+      |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS nstop
+      |  FROM toks WHERE len(toks) > 0),
+      |q AS (
+      |  SELECT doc_id,
+      |    0.4 * least(n / 50.0, 1.0) + 0.4 * (nd / CAST(n AS DOUBLE))
+      |      + 0.2 * least(5.0 * (nstop / CAST(n AS DOUBLE)), 1.0) AS quality,
+      |    n FROM m),
+      |bg AS (
+      |  SELECT doc_id, count(*) AS nb, count(DISTINCT b) AS nd
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))) AS b
+      |        FROM toks WHERE len(toks) >= 2)
+      |  GROUP BY doc_id),
+      |rep AS (SELECT doc_id, 1 - nd / CAST(nb AS DOUBLE) AS dup_frac FROM bg),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS s5
+      |  FROM toks WHERE len(toks) >= 5),
+      |contaminated AS (
+      |  SELECT DISTINCT c.doc_id
+      |  FROM sh c JOIN (SELECT DISTINCT s5 FROM sh WHERE doc_id < 25) b USING (s5)
+      |  WHERE c.doc_id >= 25)
+      |SELECT d.doc_id, d.source, round(q.quality, 4) AS quality,
+      |  CAST(q.n AS INTEGER) AS n_tokens
+      |FROM documents d
+      |JOIN canon USING (doc_id)
+      |JOIN q USING (doc_id)
+      |JOIN rep USING (doc_id)
+      |WHERE d.doc_id >= 25 AND q.quality >= 0.5 AND rep.dup_frac <= 0.4
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |ORDER BY d.doc_id""".stripMargin
+
   // Keep `all` LAST: object init order would null-out any Q referencing
   // a val defined after it.
   val all: Seq[Q] = Seq(
@@ -812,8 +943,10 @@ object Extended4Queries {
     Q("q72_islands", q72Islands, Some(q72Sql)),
     Q("q73_snapshot_diff", q73SnapshotDiff, Some(q73Sql)),
     Q("q74_pagerank", q74PageRank, Some(q74Sql)),
+    Q("ml07_md5_embed", ml07Md5Embed, Some(ml07Sql)),
     Q("mx01_pack", mx01Pack, Some(mx01Sql)),
     Q("mx02_mix", mx02Mix, Some(mx02Sql)),
     Q("mx03_chunk", mx03Chunk, Some(mx03Sql)),
-    Q("mx04_weighted_sample", mx04WeightedSample, Some(mx04Sql)))
+    Q("mx04_weighted_sample", mx04WeightedSample, Some(mx04Sql)),
+    Q("mx05_curation_pipeline", mx05CurationPipeline, Some(mx05Sql)))
 }
