@@ -24,7 +24,8 @@ object Bench {
     "ml03_gbt_eval", "mm01_media_features", "imdb_pipeline_demo",
     "imdb_pipeline_synth",
     // round-4 families
-    "q62_sessionize", "q65_tfidf", "tx08_contamination", "mx01_pack")
+    "q62_sessionize", "q65_tfidf", "tx08_contamination", "mx01_pack",
+    "q74_pagerank", "mx05_curation_pipeline")
 
   private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
 

@@ -846,9 +846,12 @@ object Extended4Queries {
     val docs = Tables.documents(s, dir)
     val canon = graft.dedup.Dedup.exactGroups(docs, "doc_id", "text")
       .filter(col("is_dup") === 0).select(col("doc_id"))
+    // tokenization feeds three downstream stages (repetition, shingles
+    // ×2 sides) — materialize once, same rationale as jaccardPairs
     val toks = docs
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
+      .localCheckpoint()
     val quality = docs.filter(TextStats.tokenCount(col("text")) > 0)
       .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"),
         TextStats.tokenCount(col("text")).as("n_tokens"))
