@@ -725,19 +725,25 @@ object Extended4Queries {
     * damping literals interpolated from the exact Scala doubles so
     * both engines iterate identical IEEE arithmetic.
     */
+  // Shared by the Spark query and the generated oracle — the unrolled
+  // SQL must replay EXACTLY this many rounds.
+  private val PageRankIters = 10
+  private val PageRankDamping = 0.85
+
   private def q74PageRank(s: SparkSession, dir: String): DataFrame = {
     val edges = Tables.lineitem(s, dir)
       .select((col("l_partkey") % 100).as("src"), (col("l_suppkey") % 100).as("dst"))
-    graft.ops.Graph.pageRank(edges, "src", "dst", iters = 10, damping = 0.85)
+    graft.ops.Graph.pageRank(edges, "src", "dst",
+        iters = PageRankIters, damping = PageRankDamping)
       .select(col("node"), round(col("rank"), 4).as("rank"))
       .orderBy(col("node"))
   }
 
   private val q74Sql: String = {
-    val damping = 0.85
+    val damping = PageRankDamping
     val base = (1.0 - damping).toString // exact double repr, not "0.15"
     val d = damping.toString
-    val iterCtes = (1 to 10).map { i =>
+    val iterCtes = (1 to PageRankIters).map { i =>
       s"""r$i AS (
          |  SELECT n.node,
          |    CAST($base AS DOUBLE) + CAST($d AS DOUBLE) * coalesce(c.incoming, 0.0) AS rank
@@ -752,7 +758,7 @@ object Extended4Queries {
        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
        |$iterCtes
-       |SELECT node, round(rank, 4) AS rank FROM r10
+       |SELECT node, round(rank, 4) AS rank FROM r$PageRankIters
        |ORDER BY node""".stripMargin
   }
 
