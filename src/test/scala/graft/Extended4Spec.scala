@@ -81,6 +81,62 @@ class Extended4Spec extends SparkSpec {
     assert(rows.forall { case (id, f) => id >= 25 && f > 0.0 && f <= 1.0 })
   }
 
+  test("histogram: buckets cover 0..9, counts conserve, max value clamps into bucket 9") {
+    val out = Catalog.queries("q66_histogram")(spark, Sf0001)
+      .select($"bucket", $"n").as[(Int, Long)].collect()
+    assert(out.map(_._1).forall(b => b >= 0 && b <= 9))
+    val total = graft.Tables.lineitem(spark, Sf0001).count()
+    assert(out.map(_._2).sum === total) // every row lands in exactly one bucket
+  }
+
+  test("islands: consecutive same-status runs collapse with the row_number difference") {
+    import org.apache.spark.sql.expressions.Window
+    // statuses A A B A → runs (A,2), (B,1), (A,1)
+    val rows = Seq((1L, 1L, "A", 1), (1L, 2L, "A", 2), (1L, 3L, "B", 3), (1L, 4L, "A", 4))
+      .toDF("cust", "key", "status", "d")
+    val byC = Window.partitionBy("cust").orderBy($"d", $"key")
+    val byCS = Window.partitionBy("cust", "status").orderBy($"d", $"key")
+    val runs = rows.withColumn("grp", row_number().over(byC) - row_number().over(byCS))
+      .groupBy($"cust", $"status", $"grp")
+      .agg(min($"d").as("s"), count(lit(1)).as("n"))
+      .select($"status", $"s", $"n").as[(String, Int, Long)].collect().sortBy(_._2)
+    assert(runs.toSeq === Seq(("A", 1, 2L), ("B", 3, 1L), ("A", 4, 1L)))
+  }
+
+  test("tfidf: a term present in every document gets zero score") {
+    // three docs all containing 'x'; 'y' only in doc 1 → y outranks x there
+    val docs = Seq((1L, "x y"), (2L, "x"), (3L, "x")).toDF("doc_id", "text")
+    val toks = docs.select($"doc_id", graft.text.TextStats.tokens($"text").as("toks"))
+    val terms = toks.select($"doc_id", size($"toks").as("len"), explode($"toks").as("t"))
+    val df_ = terms.select("doc_id", "t").distinct().groupBy("t").agg(count(lit(1)).as("df"))
+    val n = toks.count()
+    val scored = terms.groupBy($"doc_id", $"len", $"t").agg(count(lit(1)).as("cnt"))
+      .join(df_, "t")
+      .withColumn("tfidf", ($"cnt" / $"len") * log(lit(n) / $"df"))
+      .select($"doc_id", $"t", round($"tfidf", 6).as("s"))
+      .as[(Long, String, Double)].collect()
+    assert(scored.filter(_._2 == "x").forall(_._3 === 0.0), "ubiquitous term: idf = ln(1) = 0")
+    assert(scored.find(r => r._1 == 1L && r._2 == "y").exists(_._3 > 0.0))
+  }
+
+  test("chunking: a doc of exactly window size splits into full + overlap-tail chunks") {
+    // 128 tokens, window 128 / stride 96 → chunks at 1 (128 tokens) and 97 (32 tokens)
+    val text = (1 to 128).map(i => s"w$i").mkString(" ")
+    val out = Seq((1L, text)).toDF("doc_id", "text")
+      .select($"doc_id", graft.text.TextStats.tokens($"text").as("toks"))
+      .select($"doc_id", explode(expr("sequence(1, size(toks), 96)")).as("st"),
+        $"toks")
+      .select($"st", expr("size(slice(toks, st, 128))").as("n"))
+      .as[(Long, Int)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 128), (97L, 32)))
+  }
+
+  test("unigram NLL is positive and rarer-token docs score higher") {
+    val out = Catalog.queries("tx11_unigram_nll")(spark, Sf0001)
+      .select($"avg_nll").as[Double].collect()
+    assert(out.nonEmpty && out.forall(_ > 0.0))
+  }
+
   test("mix: every source keeps at most ~min-source-count docs and the smallest keeps all") {
     val out = Catalog.queries("mx02_mix")(spark, Sf0001)
       .select($"source", $"n_total", $"n_kept").as[(String, Long, Long)].collect()
