@@ -932,6 +932,71 @@ object Extended4Queries {
       |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Batch shape of the streaming attribution join (EventStream.
+    * attributed): every purchase attributed to each view by the same
+    * user within the preceding hour — the event-time-bounded interval
+    * join whose streaming twin bounds state by watermarks. Exact
+    * integer-microsecond bounds, so the oracle is trivial.
+    */
+  private def q75Attribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("us").as("v_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("us").as("p_us"))
+    v.join(p, Seq("user_id"))
+      .filter(col("p_us") >= col("v_us") && col("p_us") <= col("v_us") + lit(3600000000L))
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
+  private val q75Sql =
+    """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, event_id AS view_id, us AS v_us FROM e WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id AS purchase_id, us AS p_us FROM e WHERE event_type = 'purchase')
+      |SELECT user_id, view_id, purchase_id
+      |FROM v JOIN p USING (user_id)
+      |WHERE p_us >= v_us AND p_us <= v_us + 3600000000
+      |ORDER BY user_id, view_id, purchase_id""".stripMargin
+
+  /** The BUILT-IN session_window aggregation (batch mode), verified
+    * against an independent SQL derivation of the same gap semantics —
+    * pinning Spark's merge rule exactly: a session spans [first,
+    * last + gap), and an event arriving at EXACTLY last + gap starts a
+    * new session (win_end is exclusive), hence the >= in the oracle.
+    */
+  private def q76SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("win_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("win_start"))
+
+  private val q76Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |f AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+      |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000
+      |         THEN 1 ELSE 0 END AS is_new,
+      |    event_id
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, us,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+      |  FROM f)
+      |SELECT user_id,
+      |  strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  strftime(make_timestamp(max(us) + 1800000000), '%Y-%m-%d %H:%M:%S') AS win_end,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY user_id, win_start""".stripMargin
+
   // Keep `all` LAST: object init order would null-out any Q referencing
   // a val defined after it.
   val all: Seq[Q] = Seq(
@@ -952,6 +1017,8 @@ object Extended4Queries {
     Q("q72_islands", q72Islands, Some(q72Sql)),
     Q("q73_snapshot_diff", q73SnapshotDiff, Some(q73Sql)),
     Q("q74_pagerank", q74PageRank, Some(q74Sql)),
+    Q("q75_attribution", q75Attribution, Some(q75Sql)),
+    Q("q76_session_window", q76SessionWindow, Some(q76Sql)),
     Q("ml07_md5_embed", ml07Md5Embed, Some(ml07Sql)),
     Q("mx01_pack", mx01Pack, Some(mx01Sql)),
     Q("mx02_mix", mx02Mix, Some(mx02Sql)),
