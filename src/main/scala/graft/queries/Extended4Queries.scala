@@ -997,6 +997,37 @@ object Extended4Queries {
       |FROM s GROUP BY user_id, sess
       |ORDER BY user_id, win_start""".stripMargin
 
+  /** Correlated LATERAL subquery (Spark 4 SQL surface): top-2 orders
+    * per customer through a lateral derived table — the SQL-standard
+    * per-row subplan that Catalyst rewrites into a window/join, so it
+    * scales like q22's window rank rather than re-executing per row.
+    */
+  private def q77Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM v_customer,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM v_orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2)
+        |WHERE c_custkey < 50
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  private val q77Sql =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer,
+      |LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey
+      |  LIMIT 2)
+      |WHERE c_custkey < 50
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   // Keep `all` LAST: object init order would null-out any Q referencing
   // a val defined after it.
   val all: Seq[Q] = Seq(
@@ -1018,6 +1049,7 @@ object Extended4Queries {
     Q("q73_snapshot_diff", q73SnapshotDiff, Some(q73Sql)),
     Q("q74_pagerank", q74PageRank, Some(q74Sql)),
     Q("q75_attribution", q75Attribution, Some(q75Sql)),
+    Q("q77_lateral", q77Lateral, Some(q77Sql)),
     Q("q76_session_window", q76SessionWindow, Some(q76Sql)),
     Q("ml07_md5_embed", ml07Md5Embed, Some(ml07Sql)),
     Q("mx01_pack", mx01Pack, Some(mx01Sql)),
