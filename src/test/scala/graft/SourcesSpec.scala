@@ -44,6 +44,46 @@ class SourcesSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("binaryFile source ingests opaque blobs with path metadata (multimodal intake)") {
+    // the ingestion path for image/audio/video corpora: files → rows of
+    // (path, modificationTime, length, content) with a pathGlobFilter,
+    // no decode on the scan — decoding happens downstream (multimodal.*)
+    val dir = tmpDir("graft_bin_")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.jpg"),
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.jpg"),
+      Array[Byte](0xFF.toByte, 0xD8.toByte))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/skip.txt"),
+      "not an image".getBytes)
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jpg").load(dir)
+    val rows = bin.select($"path", $"length", $"content").collect()
+    assert(rows.length === 2, "glob filter must exclude the .txt")
+    val byName = rows.map(r => r.getString(0).split('/').last ->
+      ((r.getLong(1), r.getAs[Array[Byte]](2)))).toMap
+    assert(byName("a.jpg")._1 === 4L)
+    assert(byName("a.jpg")._2.take(2).toSeq === Seq(0xFF.toByte, 0xD8.toByte))
+    assert(byName("b.jpg")._1 === 2L)
+  }
+
+  test("CSV reader honors quoting, escaped delimiters, and explicit schema") {
+    val dir = tmpDir("graft_csv_")
+    val p = java.nio.file.Paths.get(s"$dir/in.csv")
+    java.nio.file.Files.write(p,
+      "id,name,note\n1,\"Smith, Jo\",\"says \"\"hi\"\"\"\n2,plain,\n".getBytes)
+    val df = spark.read
+      .option("header", "true")
+      // RFC-4180 doubles quotes inside quoted fields; Spark's DEFAULT
+      // escape is backslash, so standard CSVs need escape = quote
+      .option("escape", "\"")
+      .schema("id INT, name STRING, note STRING")
+      .csv(s"$dir/in.csv")
+    val rows = df.collect().map(r => (r.getInt(0), r.getString(1), Option(r.getString(2))))
+    assert(rows.toSet === Set(
+      (1, "Smith, Jo", Some("says \"hi\"")),
+      (2, "plain", None)))
+  }
+
   test("parquet schema evolution: mergeSchema unions columns, old files read NULLs") {
     // The long-lived-dataset reality at 100 TB: writers add columns over
     // time, readers must see the union without rewriting old files.
