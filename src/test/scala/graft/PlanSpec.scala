@@ -134,6 +134,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("coalesce narrows without a shuffle; repartition exchanges") {
+    import org.apache.spark.sql.functions.col
+    val base = Tables.lineitem(spark, Sf0001).filter(col("l_quantity") > 0)
+    val coalesced = base.coalesce(1).queryExecution.executedPlan.toString
+    assert(!coalesced.contains("Exchange"),
+      s"coalesce must not shuffle:\n$coalesced")
+    val repartitioned = base.repartition(8).queryExecution.executedPlan.toString
+    assert(repartitioned.contains("Exchange"),
+      s"repartition must shuffle:\n$repartitioned")
+  }
+
+  test("AQE coalesces post-shuffle partitions on small exchanges") {
+    val s = spark
+    import org.apache.spark.sql.functions.{col, sum}
+    val prev = s.conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      val df = Tables.lineitem(s, Sf0001)
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("q"))
+      df.collect() // materialize so the adaptive plan is final
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead"),
+        s"adaptive shuffle read (partition coalescing) expected:\n$plan")
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.adaptive.enabled", v)
+      case None => s.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("q58 hash sample keeps sampling as a scan-adjacent filter, no shuffle") {
     val plan = formatted(Catalog.queries("q58_hash_sample")(spark, Sf0001))
     // deterministic sampling must not repartition the table: the only
