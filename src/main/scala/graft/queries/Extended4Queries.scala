@@ -1028,6 +1028,34 @@ object Extended4Queries {
       |WHERE c_custkey < 50
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** ANSI-safe arithmetic surface: Spark 4 runs ANSI mode (casts and
+    * division faults THROW), so pipelines use the try_* family for
+    * dirty data — NULL instead of job failure. The oracle mirrors
+    * try_divide with NULLIF (DuckDB's double division by zero yields
+    * inf, not an error) and try_cast with TRY_CAST.
+    */
+  private def q78SafeArith(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        // floor-truncate, don't round: division lands on .xxx5 ties
+        // where the engines' double-rounding rules diverge; floor of
+        // the identical IEEE product is deterministic on both
+        (floor(try_divide(col("l_extendedprice"), col("l_quantity") - 25) * 10000) / 10000)
+          .as("unit_adj"),
+        expr("try_cast(l_returnflag AS INT)").as("flag_int"),
+        expr("try_cast(cast(l_orderkey AS STRING) AS INT)").as("key_int"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q78Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  floor(l_extendedprice / nullif(l_quantity - 25, 0) * 10000) / 10000 AS unit_adj,
+      |  TRY_CAST(l_returnflag AS INTEGER) AS flag_int,
+      |  TRY_CAST(CAST(l_orderkey AS VARCHAR) AS INTEGER) AS key_int
+      |FROM lineitem
+      |WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   // Keep `all` LAST: object init order would null-out any Q referencing
   // a val defined after it.
   val all: Seq[Q] = Seq(
@@ -1050,6 +1078,7 @@ object Extended4Queries {
     Q("q74_pagerank", q74PageRank, Some(q74Sql)),
     Q("q75_attribution", q75Attribution, Some(q75Sql)),
     Q("q77_lateral", q77Lateral, Some(q77Sql)),
+    Q("q78_safe_arith", q78SafeArith, Some(q78Sql)),
     Q("q76_session_window", q76SessionWindow, Some(q76Sql)),
     Q("ml07_md5_embed", ml07Md5Embed, Some(ml07Sql)),
     Q("mx01_pack", mx01Pack, Some(mx01Sql)),
