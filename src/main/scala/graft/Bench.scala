@@ -22,7 +22,7 @@ object Bench {
     "dd02_jaccard_pairs", "dd04_minhash_lsh", "dd07_incremental",
     "sim01_brute_topk", "sim03_ivf_topk", "tx02_quality", "tx07_curate",
     "ml03_gbt_eval", "mm01_media_features", "imdb_pipeline_demo",
-    "imdb_pipeline_synth",
+    "imdb_pipeline_synth", "dd01_exact_dedup",
     // round-4 families
     "q62_sessionize", "q65_tfidf", "tx08_contamination", "mx01_pack",
     "q74_pagerank", "mx05_curation_pipeline")
@@ -61,16 +61,36 @@ object Bench {
     // column so the parquet readers, decompression, and string-heavy
     // codegen paths are warm — profiled: the alphabetically-first
     // query (dd01, full-text md5) absorbed ~2.5 s of cold column reads
-    // under the count()-based prescan.
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet")
-        .selectExpr("sum(xxhash64(struct(*)))").collect()
-      catch { case _: Throwable => () }
+    // under the count()-based prescan. bit_xor, NOT sum: under Spark 4
+    // default ANSI, summing random 64-bit hashes overflows almost
+    // surely, and through r5 that aborted every prescan job silently —
+    // the recurring mid-bench "aborting job" ERROR and the cold-read
+    // noise on dd01 both trace to this.
+    (Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .map(t => () => spark.read.parquet(s"$sfDir/$t.parquet")) :+
+      (() => Tables.events(spark, sfDir))).foreach { mk =>
+      try mk().selectExpr("bit_xor(xxhash64(struct(*)))").collect()
+      catch { case e: Throwable =>
+        // Untimed best-effort warmup — a failure here is tolerable but
+        // must not be invisible: an aborted warmup job's ERROR lines in
+        // the driver log looked like a timed-query failure in r4/r5.
+        System.err.println(s"[bench-warmup] prescan failed: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+      }
     }
+    // Per-query outcome: a swallowed failure must never masquerade as a
+    // timing (r4 lesson: an aborted job was absorbed as `-1L` and dd01
+    // reported 61 s with rc 0 — the round's numbers were unusable). Any
+    // failure is carried into the printed JSON line as `"failed":[...]`
+    // so the driver-parsed artifact itself is visibly red.
+    final case class Outcome(seconds: Double, ok: Boolean, error: Option[String])
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val outcome =
+        try { fn(spark, sfDir).count(); None }
+        catch { case t: Throwable =>
+          Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // Untimed isolation between queries: drop SQL cache and nudge the
       // ContextCleaner (localCheckpoint/persist blocks are freed on GC)
@@ -79,23 +99,35 @@ object Bench {
       // bench than in isolation before this (r2: q21 6.8s vs 0.4s).
       try { spark.catalog.clearCache(); System.gc() }
       catch { case _: Throwable => () }
-      name -> dt
+      name -> Outcome(dt, outcome.isEmpty, outcome)
     }
-    val total = r3(results.map(_._2).sum)
+    val failed = results.collect { case (k, o) if !o.ok => k }
+    val total = r3(results.map(_._2.seconds).sum)
     val hs = results.filter { case (k, _) => headline.contains(k) }
-    val qs = hs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val qs = hs.map { case (k, o) => s"\"" + k + "\":" + r3(o.seconds) }
       .mkString("{", ",", "}")
-    val detail = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => " "
+                  case c if c < ' ' => " "; case c => c.toString }
+    val detail = results.map { case (k, o) =>
+      val err = o.error.map(e => s""","error":"${esc(e)}"""").getOrElse("")
+      s"\"" + k + s"\":{\"seconds\":${r3(o.seconds)},\"ok\":${o.ok}$err}"
+    }.mkString("{", ",", "}")
     try {
       val p = java.nio.file.Paths.get("target/bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    // "warmup" tags the timing regime (v2 = full table pre-scan before
-    // timing, since round 2) so round-over-round totals aren't compared
-    // across different warmup regimes (ADVICE r2).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"v3-column-prescan","queries":$qs,"sf":"$sfDir"}""")
+    // "warmup" tags the timing regime so round-over-round totals aren't
+    // compared across different warmup regimes (ADVICE r2). v4 =
+    // xor-prescan: the v3 sum() prescan ANSI-overflowed and silently
+    // warmed nothing in r3-r5.
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"v4-xor-prescan","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // A bench with any failed query is not a measurement — make the
+    // process exit status itself red so no downstream consumer can
+    // mistake a contaminated run for a baseline.
+    if (failed.nonEmpty) sys.exit(1)
   }
 }
