@@ -28,7 +28,21 @@ import org.apache.spark.sql.functions._
   */
 object ImdbPipeline {
 
-  case class Config(strictFidelity: Boolean = false, topN: Int = 1000)
+  /** `cacheLevel` is the storage level of the stage-2 intermediate that
+    * the four top-N rankings re-scan (r4 advice: at 100 TB the 8-join
+    * frame doesn't fit in executor memory — use
+    * `StorageLevel.DISK_ONLY` or a parquet checkpoint there).
+    */
+  case class Config(strictFidelity: Boolean = false, topN: Int = 1000,
+      cacheLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The four collected top-N id sets that drive stage 3's membership
+    * flags (data_processing.py:253-264) — exposed so a caller (the
+    * correctness gate) can see exactly the lists a run used.
+    */
+  case class TopSets(directorsRated: Seq[String], writersRated: Seq[String],
+      directorsPopular: Seq[String], writersPopular: Seq[String])
 
   val TitleTypes: Seq[String] = Seq("tvMovie", "movie", "tvShort", "short")
 
@@ -222,14 +236,21 @@ object ImdbPipeline {
     * the reference's `dropna()` (which silently inner-izes the earlier
     * left joins — preserved, it defines the output dataset).
     */
-  def addPopularityColumns(mergedData: DataFrame, cfg: Config = Config()): DataFrame = {
+  /** The four stage-3 rankings as one value; four bounded collects. */
+  def topSets(mergedData: DataFrame, cfg: Config = Config()): TopSets = {
     val n = cfg.topN
-    val topDirectorsRated = rankEntitiesByImpact(mergedData, "directors", n)
-    val topWritersRated = rankEntitiesByImpact(mergedData, "writers", n)
-    val topDirectorsPopular =
-      rankEntitiesByImpact(mergedData, "directors", n, "numVotes", "averageRating")
-    val topWritersPopular =
-      rankEntitiesByImpact(mergedData, "writers", n, "numVotes", "averageRating")
+    TopSets(
+      rankEntitiesByImpact(mergedData, "directors", n),
+      rankEntitiesByImpact(mergedData, "writers", n),
+      rankEntitiesByImpact(mergedData, "directors", n, "numVotes", "averageRating"),
+      rankEntitiesByImpact(mergedData, "writers", n, "numVotes", "averageRating"))
+  }
+
+  def addPopularityColumns(mergedData: DataFrame, cfg: Config = Config(),
+      precomputedTops: Option[TopSets] = None): DataFrame = {
+    val tops = precomputedTops.getOrElse(topSets(mergedData, cfg))
+    val TopSets(topDirectorsRated, topWritersRated,
+      topDirectorsPopular, topWritersPopular) = tops
 
     val flagged =
       if (cfg.strictFidelity)
@@ -267,16 +288,27 @@ object ImdbPipeline {
     * unchanged; at 100 TB use StorageLevel.DISK_ONLY or a parquet
     * checkpoint instead of memory.
     */
-  def generateDataset(t: ImdbReader.ImdbTables, cfg: Config = Config()): DataFrame = {
+  def generateDataset(t: ImdbReader.ImdbTables, cfg: Config = Config()): DataFrame =
+    generateDatasetWithTops(t, cfg)._1
+
+  /** Same ETL, but also returns the collected top-N sets the run used —
+    * the correctness gate interpolates them into its generated DuckDB
+    * oracle so both engines flag against identical lists (float-avg
+    * ranking order is not reproducible across engines at the top-N
+    * boundary; the collected lists are).
+    */
+  def generateDatasetWithTops(t: ImdbReader.ImdbTables,
+      cfg: Config = Config()): (DataFrame, TopSets) = {
     val initial = initialForm(t.titleAkas, t.titleBasics, t.titleCrew,
       t.titlePrincipals, t.titleRatings, cfg)
-    val withPeople = addPeopleColumns(initial, t.nameBasics).persist()
+    val withPeople = addPeopleColumns(initial, t.nameBasics).persist(cfg.cacheLevel)
     try {
-      val withPopularity = addPopularityColumns(withPeople, cfg)
+      val tops = topSets(withPeople, cfg)
+      val withPopularity = addPopularityColumns(withPeople, cfg, Some(tops))
       // materialize the (small) final dataset before dropping the cache:
       // cleanup only prunes columns, so this forces the last job through
       // the cached frame rather than a post-unpersist recompute
-      cleanupColumns(withPopularity).localCheckpoint(eager = true)
+      (cleanupColumns(withPopularity).localCheckpoint(eager = true), tops)
     } finally withPeople.unpersist()
   }
 }

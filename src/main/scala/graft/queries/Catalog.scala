@@ -17,7 +17,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    // Oracle SQL built at dump time rather than object init — for
+    // oracles that interpolate values collected from a Spark run (the
+    // IMDb pipeline's top-N id sets). Evaluated once, lazily, inside
+    // Catalog.oracleSql: by then Verify has created the SparkSession
+    // and (normally) already executed the query, so the generator
+    // reuses the memoized run instead of launching jobs at class init.
+    oracleGen: Option[() => String] = None)
 
 object Catalog {
   lazy val all: Seq[Q] =
@@ -32,5 +39,5 @@ object Catalog {
     all.map(q => q.name -> q.fn).toMap
 
   lazy val oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    all.flatMap(q => q.oracle.orElse(q.oracleGen.map(_())).map(q.name -> _)).toMap
 }
