@@ -11,11 +11,12 @@ import org.apache.spark.sql.types._
   * Scala-native equivalent is typed mapPartitions over case classes —
   * same batch shape, same distribution story.)
   *
-  * DECODE IS STUBBED: this container ships no image/audio codecs, so
-  * [[decodeStub]] derives a deterministic fake "decoded frame" from the
-  * bytes + metadata. Every seam a real codec would plug into is typed
-  * and tested: schema, partition processing, batch iteration, feature
-  * output shape, frame sampling, and hash-based cross-media dedup.
+  * Image decode is REAL (javax.imageio → 8-bit luminance); audio/video
+  * decode is stubbed — no such codecs ship with a stock JVM — via
+  * [[decodeStub]], a deterministic fake derived from bytes + metadata.
+  * Every seam a codec plugs into is typed and tested: schema, partition
+  * processing, batch iteration, feature output shape, frame sampling,
+  * and hash-based cross-media dedup.
   */
 object Multimodal {
 
@@ -37,29 +38,75 @@ object Multimodal {
 
   final case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
-  /** Deterministic synthetic media (seeded per id) — stands in for a
-    * real blob store; blob length and bytes derive from media_id only.
+  private def md5HexStr(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** First 24 bits of md5(seed) as an int — the per-id size/shape
+    * derivation shared with the DuckDB oracle (MultimodalQueries).
+    */
+  private def u24(seed: String): Int =
+    Integer.parseInt(md5HexStr(seed).substring(0, 6), 16)
+
+  /** Deterministic synthetic media — stands in for a real blob store;
+    * every field derives from media_id through md5, no RNG (r4 advice:
+    * scala.util.Random made the features unverifiable). The blob is the
+    * UTF-8 bytes of a concatenated-md5 hex string: still an opaque
+    * `binary` column through all the plumbing, but reproducible in
+    * ANSI SQL (DuckDB's md5() hashes VARCHAR only, so a raw-byte blob
+    * could never be oracle-checked end-to-end).
     */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[Media] = {
     import spark.implicits._
     spark.range(n.toLong).as[Long].map { id =>
-      val rnd = new scala.util.Random(id)
       val kind = Seq("image", "audio", "video")((id % 3).toInt)
-      val len = 256 + rnd.nextInt(768)
-      val bytes = Array.fill(len)(rnd.nextInt(256).toByte)
-      Media(id, kind, bytes, 16 + rnd.nextInt(48), 16 + rnd.nextInt(48),
-        1000L + rnd.nextInt(60000))
+      val len = 256 + u24(s"$id:len") % 768
+      val stream = (0 until (len + 31) / 32).map(b => md5HexStr(s"$id:$b")).mkString
+      Media(id, kind, stream.substring(0, len).getBytes("UTF-8"),
+        16 + u24(s"$id:w") % 48, 16 + u24(s"$id:h") % 48,
+        1000L + u24(s"$id:d") % 60000)
     }
   }
 
-  /** THE STUB SEAM: a real implementation would invoke an image/audio
-    * codec here (e.g. javax.imageio / ffmpeg bindings) and return
-    * decoded pixels/samples. The fake is a deterministic function of
-    * the bytes so downstream plumbing is fully testable.
+  /** THE STUB SEAM for audio/video (no codecs on a stock JVM): a real
+    * implementation would invoke ffmpeg-style bindings here. The fake
+    * is a deterministic function of the bytes so downstream plumbing is
+    * fully testable.
     */
   private[multimodal] def decodeStub(m: Media): Array[Byte] =
-    // ??? ← codec call goes here; deterministic fake instead:
     m.content.take(math.min(m.content.length, m.width * m.height))
+
+  /** Decode a blob to a flat byte plane. Images go through a REAL codec
+    * — javax.imageio ships with every stock JVM — to row-major 8-bit
+    * luminance (Rec.601 integer weights); bytes no installed reader
+    * understands, and audio/video kinds, fall back to [[decodeStub]].
+    */
+  def decode(m: Media): Array[Byte] =
+    if (m.kind == "image") {
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+        if (img == null) decodeStub(m)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new Array[Byte](w * h)
+          var i = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              out(i) = ((((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000).toByte
+              i += 1
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+      } catch { case _: java.io.IOException => decodeStub(m) }
+    } else decodeStub(m)
 
   /** Per-blob features, computed partition-at-a-time (one pass over
     * each blob, no driver round-trip). Entropy/mean are real byte
@@ -70,7 +117,7 @@ object Multimodal {
     media.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
-        val decoded = decodeStub(m)
+        val decoded = decode(m)
         val counts = new Array[Long](256)
         var sum = 0L
         decoded.foreach { b => val u = b & 0xff; counts(u) += 1; sum += u }

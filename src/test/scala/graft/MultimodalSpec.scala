@@ -55,6 +55,27 @@ class MultimodalSpec extends SparkSpec {
     assert(groups.count() === 90)
   }
 
+  test("real image decode: javax.imageio PNG round-trip to luminance plane") {
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, ((x * 60) << 16) | ((y * 100) << 8) | 30)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val decoded = Multimodal.decode(Multimodal.Media(0L, "image", png, 4, 2, 0L))
+    assert(decoded.length === 8) // real w*h from the codec, not metadata
+    val expected = for (y <- 0 until 2; x <- 0 until 4)
+      yield (((x * 60) * 299 + (y * 100) * 587 + 30 * 114) / 1000).toByte
+    assert(decoded.toSeq === expected)
+    // undecodable bytes and non-image kinds fall back to the stub
+    // (the stub is content.take(min(len, width*height)))
+    val junkBytes = "not an image".getBytes
+    val junk = Multimodal.Media(1L, "image", junkBytes, 3, 4, 0L)
+    assert(Multimodal.decode(junk).toSeq === junkBytes.take(12).toSeq)
+    val audio = Multimodal.Media(2L, "audio", png, 4, 2, 0L)
+    assert(Multimodal.decode(audio).toSeq === png.take(8).toSeq)
+  }
+
   test("processing distributes: partition count preserved through mapPartitions") {
     val parts = media.repartition(6)
     assert(Multimodal.extractFeatures(parts).rdd.getNumPartitions === 6)
