@@ -83,21 +83,64 @@ object SimilarityQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** IVF (k-means cells, nProbe nearest centroids) top-5 — the second
-    * ANN scale path; recall-tested against sim01 in AnnSpec.
+  /** IVF (coarse cells, nProbe nearest centroids) top-5 — the second
+    * ANN scale path. The gate runs the fixed-centroid variant: the
+    * quantizer is the first 16 corpus vectors (a deterministic seed
+    * pick both engines can derive from the table itself), so cell
+    * assignment and probing are literal arithmetic and fully
+    * oracle-checked. The KMeans-trained quantizer (Ann.ivfTopK) stays
+    * recall-tested against sim01 in AnnSpec — KMeans.fit is the one
+    * piece no SQL oracle can reproduce.
     */
   private def sim03IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nLists = 16, nProbe = 4)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    Ann.ivfTopKFixed(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, centroids = centroids, nProbe = 4)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Static oracle: centroids re-derived from the table (vec_id < 16),
+    * assignment/probing by |c|² − 2·v·c with cell-index tie-break —
+    * the exact comparator Ann.centroidDists builds.
+    */
+  private val sim03Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+      |assign AS (
+      |  SELECT e.vec_id, e.v, c.cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(c.cv, c.cv) - 2.0::DOUBLE * list_dot_product(e.v, c.cv),
+      |      c.cell) AS rn
+      |  FROM e, cent c),
+      |cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+      |probes AS (
+      |  SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(c.cv, c.cv) - 2.0::DOUBLE * list_dot_product(e.v, c.cv),
+      |      c.cell) AS rn
+      |  FROM e, cent c WHERE e.vec_id < 10),
+      |pairs AS (
+      |  SELECT q.query_id, s.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.qv, s.v) AS cosine
+      |  FROM (SELECT query_id, qv, cell FROM probes WHERE rn <= 4) q
+      |  JOIN cells s ON q.cell = s.cell AND q.query_id != s.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      |  FROM pairs)
+      |SELECT query_id, rank, neighbor_id, round(cosine, 4) AS cosine
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("sim01_brute_topk", sim01BruteTopK, Some(sim01Sql)),
     Q("sim02_lsh_topk", sim02LshTopK, Some(sim02Sql)),
-    Q("sim03_ivf_topk", sim03IvfTopK, None),
+    Q("sim03_ivf_topk", sim03IvfTopK, Some(sim03Sql)),
   )
 }

@@ -70,6 +70,40 @@ object Ann {
     }.reduce(_ + _)
   }
 
+  /** Per-row (dist-to-centroid, cell) structs: Euclidean order without
+    * the |v|² term (constant per row): dist' = |c|² − 2·v·c. |c|² is a
+    * sequential index-order fold, matching DuckDB's
+    * list_dot_product(c, c) bit-for-bit (the sim02-proven parity).
+    */
+  private def centroidDists(v: Column, centroids: Seq[(Seq[Double], Int)]): Seq[Column] =
+    centroids.map { case (c, i) =>
+      val lc = array(c.map(lit): _*)
+      val cNormSq = c.map(x => x * x).sum
+      struct((lit(cNormSq) - lit(2.0) * dot(v, lc)).as("dist"), lit(i).as("cell"))
+    }
+
+  /** Shared IVF probe+score tail: corpus rows carry an assigned cell;
+    * each query explodes into its nProbe nearest cells (broadcast), and
+    * only same-cell pairs are scored.
+    */
+  private def probeAndScore(cells: DataFrame, queries: DataFrame,
+      centroids: Seq[(Seq[Double], Int)], nProbe: Int, k: Int): DataFrame = {
+    val qProbed = queries
+      .withColumn("probes",
+        slice(array_sort(array(centroidDists(col("qv"), centroids): _*)), 1, nProbe))
+      .withColumn("cell", explode(transform(col("probes"), p => p.getField("cell"))))
+      .drop("probes")
+    val scored = cells.join(broadcast(qProbed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** IVF-style top-k: a k-means coarse quantizer (MLlib, seeded)
     * partitions the corpus into nLists cells; each query probes its
     * nProbe nearest centroids and scores only those cells. The second
@@ -93,33 +127,33 @@ object Ann {
     val cells = model.transform(corpusVec)
       .select(col("neighbor_id"), col("cv"), col("cell"))
       .withColumn("cn", norm(col("cv")))
-    // each query probes its nProbe nearest centroids (tiny driver-side
-    // centroid table burned in as literals). Probes rank by Euclidean
-    // distance — the same metric the k-means quantizer assigns cells
-    // by: dist² = |q|² − 2·q·c + |c|², and |q|² is constant per query,
-    // so |c|² − 2·q·c orders identically.
-    val centroids = model.clusterCenters.zipWithIndex
+    // probe cells rank by Euclidean distance — the same metric the
+    // k-means quantizer assigns cells by: dist² = |q|² − 2·q·c + |c|²,
+    // and |q|² is constant per query, so |c|² − 2·q·c orders identically
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (c.toArray.toSeq, i) }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val centroidDist = centroids.map { case (c, i) =>
-      val lc = array(c.toArray.map(lit): _*)
-      val cNormSq = c.toArray.map(x => x * x).sum
-      struct((lit(cNormSq) - lit(2.0) * dot(col("qv"), lc)).as("dist"),
-        lit(i).as("cell"))
-    }
-    val qProbed = q
-      .withColumn("probes", slice(array_sort(array(centroidDist: _*)), 1, nProbe))
-      .withColumn("cell", explode(transform(col("probes"), p => p.getField("cell"))))
-      .drop("probes")
-    val scored = cells.join(broadcast(qProbed), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    probeAndScore(cells, q, centroids, nProbe, k)
+  }
+
+  /** IVF top-k with CALLER-SUPPLIED centroids — the correctness-gate
+    * variant (VERDICT r4 item 6): KMeans.fit isn't reproducible in an
+    * SQL oracle, but with fixed centroids both cell assignment and
+    * probing are literal arithmetic. Also the real-world shape for a
+    * pre-trained/externally-owned quantizer, which is how IVF indexes
+    * are deployed anyway (train once, assign forever).
+    */
+  def ivfTopKFixed(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Seq[Seq[Double]], nProbe: Int = 4): DataFrame = {
+    val indexed = centroids.zipWithIndex
+    val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell",
+        element_at(array_sort(array(centroidDists(col("cv"), indexed): _*)), 1)
+          .getField("cell"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    probeAndScore(cells, q, indexed, nProbe, k)
   }
 
   /** LSH-bucketed top-k: score only same-signature pairs. Recall < 1 by
@@ -128,8 +162,12 @@ object Ann {
     */
   def signLshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nBits: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+      seed: Long = 42L, dimHint: Int = -1): DataFrame = {
+    // dimHint avoids the extra driver-side probe job when the caller
+    // already knows the embedding width (VERDICT r4: composed pipelines
+    // shouldn't pay a first() per call)
+    val dim = if (dimHint > 0) dimHint
+      else corpus.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(nBits, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", norm(col("cv")))

@@ -51,6 +51,29 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall@5 = $recall")
   }
 
+  test("fixed-centroid IVF: deterministic assignment, sane recall vs brute force") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val queries = emb.filter($"vec_id" < 20)
+    val centroids = emb.filter($"vec_id" < 16).orderBy($"vec_id")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val run = Ann.ivfTopKFixed(emb, queries, "vec_id", "embedding", 5, centroids, nProbe = 4)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    // same centroids → same cells → identical output, run to run
+    val again = Ann.ivfTopKFixed(emb, queries, "vec_id", "embedding", 5, centroids, nProbe = 4)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(run === again)
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & run.map(t => (t._1, t._3)).toSet).size.toDouble / exact.size
+    // corpus-sample centroids are a weaker quantizer than trained
+    // k-means; still a real coarse index (≥ ~25% corpus scanned)
+    assert(recall >= 0.3, s"fixed-centroid IVF recall@5 = $recall")
+  }
+
   test("hyperplanes rejects nBits outside the Int-packable range") {
     val e = intercept[IllegalArgumentException] { Ann.hyperplanes(32, 8) }
     assert(e.getMessage.contains("[1, 31]"))
