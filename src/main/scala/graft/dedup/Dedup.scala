@@ -257,11 +257,9 @@ object Dedup {
     * flat. Convergence is O(component diameter) rounds — near-dup
     * clusters are shallow (stars around a canonical doc), so 2-3
     * rounds in practice; `maxIter` bounds adversarial chains, and the
-    * loop exits early on the first round with zero label changes. For
-    * graphs with genuinely deep components, swap in alternating
-    * large-star/small-star (Kiveris et al., "Connected Components in
-    * MapReduce"), which converges in O(log n) rounds on the same
-    * join+agg primitives.
+    * loop exits early on the first round with zero label changes. A
+    * component deeper than maxIter falls through to
+    * [[connectedComponentsStars]], the O(log n) path.
     */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
@@ -292,12 +290,74 @@ object Dedup {
       labels = updated.drop("changed")
       iter += 1
     }
-    // A silent non-converged exit would hand back wrong cluster_ids
-    // for any component deeper than maxIter; fail loudly instead so
-    // the caller can raise maxIter or switch to large-star/small-star.
+    // Min-propagation moves a label one hop per round, so a component
+    // with diameter > maxIter won't converge. Instead of handing back
+    // wrong cluster_ids (or failing, as before r6), fall through to
+    // the O(log n) star algorithm — same output contract, immune to
+    // diameter.
+    if (!converged) return connectedComponentsStars(pairs, aCol, bCol)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("v").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): each round hooks every node to the minimum of its
+    * neighborhood, halving component depth — O(log n) rounds
+    * regardless of diameter, where plain min-label propagation
+    * ([[duplicateClusters]]' fast path, fine for shallow near-dup
+    * stars) needs O(diameter). Same join+agg primitives, ~2 shuffles
+    * per round, edge set localCheckpoint'ed so lineage stays flat.
+    * Output contract matches [[duplicateClusters]]:
+    * (doc_id, cluster_id = component min, cluster_size).
+    */
+  def connectedComponentsStars(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    // canonical orientation big→small; self-loops dropped
+    var e = pairs.select(
+        greatest(col(aCol), col(bCol)).as("src"),
+        least(col(aCol), col(bCol)).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    // Convergence = identical edge set two rounds running, detected by
+    // (count, xor-of-row-hashes) — order/partitioning-invariant and one
+    // tiny job per round (an exact set compare would be a full anti-join).
+    var signature = (-1L, 0L)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: for every node u (over symmetric edges), connect
+      // each strictly-larger neighbor to min(N(u) ∪ {u})
+      val sym = e.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      val lsMin = sym.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("m"))
+      val ls = sym.join(lsMin, "src").filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")).distinct()
+      // small-star: edges arrive oriented big→small; connect each
+      // smaller neighbor (and u itself) to min(N(u))
+      val ssMin = ls.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val ss = ls.join(ssMin, "src").filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(ssMin.select(col("src"), col("m").as("dst")))
+        .distinct().localCheckpoint()
+      val sig = ss.selectExpr("count(*) AS c",
+        "coalesce(bit_xor(xxhash64(src, dst)), 0) AS h").first()
+      val newSignature = (sig.getLong(0), sig.getLong(1))
+      converged = newSignature == signature
+      signature = newSignature
+      e = ss
+      iter += 1
+    }
     require(converged,
-      s"duplicateClusters: label propagation did not converge in $maxIter rounds; " +
-        "a component has diameter > maxIter — raise maxIter or use large-star/small-star")
+      s"connectedComponentsStars did not converge in $maxIter rounds (needs ~log2(n))")
+    // at convergence the edge set is stars: every non-root points
+    // straight at its component minimum
+    val labels = e.select(col("src").as("v"), col("dst").as("label"))
+      .union(e.select(col("dst").as("v"), col("dst").as("label")))
+      .distinct()
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("v").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))

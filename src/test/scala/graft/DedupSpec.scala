@@ -92,6 +92,28 @@ class DedupSpec extends SparkSpec {
       (10L, 10L, 4L), (11L, 10L, 4L), (12L, 10L, 4L), (13L, 10L, 4L)))
   }
 
+  test("connectedComponentsStars: O(log n) rounds, agrees with propagation") {
+    // same graph as the propagation test → identical output contract
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L),
+      (10L, 11L), (11L, 12L), (12L, 13L)).toDF("doc_a", "doc_b")
+    val stars = Dedup.connectedComponentsStars(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val prop = Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stars === prop)
+  }
+
+  test("duplicateClusters survives a component deeper than maxIter (star fallback)") {
+    // a 61-node path has diameter 60: min-label moves one hop per
+    // round, so the 25-round fast path cannot converge and must fall
+    // through to large-star/small-star — which wraps it up in O(log n)
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(chain, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 61)
+    assert(got.forall { case (_, cid, size) => cid == 0L && size == 61L })
+  }
+
   test("keepCanonical drops non-canonical members, passes unclustered docs") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")).toDF("doc_id", "text")
     val clusters = Seq((1L, 1L, 2L), (2L, 1L, 2L)).toDF("doc_id", "cluster_id", "cluster_size")
