@@ -6,9 +6,10 @@ import graft.Tables
 import graft.ml.MlPipeline
 
 /** ML-surface queries (SURVEY.md §2.9). ml01 (feature assembly) is
-  * pure relational → oracle-checked; training/scoring/PCA results are
-  * algorithm-specific (MLlib ≠ DuckDB-expressible) → rows-only in the
-  * driver gate, with behavior asserted in MlSpec.
+  * pure relational and ml06 (hashing embed) gets a generated oracle
+  * with the murmur3 vocabulary interpolated; training/scoring/PCA
+  * results are algorithm-specific (MLlib ≠ DuckDB-expressible) →
+  * rows-only in the driver gate, with behavior asserted in MlSpec.
   */
 object MlQueries {
 
@@ -81,12 +82,54 @@ object MlQueries {
   /** HashingTF token embedding (M1 stand-in): id + vector l1 norm +
     * non-zero count as a deterministic summary.
     */
-  private def ml06HashEmbed(s: SparkSession, dir: String): DataFrame =
+  private def ml06HashEmbed(s: SparkSession, dir: String): DataFrame = {
+    lastDir.put(s, dir)
     MlPipeline.hashingEmbed(Tables.documents(s, dir), "doc_id", "text")
       .select(col("doc_id"),
         aggregate(col("embedding"), lit(0.0d), (acc, x) => acc + x).as("l1"),
         size(filter(col("embedding"), x => x > 0)).as("nnz"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The sf dir each session last ran ml06 against — the oracle
+    * generator reproduces that run's vocabulary (Verify executes the
+    * query before dumping oracle_sql.json, so the entry is present).
+    */
+  private val lastDir = scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
+  /** Generated oracle for ml06: murmur3 bucket assignment isn't
+    * ANSI-SQL, but the corpus vocabulary is small — collect the
+    * distinct tokens and interpolate each token's HashingTF.indexOf
+    * bucket (the very hash the Spark run used) as a VALUES lookup.
+    * l1 of a term-frequency vector is plain token count; nnz is
+    * count(DISTINCT bucket) through the lookup.
+    */
+  private def ml06Sql(): String = {
+    val s = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException("ml06 oracle needs a SparkSession"))
+    val dir = lastDir.getOrElse(s, "/root/testdata/sf0.01")
+    val vocab = Tables.documents(s, dir)
+      .select(explode(graft.text.TextStats.tokens(col("text"))).as("tok"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val htf = new org.apache.spark.ml.feature.HashingTF().setNumFeatures(64)
+    val values = vocab.map(t =>
+      s"('${t.replace("'", "''")}', ${htf.indexOf(t)})").mkString(",\n    ")
+    s"""WITH vocab(tok, bucket) AS (VALUES
+       |    $values),
+       |toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(text, '\\s+'), z -> z != '')) AS tok
+       |  FROM documents),
+       |agg AS (
+       |  SELECT t.doc_id,
+       |    CAST(count(*) AS DOUBLE) AS l1,
+       |    CAST(count(DISTINCT v.bucket) AS INTEGER) AS nnz
+       |  FROM toks t JOIN vocab v USING (tok)
+       |  GROUP BY t.doc_id)
+       |SELECT d.doc_id, coalesce(a.l1, 0.0::DOUBLE) AS l1, coalesce(a.nnz, 0) AS nnz
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
     Q("ml01_features", ml01Features, Some(ml01Sql)),
@@ -94,6 +137,6 @@ object MlQueries {
     Q("ml03_gbt_eval", ml03GbtEval, None),
     Q("ml04_importances", ml04Importances, None),
     Q("ml05_pca", ml05Pca, None),
-    Q("ml06_hash_embed", ml06HashEmbed, None),
+    Q("ml06_hash_embed", ml06HashEmbed, None, Some(() => ml06Sql())),
   )
 }
