@@ -65,6 +65,23 @@ object MlPipeline {
     (train, test)
   }
 
+  /** Deterministic split: membership = md5(key) bucket (the q58/mx02
+    * idiom), identical on any engine, run, or partitioning — the
+    * reproducible-training variant of [[stratifiedSplit]], whose
+    * seeded sampleBy is partitioning-dependent. Like per-label
+    * Bernoulli sampling, each label stratum hits testFraction in
+    * expectation (the hash is label-independent); unlike it, re-runs
+    * and engines agree row-for-row, which also makes it the ml02 gate
+    * path. No shuffle at all — two filters over one scan.
+    */
+  def deterministicSplit(df: DataFrame, keyCol: String,
+      testFraction: Double = 0.2): (DataFrame, DataFrame) = {
+    val bucket = pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
+      .cast("long"), lit(10000))
+    val th = math.round(10000.0 * (1.0 - testFraction))
+    (df.filter(bucket < th), df.filter(bucket >= th))
+  }
+
   /** Gradient-boosted trees binary classifier on the given feature
     * columns. Fixed seed; depth/iters deliberately modest — the
     * reference's depth-12 × 200-round XGBoost config would be a

@@ -32,15 +32,31 @@ object MlQueries {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
-  /** Stratified split sizes per label (M5; approximate fractions). */
+  /** Split sizes per label (M5). The gate runs the deterministic
+    * md5-bucket split (engine/run/partitioning-invariant → full
+    * oracle); the reference-shaped seeded sampleBy path stays
+    * ratio-tested in MlSpec and drives ml03/ml04 training.
+    */
   private def ml02SplitCounts(s: SparkSession, dir: String): DataFrame = {
     val feats = MlPipeline.orderFeatures(Tables.orders(s, dir))
-    val (train, test) = MlPipeline.stratifiedSplit(feats, "label", "o_orderkey")
+    val (train, test) = MlPipeline.deterministicSplit(feats, "o_orderkey")
     train.groupBy(col("label")).agg(count(lit(1)).as("n")).withColumn("split", lit("train"))
       .unionByName(
         test.groupBy(col("label")).agg(count(lit(1)).as("n")).withColumn("split", lit("test")))
       .orderBy(col("split"), col("label"))
   }
+
+  private val ml02Sql =
+    """WITH b AS (
+      |  SELECT CASE WHEN o_totalprice < 100000.0 THEN 0 ELSE 1 END AS label,
+      |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT % 10000 AS bucket
+      |  FROM orders)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n, 'train' AS split
+      |FROM b WHERE bucket < 8000 GROUP BY label
+      |UNION ALL
+      |SELECT label, CAST(count(*) AS BIGINT) AS n, 'test' AS split
+      |FROM b WHERE bucket >= 8000 GROUP BY label
+      |ORDER BY split, label""".stripMargin
 
   /** One GBT per dataset, memoized: the reference trains a single
     * model and then BOTH evaluates and explains it
@@ -133,7 +149,7 @@ object MlQueries {
 
   val all: Seq[Q] = Seq(
     Q("ml01_features", ml01Features, Some(ml01Sql)),
-    Q("ml02_split_counts", ml02SplitCounts, None),
+    Q("ml02_split_counts", ml02SplitCounts, Some(ml02Sql)),
     Q("ml03_gbt_eval", ml03GbtEval, None),
     Q("ml04_importances", ml04Importances, None),
     Q("ml05_pca", ml05Pca, None),

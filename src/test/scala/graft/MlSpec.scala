@@ -27,6 +27,18 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("deterministic md5-bucket split: disjoint, exhaustive, run-invariant") {
+    val (train, test) = MlPipeline.deterministicSplit(feats, "o_orderkey", 0.2)
+    assert(train.count() + test.count() === feats.count())
+    assert(train.join(test, Seq("o_orderkey")).isEmpty)
+    val frac = test.count().toDouble / feats.count()
+    assert(frac > 0.1 && frac < 0.3, s"test fraction $frac")
+    // run-to-run (and repartition-to-repartition) identical membership
+    val again = MlPipeline.deterministicSplit(feats.repartition(7), "o_orderkey", 0.2)._2
+    assert(test.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq ===
+      again.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("GBT trains, scores, and beats the majority class on train data (M6/M7)") {
     val model = MlPipeline.trainGbt(feats, MlPipeline.OrderFeatureCols)
     val m = MlPipeline.evaluate(model, feats, MlPipeline.OrderFeatureCols).first()
