@@ -103,6 +103,23 @@ class DedupSpec extends SparkSpec {
     assert(stars === prop)
   }
 
+  test("stars and propagation agree on random graphs (seeded sweep)") {
+    // randomized cross-validation of the two independent CC
+    // implementations: any disagreement is a bug in one of them
+    for (seed <- Seq(7, 21, 1042)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 24
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val stars = Dedup.connectedComponentsStars(pairs, "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val prop = Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(stars === prop, s"seed $seed: stars and propagation disagree")
+    }
+  }
+
   test("duplicateClusters survives a component deeper than maxIter (star fallback)") {
     // a 61-node path has diameter 60: min-label moves one hop per
     // round, so the 25-round fast path cannot converge and must fall

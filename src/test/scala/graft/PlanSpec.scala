@@ -170,4 +170,31 @@ class PlanSpec extends SparkSpec {
     val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 1, s"sampling should add no shuffles, found $exchanges exchange nodes")
   }
+
+  test("deterministicSplit is a pure scan-side filter: zero exchanges") {
+    val feats = graft.ml.MlPipeline.orderFeatures(Tables.orders(spark, Sf0001))
+    val (train, test) = graft.ml.MlPipeline.deterministicSplit(feats, "o_orderkey")
+    Seq(train, test).foreach { side =>
+      val plan = side.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"md5-bucket split must not shuffle:\n$plan")
+    }
+  }
+
+  test("fixed-centroid IVF: corpus scanned once, probed queries broadcast") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val plan = graft.similarity.Ann
+      .ivfTopKFixed(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 2, centroids, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query side should broadcast into the cell join:\n${plan.take(2000)}")
+    // one scan for the corpus side, one for the (broadcast) query side —
+    // the corpus must not be scanned per probe cell
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 2, s"expected 2 parquet scans, found $scans")
+  }
 }
