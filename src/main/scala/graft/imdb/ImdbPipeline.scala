@@ -236,14 +236,33 @@ object ImdbPipeline {
     * the reference's `dropna()` (which silently inner-izes the earlier
     * left joins — preserved, it defines the output dataset).
     */
-  /** The four stage-3 rankings as one value; four bounded collects. */
+  /** The four stage-3 rankings as one value. The reference runs four
+    * independent explode+agg+sort jobs (data_processing.py:266-288);
+    * the rated and popular orderings of one csv column share the same
+    * per-entity aggregate, so each column's aggregate is computed once
+    * (one shuffle), cached, and sorted twice — half the stage-3
+    * shuffle work for the same collected lists.
+    */
   def topSets(mergedData: DataFrame, cfg: Config = Config()): TopSets = {
     val n = cfg.topN
-    TopSets(
-      rankEntitiesByImpact(mergedData, "directors", n),
-      rankEntitiesByImpact(mergedData, "writers", n),
-      rankEntitiesByImpact(mergedData, "directors", n, "numVotes", "averageRating"),
-      rankEntitiesByImpact(mergedData, "writers", n, "numVotes", "averageRating"))
+    def bothOrderings(columnName: String): (Seq[String], Seq[String]) = {
+      val agg = mergedData.select(col("averageRating"), col("numVotes"),
+          explode(split(col(columnName), ",")).as("entity"))
+        .groupBy(col("entity"))
+        .agg(avg(col("averageRating")).as("avg_rating"),
+          avg(col("numVotes")).as("avg_votes"))
+        .persist()
+      try {
+        def top(ordering: Seq[Column]): Seq[String] =
+          agg.orderBy(ordering: _*).limit(n)
+            .select("entity").collect().map(_.getString(0)).toSeq
+        (top(Seq(col("avg_rating").desc, col("avg_votes").desc)),
+          top(Seq(col("avg_votes").desc, col("avg_rating").desc)))
+      } finally agg.unpersist()
+    }
+    val (directorsRated, directorsPopular) = bothOrderings("directors")
+    val (writersRated, writersPopular) = bothOrderings("writers")
+    TopSets(directorsRated, writersRated, directorsPopular, writersPopular)
   }
 
   def addPopularityColumns(mergedData: DataFrame, cfg: Config = Config(),
