@@ -39,5 +39,19 @@ object Catalog {
     all.map(q => q.name -> q.fn).toMap
 
   lazy val oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracle.orElse(q.oracleGen.map(_())).map(q.name -> _)).toMap
+    all.flatMap { q =>
+      val sql = q.oracle.orElse(q.oracleGen.flatMap { gen =>
+        // A generator failure must degrade THIS query to the driver's
+        // rows-only check, not take down the whole oracle dump (Verify
+        // writes oracle_sql.json in one shot — an uncaught throw here
+        // would zero the round's correctness for every query).
+        try Some(gen())
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[catalog] oracle generation failed for ${q.name}: $e")
+            None
+        }
+      })
+      sql.map(q.name -> _)
+    }.toMap
 }
