@@ -98,8 +98,37 @@ object MultimodalQueries {
        |WHERE kind = 'video' AND f * 64 < len AND f % 4 = 0
        |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Cross-media exact dedup on content hash: the corpus plus a
+    * re-added slice (ids < 20) so duplicate groups actually form.
+    */
+  private def mm03Dedup(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(s, N)
+    val withDups = media.union(media.filter(_.media_id < 20))
+    Multimodal.dedupByHash(Multimodal.extractFeatures(withDups))
+      .orderBy(col("content_hash"))
+  }
+
+  /** Every blob's bytes differ (per-id md5 streams), so each group is
+    * its own blob: canonical_id = id, n_copies = 2 for the re-added
+    * slice. The hash itself is recomputed from the stream.
+    */
+  private def mm03Sql: String =
+    s"""WITH
+       |$seedsCte,
+       |streams AS (
+       |  SELECT s.id, string_agg(md5(s.id || ':' || r.b), '' ORDER BY r.b) AS hx
+       |  FROM seeds s, range(32) r(b)
+       |  WHERE r.b < (s.len + 31) // 32
+       |  GROUP BY s.id)
+       |SELECT md5(substr(st.hx, 1, CAST(s.len AS INTEGER))) AS content_hash,
+       |  s.id AS canonical_id,
+       |  CAST(CASE WHEN s.id < 20 THEN 2 ELSE 1 END AS BIGINT) AS n_copies
+       |FROM seeds s JOIN streams st USING (id)
+       |ORDER BY content_hash""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("mm01_media_features", mm01Features, Some(mm01Sql)),
     Q("mm02_frame_sample", mm02Frames, Some(mm02Sql)),
+    Q("mm03_media_dedup", mm03Dedup, Some(mm03Sql)),
   )
 }
