@@ -46,6 +46,43 @@ object AsOf {
       .drop("__is_right")
   }
 
+  /** As-of join with a staleness bound (pandas merge_asof `tolerance`
+    * / kdb wj shape): like [[asofJoinLatest]], but a match older than
+    * `toleranceMicros` before the left timestamp is nulled out — the
+    * standard guard against joining against stale reference data.
+    * Same one-shuffle window composition, with the matched right
+    * timestamp carried alongside the value. Assumes non-null right
+    * `valueCol` rows (as [[asofJoinLatest]] already does): the value
+    * and timestamp are resolved by two ignoreNulls window lasts, which
+    * desync if a right row carries a NULL value.
+    */
+  def asofJoinLatestWithin(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String,
+      toleranceMicros: Long): DataFrame = {
+    require(!left.columns.contains(valueCol),
+      s"asofJoinLatestWithin: left already has a column named '$valueCol'")
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__is_right", lit(0))
+      .withColumn(valueCol, lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select(
+      (Seq(col(keyCol), col(tsCol), lit(1).as("__is_right"), col(valueCol)) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__match_ts",
+        last(when(col("__is_right") === 1, col(tsCol)), ignoreNulls = true).over(w))
+      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+      .filter(col("__is_right") === 0)
+      .withColumn(valueCol,
+        when(unix_micros(col(tsCol)) - unix_micros(col("__match_ts")) <= toleranceMicros,
+          col(valueCol)))
+      .drop("__is_right", "__match_ts")
+  }
+
   /** Same semantics through the custom whole-operator path
     * (graft.plans.AsofJoin → AsofMergeJoinExec): preference tier (c),
     * used when inputs are bucketed/sorted by key so the merge runs

@@ -93,9 +93,51 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Tolerance-bounded as-of: same probe, but clicks more than 30
+    * minutes stale are not carried (pandas merge_asof tolerance
+    * shape). DuckDB's native ASOF can't add the staleness bound, so
+    * the oracle derives it from a windowed latest-match.
+    */
+  private def q36cAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(round(max(col("value")), 2).as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    AsOf.asofJoinLatestWithin(purchases, clicks, "user_id", "ts", "click_value",
+        toleranceMicros = 30L * 60 * 1000000)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q36cSql =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, round(max(value), 2) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+      |), purchases AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      |), latest AS (
+      |  SELECT event_id, click_value, cts FROM (
+      |    SELECT p.event_id, c.click_value, c.ts AS cts,
+      |      row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC) AS rn
+      |    FROM purchases p JOIN clicks c
+      |      ON p.user_id = c.user_id AND c.ts <= p.ts)
+      |  WHERE rn = 1
+      |)
+      |SELECT p.event_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(l.cts) <= 1800000000
+      |       THEN l.click_value END AS click_value
+      |FROM purchases p LEFT JOIN latest l USING (event_id)
+      |ORDER BY p.event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q36_asof_join", q36Asof, Some(q36Sql)),
     Q("q36b_asof_exec", q36bAsofExec, Some(q36Sql)),
+    Q("q36c_asof_tolerance", q36cAsofTolerance, Some(q36cSql)),
     Q("q37_range_join", q37RangeJoin, Some(q37Sql)),
   )
 }

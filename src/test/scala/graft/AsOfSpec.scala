@@ -32,6 +32,33 @@ class AsOfSpec extends SparkSpec {
       "p3" -> Some(10.0)))
   }
 
+  test("asofJoinLatestWithin nulls matches staler than the tolerance") {
+    val left = Seq(
+      (1L, ts(5), "p1"),   // match at 10:05 (0 min stale) → kept
+      (1L, ts(10), "p2"),  // latest match 10:08 (2 min) → kept
+      (1L, ts(2), "p0"),   // no match at all → NULL
+      (2L, ts(7), "p3"),   // latest match 10:01 (6 min) → too stale
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts(3), 30.0),
+      (1L, ts(5), 50.0),
+      (1L, ts(8), 80.0),
+      (2L, ts(1), 10.0),
+    ).toDF("user_id", "ts", "v")
+    val out = AsOf.asofJoinLatestWithin(left, right, "user_id", "ts", "v",
+        toleranceMicros = 5L * 60 * 1000000)
+      .select($"tag", $"v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out === Map(
+      "p0" -> None,
+      "p1" -> Some(50.0),
+      "p2" -> Some(80.0),
+      "p3" -> None))       // 6 min > 5 min tolerance
+    // left row count preserved even when everything is stale
+    assert(AsOf.asofJoinLatestWithin(left, right, "user_id", "ts", "v", 0L)
+      .count() === 4)
+  }
+
   test("asofJoinLatest preserves all left rows and columns") {
     val left = Seq((1L, ts(1), "only")).toDF("user_id", "ts", "tag")
     val right = Seq((9L, ts(0), 1.0)).toDF("user_id", "ts", "v")
