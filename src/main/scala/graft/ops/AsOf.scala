@@ -24,10 +24,19 @@ object AsOf {
     * @param valueCol the right-side column carried to the output (NULL
     *                 when no right row precedes the left row)
     */
-  def asofJoinLatest(left: DataFrame, right: DataFrame,
-      keyCol: String, tsCol: String, valueCol: String): DataFrame = {
+  /** Shared union+window composition behind the as-of family. The
+    * right rows are interleaved with the left rows in `tsOrder`
+    * (right-before-left at equal timestamps → inclusive matches), and
+    * each left row resolves the nearest preceding-in-order right value
+    * (and, when `carryMatchTs`, its timestamp) via ignoreNulls window
+    * lasts. Assumes non-null right `valueCol` rows — the two lasts
+    * desync if a right row carries a NULL value.
+    */
+  private def asofComposition(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String,
+      descending: Boolean, carryMatchTs: Boolean): DataFrame = {
     require(!left.columns.contains(valueCol),
-      s"asofJoinLatest: left already has a column named '$valueCol'; " +
+      s"as-of join: left already has a column named '$valueCol'; " +
         "rename it (the as-of value column is appended to the left schema)")
     val leftCols = left.columns
     val l = left
@@ -37,51 +46,50 @@ object AsOf {
       (Seq(col(keyCol), col(tsCol), lit(1).as("__is_right"), col(valueCol)) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val tsOrder = if (descending) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("__is_right").desc)
+      .orderBy(tsOrder, col("__is_right").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    val base = l.unionByName(r)
+    val withTs =
+      if (carryMatchTs) base.withColumn("__match_ts",
+        last(when(col("__is_right") === 1, col(tsCol)), ignoreNulls = true).over(w))
+      else base
+    withTs
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
       .filter(col("__is_right") === 0)
       .drop("__is_right")
   }
 
+  def asofJoinLatest(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String): DataFrame =
+    asofComposition(left, right, keyCol, tsCol, valueCol,
+      descending = false, carryMatchTs = false)
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * right.ts >= left.ts per key (pandas merge_asof
+    * direction='forward') — the lookahead twin of [[asofJoinLatest]],
+    * same one-shuffle composition over the reversed time order.
+    */
+  def asofJoinNext(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String): DataFrame =
+    asofComposition(left, right, keyCol, tsCol, valueCol,
+      descending = true, carryMatchTs = false)
+
   /** As-of join with a staleness bound (pandas merge_asof `tolerance`
     * / kdb wj shape): like [[asofJoinLatest]], but a match older than
     * `toleranceMicros` before the left timestamp is nulled out — the
     * standard guard against joining against stale reference data.
-    * Same one-shuffle window composition, with the matched right
-    * timestamp carried alongside the value. Assumes non-null right
-    * `valueCol` rows (as [[asofJoinLatest]] already does): the value
-    * and timestamp are resolved by two ignoreNulls window lasts, which
-    * desync if a right row carries a NULL value.
     */
   def asofJoinLatestWithin(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, valueCol: String,
-      toleranceMicros: Long): DataFrame = {
-    require(!left.columns.contains(valueCol),
-      s"asofJoinLatestWithin: left already has a column named '$valueCol'")
-    val leftCols = left.columns
-    val l = left
-      .withColumn("__is_right", lit(0))
-      .withColumn(valueCol, lit(null).cast(right.schema(valueCol).dataType))
-    val r = right.select(
-      (Seq(col(keyCol), col(tsCol), lit(1).as("__is_right"), col(valueCol)) ++
-        leftCols.filterNot(c => c == keyCol || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("__is_right").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn("__match_ts",
-        last(when(col("__is_right") === 1, col(tsCol)), ignoreNulls = true).over(w))
-      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
-      .filter(col("__is_right") === 0)
+      toleranceMicros: Long): DataFrame =
+    asofComposition(left, right, keyCol, tsCol, valueCol,
+      descending = false, carryMatchTs = true)
       .withColumn(valueCol,
         when(unix_micros(col(tsCol)) - unix_micros(col("__match_ts")) <= toleranceMicros,
           col(valueCol)))
-      .drop("__is_right", "__match_ts")
-  }
+      .drop("__match_ts")
 
   /** Same semantics through the custom whole-operator path
     * (graft.plans.AsofJoin → AsofMergeJoinExec): preference tier (c),

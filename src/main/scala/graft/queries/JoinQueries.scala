@@ -134,10 +134,43 @@ object JoinQueries {
       |FROM purchases p LEFT JOIN latest l USING (event_id)
       |ORDER BY p.event_id""".stripMargin
 
+  /** Forward as-of: each purchase joined to the user's NEXT click at
+    * or after the purchase — checked against DuckDB's native ASOF with
+    * the inequality flipped.
+    */
+  private def q36dAsofNext(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(round(max(col("value")), 2).as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    AsOf.asofJoinNext(purchases, clicks, "user_id", "ts", "click_value")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q36dSql =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, round(max(value), 2) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+      |), purchases AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+      |  c.click_value
+      |FROM purchases p
+      |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q36_asof_join", q36Asof, Some(q36Sql)),
     Q("q36b_asof_exec", q36bAsofExec, Some(q36Sql)),
     Q("q36c_asof_tolerance", q36cAsofTolerance, Some(q36cSql)),
+    Q("q36d_asof_next", q36dAsofNext, Some(q36dSql)),
     Q("q37_range_join", q37RangeJoin, Some(q37Sql)),
   )
 }

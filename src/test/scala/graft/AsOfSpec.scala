@@ -59,6 +59,29 @@ class AsOfSpec extends SparkSpec {
       .count() === 4)
   }
 
+  test("asofJoinNext picks the earliest right row at or after each left ts") {
+    val left = Seq(
+      (1L, ts(5), "p1"),   // right row exactly at 10:05 → inclusive
+      (1L, ts(9), "p2"),   // latest right is 10:08 < 10:09 → no forward match
+      (1L, ts(2), "p0"),   // next is 10:03
+      (2L, ts(7), "p3"),   // nothing at or after 10:07 for user 2
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts(3), 30.0),
+      (1L, ts(5), 50.0),
+      (1L, ts(8), 80.0),
+      (2L, ts(1), 10.0),
+    ).toDF("user_id", "ts", "v")
+    val out = AsOf.asofJoinNext(left, right, "user_id", "ts", "v")
+      .select($"tag", $"v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out === Map(
+      "p0" -> Some(30.0),  // earliest ≥ 10:02
+      "p1" -> Some(50.0),  // ts-equal right row wins (inclusive)
+      "p2" -> None,        // no right row at or after 10:09
+      "p3" -> None))
+  }
+
   test("asofJoinLatest preserves all left rows and columns") {
     val left = Seq((1L, ts(1), "only")).toDF("user_id", "ts", "tag")
     val right = Seq((9L, ts(0), 1.0)).toDF("user_id", "ts", "v")
