@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.CountMin
+import graft.text.{SpanDedup, TextStats}
+
+/** Round-6 widening, part 2: corpus-curation depth. Span-level
+  * cross-document dedup (CCNet line dedup adapted to the corpus's
+  * newline-free text), sliding-window duplicated-passage profiling
+  * (the shuffle-engine approximation of suffix-array substring dedup),
+  * a count-min sketch with cross-engine-deterministic md5 hashing, and
+  * int8-quantized ANN whose integer dots make the ranking exactly
+  * reproducible. All four DuckDB-oracle-checked.
+  */
+object Extended5Queries {
+
+  /** CCNet-style duplicated-span removal over 8-token spans: spans
+    * appearing in >1 document are boilerplate and dropped everywhere;
+    * cleaned text is fingerprinted so the oracle verifies CONTENT and
+    * ORDER of the reassembly, not just counts.
+    */
+  private def tx12SpanDedup(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.dedupSpans(Tables.documents(s, dir), window = 8)
+      .orderBy(col("doc_id"))
+
+  private val tx12Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM documents),
+      |spans AS (
+      |  SELECT doc_id, CAST((st - 1) // 8 AS INTEGER) AS span_idx,
+      |    array_to_string(toks[st:st+7], ' ') AS span_text
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 8)) AS st
+      |        FROM toks WHERE len(toks) > 0)),
+      |withfp AS (SELECT doc_id, span_idx, span_text, md5(span_text) AS span_fp FROM spans),
+      |dup AS (SELECT span_fp FROM withfp GROUP BY span_fp HAVING count(DISTINCT doc_id) > 1),
+      |kept AS (SELECT * FROM withfp WHERE span_fp NOT IN (SELECT span_fp FROM dup)),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+      |    md5(string_agg(span_text, ' ' ORDER BY span_idx)) AS cleaned_fp
+      |  FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans FROM withfp GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_spans, coalesce(a.n_kept, 0) AS n_kept,
+      |  coalesce(a.cleaned_fp, md5('')) AS cleaned_fp
+      |FROM tot t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** Winnowed duplicated-passage profile (MOSS fingerprints, k=8-gram
+    * hashes winnowed over w=8 windows): alignment-free detection of
+    * any ≥ 15-token passage shared between documents. Per-doc shared
+    * fraction is the curation threshold score.
+    */
+  private def dd10PassageOverlap(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.passageOverlap(Tables.documents(s, dir), k = 8, w = 8)
+      .orderBy(col("doc_id"))
+
+  private val dd10Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, st AS pos, md5(array_to_string(toks[st:st+7], ' ')) AS gfp
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS st
+      |        FROM toks WHERE len(toks) >= 8)),
+      |sel AS (
+      |  SELECT DISTINCT doc_id, win_fp FROM (
+      |    SELECT doc_id,
+      |      count(*) OVER fr AS n_in,
+      |      min(gfp) OVER fr AS win_fp
+      |    FROM grams
+      |    WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+      |                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING))
+      |  WHERE n_in = 8),
+      |shared AS (SELECT win_fp FROM sel GROUP BY win_fp HAVING count(DISTINCT doc_id) > 1),
+      |flagged AS (
+      |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_shared
+      |  FROM sel WHERE win_fp IN (SELECT win_fp FROM shared) GROUP BY doc_id),
+      |tot AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_fps FROM sel GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_fps, coalesce(f.n_shared, 0) AS n_shared,
+      |  round(coalesce(f.n_shared, 0) / CAST(t.n_fps AS DOUBLE), 4) AS shared_frac
+      |FROM tot t LEFT JOIN flagged f USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** Count-min sketch (d=4, w=64) over the token stream, estimates
+    * joined against exact counts for every distinct token. The oracle
+    * rebuilds the identical sketch (md5 buckets), so cms_est matches
+    * cell-for-cell; SketchSpec pins est ≥ exact (the CMS guarantee).
+    */
+  private def q79CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.documents(s, dir)
+      .select(explode(TextStats.tokens(col("text"))).as("item"))
+    val cells = CountMin.counters(items, d = 4, w = 64)
+    val exact = items.groupBy(col("item")).agg(count(lit(1)).as("exact_cnt"))
+    CountMin.estimate(exact.select(col("item")), cells, d = 4, w = 64)
+      .join(exact, Seq("item"))
+      .select(col("item"), col("exact_cnt"), col("cms_est"))
+      .orderBy(col("item"))
+  }
+
+  private val q79Sql =
+    """WITH items AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), z -> z != '')) AS item
+      |  FROM documents),
+      |seeds AS (SELECT unnest(range(0, 4)) AS seed),
+      |exact AS (SELECT item, count(*) AS exact_cnt FROM items GROUP BY item),
+      |cells AS (
+      |  SELECT seed,
+      |    ('0x' || substr(md5(seed || ':' || item), 1, 12))::BIGINT % 64 AS bucket,
+      |    count(*) AS cnt
+      |  FROM items CROSS JOIN seeds
+      |  GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT e.item, s.seed,
+      |    ('0x' || substr(md5(s.seed || ':' || e.item), 1, 12))::BIGINT % 64 AS bucket
+      |  FROM exact e CROSS JOIN seeds s),
+      |est AS (
+      |  SELECT p.item, min(c.cnt) AS cms_est
+      |  FROM probes p JOIN cells c ON c.seed = p.seed AND c.bucket = p.bucket
+      |  GROUP BY p.item)
+      |SELECT e.item, e.exact_cnt, est.cms_est
+      |FROM exact e JOIN est USING (item)
+      |ORDER BY item""".stripMargin
+
+  /** Int8-quantized top-5 for the first 10 vectors: global symmetric
+    * scale, explicit half-up rounding, integer dot ranking (ties by
+    * neighbor_id) — exactly reproducible cross-engine, unlike float
+    * cosine near a top-k cut.
+    */
+  private def sim04QuantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.similarity.Ann.quantizedTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val sim04Sql =
+    """WITH s AS (
+      |  SELECT 127.0 / CAST(max(list_max(list_transform(embedding, x -> abs(x)))) AS DOUBLE) AS scale
+      |  FROM embeddings),
+      |qz AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * scale + 0.5)) AS qv
+      |  FROM embeddings, s),
+      |pairs AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS qdot
+      |  FROM qz q JOIN qz c ON q.vec_id != c.vec_id
+      |  WHERE q.vec_id < 10),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, qdot,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS INTEGER) AS rank
+      |  FROM pairs)
+      |SELECT query_id, rank, neighbor_id, qdot
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("tx12_span_dedup", tx12SpanDedup, Some(tx12Sql)),
+    Q("dd10_passage_overlap", dd10PassageOverlap, Some(dd10Sql)),
+    Q("q79_cms_heavy_hitters", q79CmsHeavyHitters, Some(q79Sql)),
+    Q("sim04_quantized_topk", sim04QuantizedTopK, Some(sim04Sql)))
+}

