@@ -25,7 +25,9 @@ object Bench {
     "imdb_pipeline_synth", "dd01_exact_dedup",
     // round-4 families
     "q62_sessionize", "q65_tfidf", "tx08_contamination", "mx01_pack",
-    "q74_pagerank", "mx05_curation_pipeline")
+    "q74_pagerank", "mx05_curation_pipeline",
+    // round-6 families
+    "tx12_span_dedup", "dd10_passage_overlap", "sim04_quantized_topk")
 
   private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
 

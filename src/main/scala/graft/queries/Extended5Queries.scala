@@ -157,9 +157,77 @@ object Extended5Queries {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Group-wise z-score outliers on customer balances: |z| ≥ 1.6 sample
+    * standard deviations from the nation mean. The z is rounded on
+    * BOTH sides before the compare (ops.Stats contract) so float
+    * aggregation order can't flip boundary rows.
+    */
+  private def q80GroupOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.zscoreOutliers(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"), col("c_acctbal")),
+        groupCol = "c_nationkey", valueCol = "c_acctbal", zMin = 1.6)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"), col("z"))
+      .orderBy(col("c_custkey"))
+
+  private val q80Sql =
+    """WITH s AS (
+      |  SELECT c_nationkey, avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd
+      |  FROM customer GROUP BY c_nationkey)
+      |SELECT c_custkey, c_nationkey, c_acctbal, round((c_acctbal - mu) / sd, 4) AS z
+      |FROM customer JOIN s USING (c_nationkey)
+      |WHERE abs(round((c_acctbal - mu) / sd, 4)) >= 1.6
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Sorted-neighborhood record-linkage candidates over part names:
+    * block on the first name word, sort by (name, key), pair rows
+    * within 2 neighborhood positions, keep Levenshtein ≤ 2.
+    */
+  private def q81SortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.sortedNeighborhoodPairs(
+        Tables.part(s, dir), idCol = "p_partkey", nameCol = "p_name",
+        blockExpr = expr("split_part(p_name, ' ', 1)"), window = 2, maxDist = 2)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q81Sql =
+    """WITH b AS (
+      |  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk,
+      |    row_number() OVER (PARTITION BY split_part(p_name, ' ', 1)
+      |                       ORDER BY p_name, p_partkey) AS rn
+      |  FROM part)
+      |SELECT a.p_partkey AS id_a, c.p_partkey AS id_b,
+      |  a.p_name AS name_a, c.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, c.p_name) AS INTEGER) AS dist
+      |FROM b a JOIN b c ON a.blk = c.blk AND c.rn - a.rn BETWEEN 1 AND 2
+      |WHERE levenshtein(a.p_name, c.p_name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Deterministic fixed-size stratified sample: the 3 smallest-md5
+    * orders per priority class — exact per-group size, reproducible on
+    * any engine/partitioning (vs sampleBy's expected-rate semantics).
+    */
+  private def q82GroupSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.groupSample(
+        Tables.orders(s, dir).select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+        groupCol = "o_orderpriority", keyCol = "o_orderkey", n = 3)
+      .select(col("o_orderpriority"), col("sample_rank"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("sample_rank"))
+
+  private val q82Sql =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS INTEGER) AS sample_rank
+      |  FROM orders)
+      |SELECT o_orderpriority, sample_rank, o_orderkey, o_totalprice
+      |FROM r WHERE sample_rank <= 3
+      |ORDER BY o_orderpriority, sample_rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("tx12_span_dedup", tx12SpanDedup, Some(tx12Sql)),
     Q("dd10_passage_overlap", dd10PassageOverlap, Some(dd10Sql)),
     Q("q79_cms_heavy_hitters", q79CmsHeavyHitters, Some(q79Sql)),
-    Q("sim04_quantized_topk", sim04QuantizedTopK, Some(sim04Sql)))
+    Q("sim04_quantized_topk", sim04QuantizedTopK, Some(sim04Sql)),
+    Q("q80_group_outliers", q80GroupOutliers, Some(q80Sql)),
+    Q("q81_sorted_neighborhood", q81SortedNeighborhood, Some(q81Sql)),
+    Q("q82_group_sample", q82GroupSample, Some(q82Sql)))
 }

