@@ -222,6 +222,16 @@ object Extended5Queries {
       |FROM r WHERE sample_rank <= 3
       |ORDER BY o_orderpriority, sample_rank""".stripMargin
 
+  /** Distributed BPE training, 8 merges over the corpus vocabulary.
+    * The oracle is fully self-derived (no interpolated values): 8
+    * unrolled CTE rounds each recomputing pair counts, taking the
+    * same (count DESC, lhs, rhs) argmax, and applying the same
+    * boundary-guarded replace.
+    */
+  private def tx13BpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.text.BpeTrainer.train(Tables.documents(s, dir), "text", numMerges = 8)
+      .orderBy(col("merge_rank"))
+
   val all: Seq[Q] = Seq(
     Q("tx12_span_dedup", tx12SpanDedup, Some(tx12Sql)),
     Q("dd10_passage_overlap", dd10PassageOverlap, Some(dd10Sql)),
@@ -229,5 +239,6 @@ object Extended5Queries {
     Q("sim04_quantized_topk", sim04QuantizedTopK, Some(sim04Sql)),
     Q("q80_group_outliers", q80GroupOutliers, Some(q80Sql)),
     Q("q81_sorted_neighborhood", q81SortedNeighborhood, Some(q81Sql)),
-    Q("q82_group_sample", q82GroupSample, Some(q82Sql)))
+    Q("q82_group_sample", q82GroupSample, Some(q82Sql)),
+    Q("tx13_bpe_train", tx13BpeTrain, Some(graft.text.BpeTrainer.oracleSql(8))))
 }
