@@ -181,6 +181,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sorted-neighborhood pairing is an equi-join, never a nested-loop over blocks") {
+    import org.apache.spark.sql.functions.expr
+    // the rank-window range condition MUST be folded into the join key
+    // (blk, rn+offset): expressed as a post-join filter instead, every
+    // block degenerates to block² Levenshtein evaluations — measured
+    // 40 s vs 0.6 s at sf0.1 before this shape was pinned
+    val plan = graft.dedup.Dedup.sortedNeighborhoodPairs(
+        Tables.part(spark, Sf0001), "p_partkey", "p_name",
+        expr("split_part(p_name, ' ', 1)"), window = 2, maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"neighborhood join must be hash/merge, not nested-loop:\n${plan.take(1500)}")
+  }
+
+  test("CMS counters: the d-fold seed explosion partial-aggregates before its one shuffle") {
+    import org.apache.spark.sql.functions._
+    val items = Tables.documents(spark, Sf0001)
+      .select(explode(graft.text.TextStats.tokens(col("text"))).as("item"))
+    val plan = graft.ops.CountMin.counters(items, d = 4, w = 64)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"counter build should shuffle exactly once, found $exchanges")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "partial aggregation must collapse the seed blowup map-side")
+  }
+
+  test("span dedup: no cartesian anywhere; reassembly and span streams shuffle on hash keys") {
+    val plan = graft.text.SpanDedup
+      .dedupSpans(Tables.documents(spark, Sf0001), window = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      "span dedup must stay linear — fingerprint joins only")
+  }
+
   test("fixed-centroid IVF: corpus scanned once, probed queries broadcast") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, Sf0001)
