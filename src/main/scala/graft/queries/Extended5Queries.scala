@@ -222,6 +222,56 @@ object Extended5Queries {
       |FROM r WHERE sample_rank <= 3
       |ORDER BY o_orderpriority, sample_rank""".stripMargin
 
+  /** Passage-level duplicate clusters: documents sharing any winnowed
+    * fingerprint become edges; connected components label the cluster.
+    * The end-to-end composition (winnow → fingerprint join → min-label
+    * propagation) a substring-dedup pipeline actually materializes —
+    * each stage individually gated by dd10/dd08.
+    */
+  private def dd11PassageClusters(s: SparkSession, dir: String): DataFrame = {
+    val sel = SpanDedup.winnowedFingerprints(Tables.documents(s, dir), k = 8, w = 8)
+    val pairs = sel.as("a").join(sel.as("b"),
+        col("a.win_fp") === col("b.win_fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    graft.dedup.Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
+      .orderBy(col("doc_id"))
+  }
+
+  private val dd11Sql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, st AS pos, md5(array_to_string(toks[st:st+7], ' ')) AS gfp
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS st
+      |        FROM toks WHERE len(toks) >= 8)),
+      |sel AS (
+      |  SELECT DISTINCT doc_id, win_fp FROM (
+      |    SELECT doc_id,
+      |      count(*) OVER fr AS n_in,
+      |      min(gfp) OVER fr AS win_fp
+      |    FROM grams
+      |    WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+      |                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING))
+      |  WHERE n_in = 8),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sel a JOIN sel b ON a.win_fp = b.win_fp AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |walk(v, label) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, walk.label FROM walk JOIN edges e ON walk.v = e.src),
+      |labels AS (
+      |  SELECT v AS doc_id, min(label) AS cluster_id FROM walk GROUP BY v)
+      |SELECT doc_id, cluster_id,
+      |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM labels
+      |ORDER BY doc_id""".stripMargin
+
   /** Distributed BPE training, 8 merges over the corpus vocabulary.
     * The oracle is fully self-derived (no interpolated values): 8
     * unrolled CTE rounds each recomputing pair counts, taking the
@@ -240,5 +290,6 @@ object Extended5Queries {
     Q("q80_group_outliers", q80GroupOutliers, Some(q80Sql)),
     Q("q81_sorted_neighborhood", q81SortedNeighborhood, Some(q81Sql)),
     Q("q82_group_sample", q82GroupSample, Some(q82Sql)),
+    Q("dd11_passage_clusters", dd11PassageClusters, Some(dd11Sql)),
     Q("tx13_bpe_train", tx13BpeTrain, Some(graft.text.BpeTrainer.oracleSql(8))))
 }

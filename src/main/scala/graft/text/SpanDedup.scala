@@ -95,22 +95,7 @@ object SpanDedup {
     * shuffle carries ~25% of the token stream at w=8.
     */
   def passageOverlap(docs: DataFrame, k: Int, w: Int): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), col("toks"),
-        explode(expr(s"sequence(1, size(toks) - ${k - 1})")).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        md5(expr(s"concat_ws(' ', slice(toks, pos, $k))")).as("gfp"))
-    val fr = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(0, w - 1)
-    val selected = grams
-      .withColumn("n_in", count(lit(1)).over(fr))
-      .withColumn("win_fp", min(col("gfp")).over(fr))
-      .filter(col("n_in") === w) // full windows only — partial suffix
-                                 // windows are covered by earlier starts
-      .select(col("doc_id"), col("win_fp"))
-      .distinct()
+    val selected = winnowedFingerprints(docs, k, w)
     val shared = selected.groupBy(col("win_fp"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") > 1)
@@ -123,5 +108,29 @@ object SpanDedup {
         coalesce(col("n_shared"), lit(0)).as("n_shared"))
       .withColumn("shared_frac",
         round(col("n_shared").cast("double") / col("n_fps").cast("double"), 4))
+  }
+
+  /** The winnowed fingerprint stream itself: DISTINCT (doc_id, win_fp)
+    * where win_fp is the minimum k-gram md5 of some full w-window —
+    * the selection [[passageOverlap]] and passage-level clustering
+    * build on. Full windows only: partial suffix windows are covered
+    * by earlier starts.
+    */
+  def winnowedFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(1, size(toks) - ${k - 1})")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"concat_ws(' ', slice(toks, pos, $k))")).as("gfp"))
+    val fr = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("n_in", count(lit(1)).over(fr))
+      .withColumn("win_fp", min(col("gfp")).over(fr))
+      .filter(col("n_in") === w)
+      .select(col("doc_id"), col("win_fp"))
+      .distinct()
   }
 }
