@@ -438,4 +438,83 @@ object Dedup {
           col("a.norm"), col("b.norm")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Quality-aware canonical selection: given near-dup `pairs`
+    * (doc_a, doc_b edges) and a per-doc quality expression, keep the
+    * HIGHEST-quality member of every duplicate cluster instead of the
+    * min-id member [[keepCanonical]] keeps — what a curation pipeline
+    * actually wants when duplicates differ in cleanliness (the
+    * canonical-selection step of CCNet/RefinedWeb-style dedup).
+    *
+    * Quality is rounded to 6 dp before ranking (ties then break on
+    * doc_id) so the argmax is stable across engines, partitionings and
+    * float summation orders.
+    *
+    * Scale shape: clustering touches only docs that appear in an edge
+    * (≪ corpus); the argmax window sorts that small member set; the
+    * untouched majority pass through via one left_anti join (AQE
+    * broadcasts the small cluster side). No full-corpus window.
+    *
+    * Output: one row per kept doc — (doc_id, cluster_id, quality).
+    */
+  def curateByQuality(docs: DataFrame, pairs: DataFrame, idCol: String,
+      quality: Column): DataFrame = {
+    val qd = docs.select(col(idCol).as("doc_id"), round(quality, 6).as("quality"))
+    val members = duplicateClusters(pairs, "doc_a", "doc_b")
+      .select(col("doc_id"), col("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val best = qd.join(members, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality"))
+    val singles = qd.join(members.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"), col("quality"))
+    best.union(singles)
+  }
+
+  /** Semantic (embedding-space) dedup, SemDeDup-shaped (Abbas et al.
+    * 2023, arXiv:2303.09540): partition the corpus into cells by
+    * nearest fixed centroid, then within each cell keep the leader of
+    * every near-duplicate neighborhood and drop the rest.
+    *
+    * Rule (one pass, no iteration): rank cell members by
+    * (distance-to-centroid asc, id asc); a row is DROPPED iff some
+    * higher-priority member of the same cell has cosine ≥ threshold
+    * with it. This greedy-leader criterion is deterministic and
+    * expressible as a semi-join — unlike the transitive-closure
+    * variant it never chains A~B~C into dropping C when cos(A,C) < τ
+    * by proxy of an already-dropped B; the trade is that B's own
+    * near-dups are judged against B even though B was dropped. (The
+    * transitive variant is [[duplicateClusters]] over cosinePairs.)
+    *
+    * Scale shape: centroid assignment is literal arithmetic on the
+    * scan (no shuffle); ranking + pairing shuffle once on cell id;
+    * within-cell pairing is Σ cell² — bounded by centroid count, the
+    * same knob as IVF's nLists, NOT a corpus cross join. The dropped
+    * set is typically small → AQE broadcasts the anti-join build side.
+    *
+    * Output: kept rows only — (id, cell, cell_rank), ordered by id.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    import graft.functions.VectorExprs
+    import graft.similarity.Ann
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("assigned", Ann.nearestCell(col("v"), centroids))
+      .select(col("id"), col("v"),
+        col("assigned.cell").as("cell"), col("assigned.dist").as("cdist"))
+      .withColumn("norm", VectorExprs.l2Norm(col("v")))
+    val ranked = v.withColumn("cell_rank",
+      row_number().over(Window.partitionBy(col("cell"))
+        .orderBy(col("cdist"), col("id"))))
+    val dropped = ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.cell") === col("b.cell") && col("a.cell_rank") < col("b.cell_rank"))
+      .filter(VectorExprs.cosineWithNorms(col("a.v"), col("b.v"),
+        col("a.norm"), col("b.norm")) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    ranked.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cell"), col("cell_rank"))
+  }
 }

@@ -292,6 +292,114 @@ object DedupQueries {
        |  SELECT 1 FROM labels l WHERE l.doc_id = d.doc_id AND l.cluster_id != d.doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Quality-aware canonical selection: cluster the exact-Jaccard
+    * near-dup pairs (dd02/dd08's edges), keep each cluster's
+    * HIGHEST-quality member (tx02's score), pass singletons through.
+    * dd09's min-id canonical rule upgraded to the one curation
+    * pipelines really use.
+    */
+  private def dd13QualityCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    Dedup.curateByQuality(docs, pairs, "doc_id",
+        graft.text.TextStats.qualityScore(col("text")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: dd08's recursive-CTE components + tx02's quality formula,
+    * window argmax per cluster, NOT EXISTS pass-through for
+    * singletons.
+    */
+  private val dd13Sql =
+    s"""WITH RECURSIVE $shingleCteBody,
+       | inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       | sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+       | cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       | ), pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sizes na ON doc_a = na.doc_id
+       |  JOIN sizes nb ON doc_b = nb.doc_id
+       |  WHERE common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE) >= 0.5
+       | ), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       | ), walk(v, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, walk.label FROM walk JOIN edges e ON walk.v = e.src
+       | ), labels AS (
+       |  SELECT v AS doc_id, min(label) AS cluster_id FROM walk GROUP BY v
+       | ), q AS (
+       |  SELECT doc_id,
+       |    round(0.4 * least(len(toks) / 50.0, 1.0)
+       |        + 0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+       |        + 0.2 * least(5.0 * (len(list_filter(toks, x -> list_contains(
+       |            ['the','a','an','and','or','of','to','in','is','it'], x)))
+       |          / CAST(len(toks) AS DOUBLE)), 1.0), 6) AS quality
+       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), z -> z != '') AS toks
+       |        FROM documents)
+       | ), best AS (
+       |  SELECT doc_id, cluster_id, quality FROM (
+       |    SELECT l.doc_id, l.cluster_id, q.quality,
+       |      row_number() OVER (PARTITION BY l.cluster_id
+       |        ORDER BY q.quality DESC, l.doc_id) AS rk
+       |    FROM labels l JOIN q USING (doc_id))
+       |  WHERE rk = 1
+       | ), singles AS (
+       |  SELECT q.doc_id, q.doc_id AS cluster_id, q.quality FROM q
+       |  WHERE NOT EXISTS (SELECT 1 FROM labels l WHERE l.doc_id = q.doc_id)
+       | )
+       |SELECT doc_id, cluster_id, quality
+       |FROM (SELECT * FROM best UNION ALL SELECT * FROM singles)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Semantic dedup (SemDeDup-shaped): nearest-centroid cells over the
+    * first 8 corpus vectors (deterministic quantizer both engines
+    * re-derive from the table, the sim03 technique), greedy-leader
+    * keep within each cell at cosine ≥ 0.35. Output is the kept set.
+    */
+  private def dd12SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    Dedup.semanticDedup(emb, "vec_id", "embedding", centroids, threshold = 0.35)
+      .orderBy(col("id"))
+  }
+
+  /** Oracle: same comparator chain as the sim03 oracle (assignment by
+    * |c|² − 2·v·c with cell-index tie-break), then the greedy-leader
+    * NOT EXISTS. list_cosine_similarity's double arithmetic matches
+    * the VectorExprs kernel bit-for-bit (dd05-proven parity).
+    */
+  private val dd12Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cell0, v AS cv FROM e WHERE vec_id < 8),
+      |assign AS (
+      |  SELECT e.vec_id, e.v, c.cell0,
+      |    list_dot_product(c.cv, c.cv) - 2.0::DOUBLE * list_dot_product(e.v, c.cv) AS dist,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(c.cv, c.cv) - 2.0::DOUBLE * list_dot_product(e.v, c.cv),
+      |      c.cell0) AS rn
+      |  FROM e, cent c),
+      |ranked AS (
+      |  SELECT vec_id, v, cell0 AS cell,
+      |    CAST(row_number() OVER (PARTITION BY cell0 ORDER BY dist, vec_id) AS INTEGER)
+      |      AS cell_rank
+      |  FROM assign WHERE rn = 1),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM ranked a JOIN ranked b
+      |    ON a.cell = b.cell AND a.cell_rank < b.cell_rank
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
+      |SELECT r.vec_id AS id, CAST(r.cell AS INTEGER) AS cell, r.cell_rank
+      |FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+      |WHERE d.vec_id IS NULL
+      |ORDER BY id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dd01_exact_dedup", dd01Exact, Some(dd01Sql)),
     Q("dd02_jaccard_pairs", dd02Jaccard, Some(dd02Sql)),
@@ -302,5 +410,7 @@ object DedupQueries {
     Q("dd07_incremental", dd07Incremental, Some(dd07Sql)),
     Q("dd08_dup_clusters", dd08Clusters, Some(dd08Sql)),
     Q("dd09_curated_corpus", dd09Curate, Some(dd09Sql)),
+    Q("dd12_semantic_dedup", dd12SemanticDedup, Some(dd12Sql)),
+    Q("dd13_quality_canonical", dd13QualityCanonical, Some(dd13Sql)),
   )
 }

@@ -82,6 +82,16 @@ object Ann {
       struct((lit(cNormSq) - lit(2.0) * dot(v, lc)).as("dist"), lit(i).as("cell"))
     }
 
+  /** Nearest-centroid assignment as a `(dist, cell)` struct Column —
+    * the same literal arithmetic [[ivfTopKFixed]] assigns cells by
+    * (Euclidean order without the constant |v|² term; ties break on
+    * cell index via the struct sort). Shared with Dedup.semanticDedup
+    * so cluster assignment is one oracle-checkable comparator
+    * everywhere it appears.
+    */
+  def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column =
+    element_at(array_sort(array(centroidDists(v, centroids.zipWithIndex): _*)), 1)
+
   /** Shared IVF probe+score tail: corpus rows carry an assigned cell;
     * each query explodes into its nProbe nearest cells (broadcast), and
     * only same-cell pairs are scored.
@@ -147,9 +157,7 @@ object Ann {
       vecCol: String, k: Int, centroids: Seq[Seq[Double]], nProbe: Int = 4): DataFrame = {
     val indexed = centroids.zipWithIndex
     val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cell",
-        element_at(array_sort(array(centroidDists(col("cv"), indexed): _*)), 1)
-          .getField("cell"))
+      .withColumn("cell", nearestCell(col("cv"), centroids).getField("cell"))
       .withColumn("cn", norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))

@@ -149,4 +149,55 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet === Set((1L, 2L)))
   }
+
+  test("curateByQuality keeps the highest-quality cluster member, passes singletons") {
+    val d = Seq(
+      (1L, "short"),                                            // cluster {1,2}: low quality
+      (2L, "the quick brown fox jumps over the lazy dog today"), // higher quality → kept
+      (3L, "lone document with no duplicates at all"),           // singleton → kept
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.curateByQuality(d, pairs, "doc_id",
+        graft.text.TextStats.qualityScore(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(kept === Seq((2L, 1L), (3L, 3L))) // 2 kept under cluster-id 1 (min member id)
+  }
+
+  test("curateByQuality breaks exact quality ties on doc_id") {
+    val d = Seq((5L, "same text here"), (6L, "same text here")).toDF("doc_id", "text")
+    val pairs = Seq((5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.curateByQuality(d, pairs, "doc_id",
+        graft.text.TextStats.qualityScore(col("text")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(5L))
+  }
+
+  test("semanticDedup: leader kept, near-dups dropped, cross-cell dups untouched") {
+    // centroids at x-axis and y-axis → cells 0 and 1
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val emb = Seq(
+      (1L, Array(10.0f, 0.1f)),  // cell 0, closest to centroid → leader
+      (2L, Array(10.0f, 0.2f)),  // cell 0, cosine with 1 ≈ 1 → dropped
+      (3L, Array(5.0f, 4.0f)),   // cell 0, cosine with 1 ≈ 0.78 < τ → kept
+      (4L, Array(0.1f, 10.0f)),  // cell 1: same direction as 2 is irrelevant cross-cell
+      (5L, Array(0.2f, 10.0f)),  // cell 1, near-dup of 4 → dropped
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(emb, "vec_id", "embedding", cents, threshold = 0.9)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 3L, 4L))
+  }
+
+  test("semanticDedup is invariant under repartitioning") {
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0))
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 60L).map { i =>
+      (i, Array.fill(3)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val a = Dedup.semanticDedup(emb, "vec_id", "embedding", cents, 0.95)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+    val b = Dedup.semanticDedup(emb.repartition(13), "vec_id", "embedding", cents, 0.95)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(a === b)
+    assert(a.nonEmpty && a.size < 60) // something kept, something dropped
+  }
 }
