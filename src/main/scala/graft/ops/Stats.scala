@@ -50,4 +50,47 @@ object Stats {
       .filter(col("sample_rank") <= n)
       .withColumn("sample_rank", col("sample_rank").cast("int"))
   }
+
+  /** Key-skew profile — the diagnostic you run BEFORE choosing a join
+    * strategy (salt? broadcast? AQE skew split?) on a 100 TB table.
+    * One row per metric:
+    *
+    *   n_keys, total_rows, max_cnt, avg_cnt,
+    *   skew_ratio  = max_cnt / avg_cnt (1.0 = perfectly uniform),
+    *   top10_share = fraction of all rows held by the 10 hottest keys,
+    *   p99_cnt     = smallest count c with ≥ ⌈0.99·n_keys⌉ keys ≤ c
+    *                 (rank definition on integers — reproducible
+    *                 everywhere, unlike interpolated quantiles).
+    *
+    * Scale shape: ONE shuffle (the per-key count); everything after
+    * operates on the key-count table and its count-histogram, both
+    * ≪ the fact table. p99 comes from a cumulative sum over the
+    * histogram (distinct count VALUES — typically hundreds), never a
+    * global sort of the key table; top-10 is TakeOrdered.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    val base = counts.agg(
+      count(lit(1)).as("n_keys"), sum(col("c")).as("total_rows"),
+      max(col("c")).as("max_cnt"), avg(col("c")).as("avg_cnt"))
+    val top10 = counts.orderBy(col("c").desc, col(keyCol)).limit(10)
+      .agg(sum(col("c")).as("top10"))
+    // count-histogram cumulative: tiny table, single window is fine
+    val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("nk"))
+      .withColumn("cum", sum(col("nk")).over(
+        Window.orderBy(col("c")).rowsBetween(Window.unboundedPreceding, 0)))
+    val p99 = hist.crossJoin(broadcast(base.select(col("n_keys"))))
+      .filter(col("cum") >= ceil(col("n_keys") * 0.99))
+      .agg(min(col("c")).as("p99_cnt"))
+    base.crossJoin(top10).crossJoin(p99).select(
+      explode(map(
+        lit("n_keys"), col("n_keys").cast("double"),
+        lit("total_rows"), col("total_rows").cast("double"),
+        lit("max_cnt"), col("max_cnt").cast("double"),
+        lit("avg_cnt"), round(col("avg_cnt"), 4),
+        lit("skew_ratio"), round(col("max_cnt") / col("avg_cnt"), 4),
+        lit("top10_share"), round(col("top10") / col("total_rows"), 4),
+        lit("p99_cnt"), col("p99_cnt").cast("double")
+      )).as(Seq("metric", "value")))
+  }
 }

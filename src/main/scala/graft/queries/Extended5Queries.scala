@@ -282,6 +282,74 @@ object Extended5Queries {
     graft.text.BpeTrainer.train(Tables.documents(s, dir), "text", numMerges = 8)
       .orderBy(col("merge_rank"))
 
+  /** Interpolated bigram NLL (λ=0.7) over the documents corpus — the
+    * next-order perplexity filter above tx11's unigram model. The lag
+    * window, LM joins, and per-doc aggregate all reproduce exactly in
+    * ANSI SQL.
+    */
+  private def tx14BigramNll(s: SparkSession, dir: String): DataFrame =
+    TextStats.bigramNll(Tables.documents(s, dir), "doc_id", "text", lambda = 0.7)
+      .orderBy(col("doc_id"))
+
+  private val tx14Sql =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS t
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, pos, t[pos] AS w
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos FROM base)),
+      |seq AS (
+      |  SELECT doc_id, pos, w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM toks),
+      |uni AS (SELECT w, count(*) AS cu FROM toks GROUP BY 1),
+      |total AS (SELECT count(*) AS total FROM toks),
+      |big AS (SELECT prev, w, count(*) AS cb FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |ctx AS (SELECT prev, count(*) AS cctx FROM seq WHERE prev IS NOT NULL GROUP BY 1)
+      |SELECT s.doc_id, count(*) AS n_tokens,
+      |  round(avg(-ln(CASE WHEN s.prev IS NULL THEN u.cu / CAST(t.total AS DOUBLE)
+      |    ELSE 0.7 * b.cb / CAST(c.cctx AS DOUBLE)
+      |       + 0.3 * u.cu / CAST(t.total AS DOUBLE) END)), 4) AS bigram_nll
+      |FROM seq s JOIN uni u ON s.w = u.w CROSS JOIN total t
+      |LEFT JOIN big b ON s.prev = b.prev AND s.w = b.w
+      |LEFT JOIN ctx c ON s.prev = c.prev
+      |GROUP BY s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
+  /** Key-skew profile of events.user_id — the pre-join diagnostic for
+    * salting/broadcast/AQE decisions, emitted as (metric, value) rows.
+    */
+  private def q83KeySkew(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.keySkewProfile(Tables.events(s, dir), "user_id")
+      .orderBy(col("metric"))
+
+  private val q83Sql =
+    """WITH counts AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+      |base AS (
+      |  SELECT count(*) AS n_keys, sum(c) AS total_rows, max(c) AS max_cnt,
+      |    avg(c) AS avg_cnt
+      |  FROM counts),
+      |top10 AS (
+      |  SELECT sum(c) AS top10
+      |  FROM (SELECT c FROM counts ORDER BY c DESC, user_id LIMIT 10)),
+      |hist AS (SELECT c, count(*) AS nk FROM counts GROUP BY 1),
+      |cum AS (
+      |  SELECT c, sum(nk) OVER (ORDER BY c
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM hist),
+      |p99 AS (
+      |  SELECT min(c) AS p99_cnt FROM cum CROSS JOIN base
+      |  WHERE cum >= ceil(n_keys * 0.99))
+      |SELECT metric, value FROM (
+      |  SELECT 'n_keys' AS metric, CAST(n_keys AS DOUBLE) AS value FROM base
+      |  UNION ALL SELECT 'total_rows', CAST(total_rows AS DOUBLE) FROM base
+      |  UNION ALL SELECT 'max_cnt', CAST(max_cnt AS DOUBLE) FROM base
+      |  UNION ALL SELECT 'avg_cnt', round(avg_cnt, 4) FROM base
+      |  UNION ALL SELECT 'skew_ratio', round(max_cnt / avg_cnt, 4) FROM base
+      |  UNION ALL SELECT 'top10_share', round(top10 / CAST(total_rows AS DOUBLE), 4)
+      |    FROM top10 CROSS JOIN base
+      |  UNION ALL SELECT 'p99_cnt', CAST(p99_cnt AS DOUBLE) FROM p99)
+      |ORDER BY metric""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("tx12_span_dedup", tx12SpanDedup, Some(tx12Sql)),
     Q("dd10_passage_overlap", dd10PassageOverlap, Some(dd10Sql)),
@@ -291,5 +359,7 @@ object Extended5Queries {
     Q("q81_sorted_neighborhood", q81SortedNeighborhood, Some(q81Sql)),
     Q("q82_group_sample", q82GroupSample, Some(q82Sql)),
     Q("dd11_passage_clusters", dd11PassageClusters, Some(dd11Sql)),
-    Q("tx13_bpe_train", tx13BpeTrain, Some(graft.text.BpeTrainer.oracleSql(8))))
+    Q("tx13_bpe_train", tx13BpeTrain, Some(graft.text.BpeTrainer.oracleSql(8))),
+    Q("tx14_bigram_nll", tx14BigramNll, Some(tx14Sql)),
+    Q("q83_key_skew", q83KeySkew, Some(q83Sql)))
 }

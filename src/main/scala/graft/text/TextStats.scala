@@ -142,4 +142,45 @@ object TextStats {
     regexp_extract_all(text, lit(BpePieceRegex), lit(0))
 
   def bpePieceCount(text: Column): Column = size(bpePieces(text))
+
+  /** Interpolated bigram negative log-likelihood per document — the
+    * perplexity-style quality filter one step up from the unigram
+    * model (tx11): p(wᵢ|wᵢ₋₁) = λ·c(wᵢ₋₁wᵢ)/c(wᵢ₋₁·) + (1−λ)·c(wᵢ)/N,
+    * with the LM estimated on the scored corpus itself. A document's
+    * first token (no predecessor) scores by the unigram term alone.
+    *
+    * Scale shape: tokens carry (doc_id, pos); the predecessor comes
+    * from a lag window partitioned BY DOC (one shuffle on doc_id,
+    * partition-local sort of a bounded doc — never a global sort, and
+    * never the O(len²) alternative of carrying the token array through
+    * the explode). Unigram vocab broadcasts (tx11's assumption);
+    * the bigram table joins by shuffle on (prev, w) — at web scale
+    * bigram vocab is NOT broadcastable.
+    *
+    * Output: (doc_id, n_tokens, bigram_nll rounded to 4 dp).
+    */
+  def bigramNll(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, lambda: Double = 0.7): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    val seq2 = toks.withColumn("prev",
+      lag(col("w"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val big = seq2.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("cb"))
+    val ctx = seq2.filter(col("prev").isNotNull)
+      .groupBy(col("prev")).agg(count(lit(1)).as("cctx"))
+    val pUni = col("cu") / col("total")
+    val p = when(col("prev").isNull, pUni)
+      .otherwise(lit(lambda) * col("cb") / col("cctx") + lit(1.0 - lambda) * pUni)
+    seq2.join(broadcast(uni), "w").crossJoin(broadcast(total))
+      .join(big, Seq("prev", "w"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(p)), 4).as("bigram_nll"))
+  }
 }

@@ -174,6 +174,38 @@ class Extended5Spec extends SparkSpec {
     assert(!r.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("bigramNll: hand-computed interpolated probabilities on a two-doc corpus") {
+    // corpus tokens: doc1 = [a b a], doc2 = [b b]  → N=5, cu(a)=2, cu(b)=3
+    // bigrams: (a,b) (b,a) (b,b); cctx(a)=1, cctx(b)=2
+    val docs = Seq((1L, "a b a"), (2L, "b b")).toDF("doc_id", "text")
+    val out = graft.text.TextStats.bigramNll(docs, "doc_id", "text", lambda = 0.7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val (pA, pB) = (2.0 / 5, 3.0 / 5)
+    // doc1: p(a)=pA, p(b|a)=0.7*1/1+0.3*pB, p(a|b)=0.7*1/2+0.3*pA
+    val d1 = -(math.log(pA) + math.log(0.7 + 0.3 * pB) + math.log(0.35 + 0.3 * pA)) / 3
+    // doc2: p(b)=pB, p(b|b)=0.7*1/2+0.3*pB
+    val d2 = -(math.log(pB) + math.log(0.35 + 0.3 * pB)) / 2
+    assert(out(1L)._1 === 3L)
+    assert(out(1L)._2 === math.round(d1 * 1e4) / 1e4)
+    assert(out(2L)._1 === 2L)
+    assert(out(2L)._2 === math.round(d2 * 1e4) / 1e4)
+  }
+
+  test("keySkewProfile computes exact metrics on a known distribution") {
+    // key 1 → 6 rows, keys 2..5 → 1 row each: n_keys=5, total=10, max=6
+    val df = (Seq.fill(6)(1) ++ Seq(2, 3, 4, 5)).toDF("k")
+    val m = graft.ops.Stats.keySkewProfile(df, "k")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("n_keys") === 5.0)
+    assert(m("total_rows") === 10.0)
+    assert(m("max_cnt") === 6.0)
+    assert(m("avg_cnt") === 2.0)
+    assert(m("skew_ratio") === 3.0)
+    assert(m("top10_share") === 1.0) // only 5 keys — top-10 covers everything
+    // ceil(0.99*5)=5 keys must be <= p99 count → the max, 6
+    assert(m("p99_cnt") === 6.0)
+  }
+
   test("quantizedTopK recall vs exact brute force is high at int8 precision") {
     val emb = embFixture
     val q = emb.filter($"vec_id" < 10)
