@@ -68,21 +68,64 @@ object Multimodal {
     }
   }
 
-  /** THE STUB SEAM for audio/video (no codecs on a stock JVM): a real
+  /** THE STUB SEAM for video (no video codec on a stock JVM): a real
     * implementation would invoke ffmpeg-style bindings here. The fake
     * is a deterministic function of the bytes so downstream plumbing is
-    * fully testable.
+    * fully testable. Audio/image blobs whose bytes no installed reader
+    * accepts also land here.
     */
   private[multimodal] def decodeStub(m: Media): Array[Byte] =
     m.content.take(math.min(m.content.length, m.width * m.height))
 
+  /** REAL audio decode via javax.sound.sampled (WAV/AIFF/AU readers
+    * ship with every stock JVM): PCM frames → 8-bit unsigned samples of
+    * the FIRST channel (16-bit samples keep their high byte; signed
+    * values shift to the 0–255 plane by +128 — the audio analogue of
+    * the image path's 8-bit luminance). Returns None for bytes no
+    * installed reader understands (the synthetic md5-hex blobs, real
+    * compressed formats) — caller falls back to [[decodeStub]].
+    */
+  private[multimodal] def decodeAudio(m: Media): Option[Array[Byte]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.content))
+      try {
+        val f = ais.getFormat
+        val enc = f.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val bytesPerSample = f.getSampleSizeInBits / 8
+        if ((!signed && !unsigned) || (bytesPerSample != 1 && bytesPerSample != 2)) None
+        else {
+          val raw = ais.readAllBytes()
+          val frameSize = f.getFrameSize
+          val nFrames = raw.length / frameSize
+          val out = new Array[Byte](nFrames)
+          val hiOff = if (f.isBigEndian || bytesPerSample == 1) 0 else 1
+          var i = 0
+          while (i < nFrames) {
+            val hi = raw(i * frameSize + hiOff)
+            out(i) = if (signed) (hi + 128).toByte else hi
+            i += 1
+          }
+          Some(out)
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
   /** Decode a blob to a flat byte plane. Images go through a REAL codec
     * — javax.imageio ships with every stock JVM — to row-major 8-bit
-    * luminance (Rec.601 integer weights); bytes no installed reader
-    * understands, and audio/video kinds, fall back to [[decodeStub]].
+    * luminance (Rec.601 integer weights); audio through the REAL
+    * javax.sound.sampled readers ([[decodeAudio]]) to 8-bit
+    * first-channel samples; bytes no installed reader understands, and
+    * the video kind, fall back to [[decodeStub]].
     */
   def decode(m: Media): Array[Byte] =
-    if (m.kind == "image") {
+    if (m.kind == "audio") decodeAudio(m).getOrElse(decodeStub(m))
+    else if (m.kind == "image") {
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
         if (img == null) decodeStub(m)

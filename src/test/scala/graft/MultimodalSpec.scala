@@ -76,6 +76,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode(audio).toSeq === png.take(8).toSeq)
   }
 
+  test("real audio decode: javax.sound.sampled WAV round-trip to 8-bit samples") {
+    import javax.sound.sampled._
+    def wavBytes(samples: Array[Short], channels: Int): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, channels, true, false) // signed little-endian
+      val raw = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt,
+        samples.length / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // mono: every sample's high byte, shifted to unsigned
+    val mono = Array[Short](0, 1000, -1000, 32767, -32768, 256)
+    val decoded = Multimodal.decode(
+      Multimodal.Media(3L, "audio", wavBytes(mono, 1), 0, 0, 0L))
+    assert(decoded.toSeq === mono.map(s => ((s >> 8) + 128).toByte).toSeq)
+    // stereo: first channel only (frame = [L lo, L hi, R lo, R hi])
+    val stereo = Array[Short](1000, 9999, -1000, -9999) // frames: (1000,9999), (-1000,-9999)
+    val decoded2 = Multimodal.decode(
+      Multimodal.Media(4L, "audio", wavBytes(stereo, 2), 0, 0, 0L))
+    assert(decoded2.toSeq === Seq(((1000 >> 8) + 128).toByte, ((-1000 >> 8) + 128).toByte))
+  }
+
   test("processing distributes: partition count preserved through mapPartitions") {
     val parts = media.repartition(6)
     assert(Multimodal.extractFeatures(parts).rdd.getNumPartitions === 6)
