@@ -282,6 +282,31 @@ object Extended5Queries {
     graft.text.BpeTrainer.train(Tables.documents(s, dir), "text", numMerges = 8)
       .orderBy(col("merge_rank"))
 
+  /** Tokenizer APPLICATION at corpus scale: learn the same 8 merges
+    * tx13 gates, then tokenize every document with them — per doc, the
+    * count of trainable tokens and their total BPE piece count (the
+    * token-budget estimate a training pipeline prices datasets with).
+    * The piece table is per distinct WORD (vocab ≪ corpus) and
+    * broadcasts back onto the token stream; merges replay as 8 literal
+    * codegen'd replaces.
+    */
+  private def tx15BpeApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.text.BpeTrainer.train(docs, "text", numMerges = 8)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val toks = docs.select(col("doc_id"),
+      explode(TextStats.tokens(col("text"))).as("word"))
+    val pieces = graft.text.BpeTrainer
+      .applyMerges(toks.select(col("word")).distinct(), "word", merges)
+      .select(col("word"), size(col("pieces")).as("n_pieces"))
+    toks.join(broadcast(pieces), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("n_pieces")).as("n_trainable"),
+        coalesce(sum(col("n_pieces")), lit(0L)).as("n_pieces"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Interpolated bigram NLL (λ=0.7) over the documents corpus — the
     * next-order perplexity filter above tx11's unigram model. The lag
     * window, LM joins, and per-doc aggregate all reproduce exactly in
@@ -361,5 +386,6 @@ object Extended5Queries {
     Q("dd11_passage_clusters", dd11PassageClusters, Some(dd11Sql)),
     Q("tx13_bpe_train", tx13BpeTrain, Some(graft.text.BpeTrainer.oracleSql(8))),
     Q("tx14_bigram_nll", tx14BigramNll, Some(tx14Sql)),
+    Q("tx15_bpe_apply", tx15BpeApply, Some(graft.text.BpeTrainer.applyOracleSql(8))),
     Q("q83_key_skew", q83KeySkew, Some(q83Sql)))
 }

@@ -159,4 +159,37 @@ object BpeTrainer {
        |$union
        |ORDER BY merge_rank""".stripMargin
   }
+
+  /** Oracle for tokenizer APPLICATION (tx15): the same self-derived
+    * merge chain as [[oracleSql]], extended to score every document —
+    * per-word piece counts from the final symbol table v{numMerges},
+    * left-joined back onto each doc's token stream (non-trainable
+    * tokens contribute nothing and are counted separately). No
+    * interpolated values: the SQL re-learns the merges itself.
+    */
+  def applyOracleSql(numMerges: Int): String = {
+    val trainSql = oracleSql(numMerges)
+    // reuse everything up to the merge-list union; swap the SELECT tail
+    val withPrefix = trainSql.substring(0, trainSql.indexOf(s"\nSELECT CAST(1 AS INTEGER)"))
+    // NOTE: strip the margin of the tail BEFORE concatenating — a
+    // stripMargin over the interpolated prefix would eat the first
+    // pipe of every `||` concat operator that happens to start a line.
+    val tail =
+      s""",
+         |pieces AS (
+         |  SELECT word,
+         |    len(list_filter(string_split(repr, '$Sep$Sep'), x -> x != '')) AS n_pieces
+         |  FROM v$numMerges),
+         |doctoks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(text, '\\s+'), z -> z != '')) AS word
+         |  FROM documents)
+         |SELECT d.doc_id,
+         |  CAST(count(p.word) AS BIGINT) AS n_trainable,
+         |  CAST(coalesce(sum(p.n_pieces), 0) AS BIGINT) AS n_pieces
+         |FROM doctoks d LEFT JOIN pieces p USING (word)
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    withPrefix + tail
+  }
 }

@@ -48,6 +48,16 @@ class BpeSpec extends SparkSpec {
     assert(pieces.size < 6)
   }
 
+  test("applyOracleSql keeps the train oracle's concat operators intact") {
+    // regression pin: a stripMargin over the interpolated train-oracle
+    // prefix would eat the leading pipe of line-initial `||` operators
+    val sql = BpeTrainer.applyOracleSql(8)
+    assert(sql.contains("|| '··' AS repr"))
+    assert(!sql.contains("\n| "))         // no orphaned margin pipes
+    assert(sql.contains("FROM v8"))       // pieces read the final table
+    assert(sql.contains("ORDER BY d.doc_id"))
+  }
+
   test("words outside [a-z0-9]+ are excluded from training") {
     val d = docs("café café café aa aa")
     val m = BpeTrainer.train(d, "text", numMerges = 1).collect()
