@@ -69,7 +69,14 @@ object Stats {
     * global sort of the key table; top-10 is TakeOrdered.
     */
   def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    // Materialize the per-key count ONCE: base/top10/p99 all branch
+    // from it, and without the checkpoint each branch re-scans and
+    // re-shuffles the raw fact (PlanSpec-pinned at 4 scans → 1).
+    // Eager, like the dedup iteration tables — the key-count table is
+    // ≪ the fact and this is a terminal diagnostic, not a composable
+    // lazy view.
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val base = counts.agg(
       count(lit(1)).as("n_keys"), sum(col("c")).as("total_rows"),
       max(col("c")).as("max_cnt"), avg(col("c")).as("avg_cnt"))

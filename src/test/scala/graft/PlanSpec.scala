@@ -231,4 +231,63 @@ class PlanSpec extends SparkSpec {
     val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
     assert(scans == 2, s"expected 2 parquet scans, found $scans")
   }
+
+  test("semanticDedup: within-cell pairing is an equi-join on cell, never a cartesian") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val plan = graft.dedup.Dedup
+      .semanticDedup(emb, "vec_id", "embedding", centroids, 0.35)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"cell pairing must be a hash join on cell id:\n${plan.take(1500)}")
+    // centroid assignment is literal arithmetic on the scan — the
+    // corpus is read once for the ranked side and once for its join
+    // mirror, never per centroid
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 3, s"expected <= 3 parquet scans, found $scans")
+  }
+
+  test("curateByQuality: argmax window sorts only cluster members, not the corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, Sf0001)
+    val pairs = graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val df = graft.dedup.Dedup.curateByQuality(docs, pairs, "doc_id",
+      graft.text.TextStats.qualityScore(col("text")))
+    val plan = df.queryExecution.executedPlan.toString
+    // the Window operator must sit above the (small) cluster-member
+    // join, not above a full documents scan: its child subtree joins
+    // quality onto cluster labels first
+    val windowIdx = plan.indexOf("Window")
+    assert(windowIdx >= 0, "expected a window for the per-cluster argmax")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("keySkewProfile: the fact table is scanned and shuffled once for all metrics") {
+    val events = Tables.events(spark, Sf0001)
+    val plan = graft.ops.Stats.keySkewProfile(events, "user_id")
+      .queryExecution.executedPlan.toString
+    // base/top10/hist all derive from the same per-key count, which
+    // is localCheckpoint'd — the raw fact must not appear in the
+    // profile plan at all (it was scanned exactly once, eagerly, to
+    // build the checkpointed count table)
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 0,
+      s"fact must be read only into the checkpointed counts, found $scans scans:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      "metric assembly must be single-row broadcast crosses, not a data cartesian")
+  }
+
+  test("bigramNll: unigram vocab broadcasts; bigram table joins by shuffle") {
+    val docs = Tables.documents(spark, Sf0001)
+    val plan = graft.text.TextStats.bigramNll(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "unigram vocab join must broadcast")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      "bigram LM join present")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
