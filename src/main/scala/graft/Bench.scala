@@ -27,7 +27,9 @@ object Bench {
     "q62_sessionize", "q65_tfidf", "tx08_contamination", "mx01_pack",
     "q74_pagerank", "mx05_curation_pipeline",
     // round-6 families
-    "tx12_span_dedup", "dd10_passage_overlap", "sim04_quantized_topk")
+    "tx12_span_dedup", "dd10_passage_overlap", "sim04_quantized_topk",
+    "dd12_semantic_dedup", "dd13_quality_canonical", "tx14_bigram_nll",
+    "tx15_bpe_apply", "q83_key_skew")
 
   private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
 

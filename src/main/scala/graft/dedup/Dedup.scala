@@ -439,6 +439,44 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** The WEB-SCALE near-dup curation composition (RefinedWeb/CCNet
+    * shape): MinHash-LSH candidate generation → exact-Jaccard
+    * verification ON CANDIDATES ONLY → connected-component clustering
+    * → keep the canonical doc per cluster. dd09 verifies the same
+    * semantics with the exact inverted-index pair generator; this is
+    * the plan that survives 100 TB, where exact pair generation's
+    * Σ bucket² is unaffordable but LSH candidates ≪ all pairs.
+    *
+    * Verification joins each candidate pair to the hashed-shingle
+    * inverted index (cost: candidates × doc length, linear), so a
+    * banding false positive can never drop a below-threshold doc —
+    * LSH recall misses are the only approximation, and those are
+    * governed by the bands/rowsPerBand knobs.
+    *
+    * Output: the curated corpus — (doc_id, n_chars), canonical and
+    * unclustered docs only.
+    */
+  def minHashCuratedCorpus(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    val cand = minHashCandidatePairs(docs, idCol, textCol, n, bands, rowsPerBand, seed)
+    val inv = hashedShingleRows(docs, idCol, textCol, n) // (doc, s) distinct rows
+    val sizes = inv.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(inv.toDF("doc_a", "s"), "doc_a")
+      .join(inv.toDF("doc_b", "s"), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    val verified = common
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .filter(col("common") / (col("n_a") + col("n_b") - col("common")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = duplicateClusters(verified, "doc_a", "doc_b")
+    keepCanonical(docs, idCol, clusters)
+      .select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("int").as("n_chars"))
+  }
+
   /** Quality-aware canonical selection: given near-dup `pairs`
     * (doc_a, doc_b edges) and a per-doc quality expression, keep the
     * HIGHEST-quality member of every duplicate cluster instead of the

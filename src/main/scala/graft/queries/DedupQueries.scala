@@ -292,6 +292,69 @@ object DedupQueries {
        |  SELECT 1 FROM labels l WHERE l.doc_id = d.doc_id AND l.cluster_id != d.doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** The composed web-scale dedup pipeline: MinHash-LSH candidates →
+    * exact-Jaccard verification on candidates only → components →
+    * canonical keep. Same semantics as dd09 whenever LSH recall is
+    * complete; the oracle re-derives the ENTIRE chain (seeded
+    * signature mins, band self-joins, candidate-restricted
+    * verification, recursive components) so any recall miss would
+    * surface as a hash mismatch.
+    */
+  private def dd14MinhashCurated(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashCuratedCorpus(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .orderBy(col("doc_id"))
+
+  private val dd14Sql: String = {
+    val bands = 8; val rowsPerBand = 4
+    val coeffs = Dedup.minHashCoeffs(bands * rowsPerBand)
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"    min((h * $a + $b) % 2147483647) AS mh_$i"
+    }.mkString(",\n")
+    val bandJoins = (0 until bands).map { bd =>
+      val conds = (0 until rowsPerBand)
+        .map(r => s"a.mh_${bd * rowsPerBand + r} = b.mh_${bd * rowsPerBand + r}")
+        .mkString(" AND ")
+      s"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n" +
+        s"  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND $conds"
+    }.mkString("\n  UNION\n")
+    s"""WITH RECURSIVE $shingleCteBody,
+       | inv AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+       | sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+       | sig AS (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM inv GROUP BY doc_id
+       | ), cand AS (
+       |$bandJoins
+       | ), common AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM cand c
+       |  JOIN inv a ON a.doc_id = c.doc_a
+       |  JOIN inv b ON b.doc_id = c.doc_b AND b.h = a.h
+       |  GROUP BY 1, 2
+       | ), pairs AS (
+       |  SELECT doc_a, doc_b FROM common
+       |  JOIN sizes na ON doc_a = na.doc_id
+       |  JOIN sizes nb ON doc_b = nb.doc_id
+       |  WHERE common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE) >= 0.5
+       | ), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       | ), walk(v, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, walk.label FROM walk JOIN edges e ON walk.v = e.src
+       | ), labels AS (
+       |  SELECT v AS doc_id, min(label) AS cluster_id FROM walk GROUP BY v
+       | )
+       |SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars
+       |FROM documents d
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM labels l WHERE l.doc_id = d.doc_id AND l.cluster_id != d.doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Quality-aware canonical selection: cluster the exact-Jaccard
     * near-dup pairs (dd02/dd08's edges), keep each cluster's
     * HIGHEST-quality member (tx02's score), pass singletons through.
@@ -412,5 +475,6 @@ object DedupQueries {
     Q("dd09_curated_corpus", dd09Curate, Some(dd09Sql)),
     Q("dd12_semantic_dedup", dd12SemanticDedup, Some(dd12Sql)),
     Q("dd13_quality_canonical", dd13QualityCanonical, Some(dd13Sql)),
+    Q("dd14_minhash_curated", dd14MinhashCurated, Some(dd14Sql)),
   )
 }

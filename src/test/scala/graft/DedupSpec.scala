@@ -150,6 +150,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSet === Set((1L, 2L)))
   }
 
+  test("minHashCuratedCorpus: exact dups collide and drop; sub-threshold near-dups survive") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      // identical token stream (extra whitespace only) → identical
+      // shingles → identical signature → guaranteed band collision;
+      // jaccard 1.0 passes verification → dropped as non-canonical
+      (2L, "alpha  beta   gamma delta epsilon zeta"),
+      // shares a prefix but mostly different: even if banding proposes
+      // it, exact verification rejects below threshold 0.9 → kept
+      (3L, "alpha beta gamma completely different tail words here"),
+      (4L, "unrelated content with nothing shared at all okay"),
+    ).toDF("doc_id", "text")
+    val kept = Dedup.minHashCuratedCorpus(d, "doc_id", "text", threshold = 0.9)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 3L, 4L))
+  }
+
   test("curateByQuality keeps the highest-quality cluster member, passes singletons") {
     val d = Seq(
       (1L, "short"),                                            // cluster {1,2}: low quality
