@@ -138,9 +138,83 @@ object SimilarityQueries {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** End-to-end TEXT semantic search: documents → deterministic
+    * signed-hash sparse embedding (ml07's md5 scheme folded to 16
+    * dims) → sparse-dot cosine top-3 for the first 5 docs as queries.
+    * The whole text→embed→search pipeline in one plan, and — because
+    * weights are exact integers — reproducible bit-for-bit in SQL,
+    * unlike any float-model embedding.
+    *
+    * Scale shape: the dot products come from an inverted-index join on
+    * dim (the classic sparse-retrieval plan — postings per dimension),
+    * with the tiny query side broadcast; norms are one per-doc agg.
+    * Nothing is quadratic in the corpus.
+    */
+  private def sim05TextSearch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val terms = docs
+      .select(col("doc_id"), explode(graft.text.TextStats.tokens(col("text"))).as("t"))
+      .withColumn("h",
+        pmod(conv(substring(md5(col("t")), 1, 12), 16, 10).cast("long"), lit(1048576)))
+    val w = terms
+      .select(col("doc_id"), (col("h") % 16).cast("int").as("dim"),
+        (((col("h") / 16).cast("long") % 2) * 2 - 1).as("sgn"))
+      .groupBy(col("doc_id"), col("dim")).agg(sum(col("sgn")).as("w"))
+      .filter(col("w") =!= 0)
+    val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val q = w.filter(col("doc_id") < 5).toDF("qid", "dim", "qw")
+    val dots = w.toDF("nid", "dim", "nw").join(broadcast(q), Seq("dim"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid")).agg(sum(col("qw") * col("nw")).as("dot"))
+    val scored = dots
+      .join(norms.toDF("qid", "qn"), "qid")
+      .join(norms.toDF("nid", "nn"), "nid")
+      .withColumn("cosine", col("dot") / (col("qn") * col("nn")))
+    val rankW = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(rankW)).filter(col("rank") <= 3)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val sim05Sql =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(toks) AS t
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |        FROM documents)),
+      |h AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 12))::BIGINT % 1048576 AS h
+      |  FROM terms),
+      |w AS (
+      |  SELECT doc_id, CAST(h % 16 AS INTEGER) AS dim,
+      |    sum((h // 16) % 2 * 2 - 1) AS w
+      |  FROM h GROUP BY 1, 2
+      |  HAVING sum((h // 16) % 2 * 2 - 1) != 0),
+      |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+      |dots AS (
+      |  SELECT q.doc_id AS qid, c.doc_id AS nid, sum(q.w * c.w) AS dot
+      |  FROM w q JOIN w c ON q.dim = c.dim AND q.doc_id != c.doc_id
+      |  WHERE q.doc_id < 5
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT qid, nid, dot / (a.nrm * b.nrm) AS cosine
+      |  FROM dots
+      |  JOIN norms a ON a.doc_id = qid
+      |  JOIN norms b ON b.doc_id = nid),
+      |ranked AS (
+      |  SELECT qid, nid, cosine,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid)
+      |      AS INTEGER) AS rank
+      |  FROM scored)
+      |SELECT qid AS query_id, rank, nid AS neighbor_id, round(cosine, 4) AS cosine
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("sim01_brute_topk", sim01BruteTopK, Some(sim01Sql)),
     Q("sim02_lsh_topk", sim02LshTopK, Some(sim02Sql)),
     Q("sim03_ivf_topk", sim03IvfTopK, Some(sim03Sql)),
+    Q("sim05_text_search", sim05TextSearch, Some(sim05Sql)),
   )
 }
