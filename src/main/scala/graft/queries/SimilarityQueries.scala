@@ -211,10 +211,71 @@ object SimilarityQueries {
       |FROM ranked WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Per-label embedding centroids (first 8 dims) — the cluster-profile
+    * aggregate an embedding-quality dashboard reads: one narrow
+    * explode + one groupBy on (label, dim), all vector arithmetic in
+    * the aggregate. */
+  private def q84LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .filter(col("dim") < 8)
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v")), 4).as("mean_v"), count(lit(1)).as("n"))
+      .orderBy(col("label"), col("dim"))
+
+  private val q84Sql =
+    """SELECT label, CAST(dim - 1 AS INTEGER) AS dim, round(avg(v), 4) AS mean_v,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |        generate_subscripts(embedding, 1) AS dim
+      |      FROM embeddings)
+      |WHERE dim <= 8
+      |GROUP BY 1, 2
+      |ORDER BY label, dim""".stripMargin
+
+  /** ANN evaluation harness as a query: recall@5 of the sign-LSH path
+    * against exact brute force, per query — the measurement a pipeline
+    * runs before trusting an index. Both sides are oracle-checked
+    * queries already; the oracle composes their SQL as CTEs, so this
+    * gate also cross-checks that composition reproduces.
+    *
+    * On the synthetic near-uniform embeddings this measures ~0.02 —
+    * correct and instructive: a SINGLE 8-bit table leaves ~2 docs per
+    * bucket, and sign-LSH needs OR-amplification (multiple tables) or
+    * multi-probe for recall on weakly-clustered data. AnnSpec's
+    * recall assertions run coarser buckets (nBits=4 → wider candidate
+    * pools); this query pins the honest number at sim02's production
+    * bucketing.
+    */
+  private def q85AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = sim01BruteTopK(s, dir).select(col("query_id"), col("neighbor_id"))
+    val lsh = sim02LshTopK(s, dir)
+      .select(col("query_id").as("ql"), col("neighbor_id").as("nl"))
+    exact.join(lsh,
+        col("query_id") === col("ql") && col("neighbor_id") === col("nl"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("nl")).as("n_overlap"),
+        round(count(col("nl")) / 5.0, 4).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  // built by concatenation, NOT an outer stripMargin: the interpolated
+  // member SQL may contain line-initial || operators that a second
+  // stripMargin pass would corrupt (the BpeTrainer.applyOracleSql pin)
+  private def q85Sql: String =
+    "WITH exact AS (\n" + sim01Sql + "\n), lsh AS (\n" + sim02Sql + "\n)\n" +
+      "SELECT e.query_id, CAST(count(l.neighbor_id) AS BIGINT) AS n_overlap,\n" +
+      "  round(count(l.neighbor_id) / 5.0, 4) AS recall\n" +
+      "FROM exact e LEFT JOIN lsh l\n" +
+      "  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id\n" +
+      "GROUP BY e.query_id\nORDER BY e.query_id"
+
   val all: Seq[Q] = Seq(
     Q("sim01_brute_topk", sim01BruteTopK, Some(sim01Sql)),
     Q("sim02_lsh_topk", sim02LshTopK, Some(sim02Sql)),
     Q("sim03_ivf_topk", sim03IvfTopK, Some(sim03Sql)),
     Q("sim05_text_search", sim05TextSearch, Some(sim05Sql)),
+    Q("q84_label_centroids", q84LabelCentroids, Some(q84Sql)),
+    Q("q85_ann_recall", q85AnnRecall, Some(q85Sql)),
   )
 }
