@@ -29,7 +29,7 @@ object Bench {
     // round-6 families
     "tx12_span_dedup", "dd10_passage_overlap", "sim04_quantized_topk",
     "dd12_semantic_dedup", "dd13_quality_canonical", "tx14_bigram_nll",
-    "tx15_bpe_apply", "q83_key_skew")
+    "tx15_bpe_apply", "q83_key_skew", "dd14_minhash_curated", "sim05_text_search")
 
   private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
 
