@@ -340,6 +340,74 @@ object Extended5Queries {
       |GROUP BY s.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  /** Span novelty over 8-token spans: the id-ordered contribution
+    * score — what fraction of each doc's spans first appear there.
+    */
+  private def tx16SpanNovelty(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.spanNovelty(Tables.documents(s, dir), window = 8)
+      .orderBy(col("doc_id"))
+
+  private val tx16Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM documents),
+      |spans AS (
+      |  SELECT doc_id, md5(array_to_string(toks[st:st+7], ' ')) AS span_fp
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 8)) AS st
+      |        FROM toks WHERE len(toks) > 0)),
+      |firsts AS (SELECT span_fp, min(doc_id) AS first_doc FROM spans GROUP BY 1)
+      |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+      |    / CAST(count(*) AS DOUBLE), 4) AS novelty
+      |FROM spans s JOIN firsts f USING (span_fp)
+      |GROUP BY s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
+  /** Quality percentile per doc WITHOUT a global sort: CDF via the
+    * count-histogram of rounded scores (distinct values ≪ docs), a
+    * running sum over that tiny table, and a join back on the score —
+    * the scalable alternative to percent_rank's full-corpus window.
+    * pct_le = fraction of docs with quality ≤ yours.
+    */
+  private def tx17QualityPercentile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val q = docs.select(col("doc_id"),
+      round(TextStats.qualityScore(col("text")), 4).as("quality"))
+    val hist = q.groupBy(col("quality")).agg(count(lit(1)).as("nq"))
+    val cum = hist.withColumn("cum", sum(col("nq")).over(
+      Window.orderBy(col("quality")).rowsBetween(Window.unboundedPreceding, 0)))
+    val total = q.agg(count(lit(1)).as("total"))
+    q.join(broadcast(cum.select(col("quality"), col("cum"))), "quality")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("quality"),
+        round(col("cum") / col("total"), 4).as("pct_le"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tx17Sql =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id,
+      |    round(0.4 * least(len(toks) / 50.0, 1.0)
+      |        + 0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+      |        + 0.2 * least(5.0 * (len(list_filter(toks, x -> list_contains(
+      |            ['the','a','an','and','or','of','to','in','is','it'], x)))
+      |          / CAST(len(toks) AS DOUBLE)), 1.0), 4) AS quality
+      |  FROM t),
+      |hist AS (SELECT quality, count(*) AS nq FROM q GROUP BY 1),
+      |cum AS (
+      |  SELECT quality, sum(nq) OVER (ORDER BY quality
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM hist),
+      |total AS (SELECT count(*) AS total FROM q)
+      |SELECT q.doc_id, q.quality, round(c.cum / CAST(t.total AS DOUBLE), 4) AS pct_le
+      |FROM q JOIN cum c USING (quality) CROSS JOIN total t
+      |ORDER BY q.doc_id""".stripMargin
+
   /** Key-skew profile of events.user_id — the pre-join diagnostic for
     * salting/broadcast/AQE decisions, emitted as (metric, value) rows.
     */
@@ -387,5 +455,7 @@ object Extended5Queries {
     Q("tx13_bpe_train", tx13BpeTrain, Some(graft.text.BpeTrainer.oracleSql(8))),
     Q("tx14_bigram_nll", tx14BigramNll, Some(tx14Sql)),
     Q("tx15_bpe_apply", tx15BpeApply, Some(graft.text.BpeTrainer.applyOracleSql(8))),
+    Q("tx16_span_novelty", tx16SpanNovelty, Some(tx16Sql)),
+    Q("tx17_quality_percentile", tx17QualityPercentile, Some(tx17Sql)),
     Q("q83_key_skew", q83KeySkew, Some(q83Sql)))
 }

@@ -38,6 +38,27 @@ object SpanDedup {
         expr(s"concat_ws(' ', slice(toks, st, $window))").as("span_text"))
       .withColumn("span_fp", md5(col("span_text")))
 
+  /** Per-document NOVELTY: the fraction of a doc's spans whose first
+    * corpus occurrence (min doc_id per span fingerprint) is this doc —
+    * the contribution score that ranks duplicate-heavy documents low
+    * when ingesting corpora in id order. Within-doc repetition still
+    * counts as novel here (it is measured separately by the
+    * repetition filter); only cross-document copying lowers the score.
+    *
+    * Scale shape: one groupBy on the 16-byte fingerprint for the
+    * first-owner table, one join back, one per-doc aggregate — all
+    * hash shuffles, nothing pairwise.
+    */
+  def spanNovelty(docs: DataFrame, window: Int): DataFrame = {
+    val sp = spans(docs, window)
+    val firstOwner = sp.groupBy(col("span_fp")).agg(min(col("doc_id")).as("first_doc"))
+    sp.join(firstOwner, Seq("span_fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_spans"), 4))
+  }
+
   /** Fingerprints occurring in >1 distinct document. */
   def duplicatedSpanFps(spans: DataFrame): DataFrame =
     spans.groupBy(col("span_fp"))

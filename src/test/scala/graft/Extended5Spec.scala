@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ops.CountMin
+import graft.queries.Catalog
 import graft.text.SpanDedup
 
 class Extended5Spec extends SparkSpec {
@@ -172,6 +173,38 @@ class Extended5Spec extends SparkSpec {
     // with dist ≤ 1: (1,2),(2,5); (1,5) has dist 1 and rn-gap 2 → kept
     assert(r === Set((1L, 2L), (2L, 5L), (1L, 5L)))
     assert(!r.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("spanNovelty: copier scores 0, originator keeps 1, within-doc repeats stay novel") {
+    val eight = "a b c d e f g h"
+    val other = "p q r s t u v w"
+    val docs = Seq(
+      (1L, s"$eight $other"),    // originator of both spans → novelty 1.0
+      (2L, eight),               // copies doc 1's first span → novelty 0.0
+      (3L, s"$eight $eight"),    // copies doc 1 twice → 0.0 (cross-doc, not self)
+      (4L, "x y z only four"),   // unique partial span → 1.0
+    ).toDF("doc_id", "text")
+    val m = SpanDedup.spanNovelty(docs, window = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m(1L) === ((2L, 2L, 1.0)))
+    assert(m(2L) === ((1L, 0L, 0.0)))
+    assert(m(3L) === ((2L, 0L, 0.0)))
+    assert(m(4L) === ((1L, 1L, 1.0)))
+  }
+
+  test("quality percentile: pct_le is the exact CDF of rounded scores") {
+    val out = Catalog.queries("tx17_quality_percentile")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    val n = out.length.toDouble
+    // recompute the CDF directly from the returned qualities
+    out.foreach { case (_, q, pct) =>
+      val expected = out.count(_._2 <= q) / n
+      assert(math.abs(pct - math.round(expected * 1e4) / 1e4) < 1e-9,
+        s"pct_le($q) = $pct, expected $expected")
+    }
+    // top score must have pct_le 1.0
+    assert(out.maxBy(_._2)._3 === 1.0)
   }
 
   test("bigramNll: hand-computed interpolated probabilities on a two-doc corpus") {
