@@ -85,6 +85,43 @@ class PropertySpec extends SparkSpec {
     assert(codes.forall(z => z >= 0L && z <= 0xFFFFFFFFL))
   }
 
+  test("spanNovelty conserves: Σ n_novel ≥ distinct fingerprints; novelty ∈ [0,1]") {
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = Gen.listOfN(20, wordGen).map(_.mkString(" "))
+    val docs = samples(docGen, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.text.SpanDedup.spanNovelty(docs, window = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (nSpans, nNovel, nov) =>
+      assert(nNovel >= 0 && nNovel <= nSpans)
+      assert(nov >= 0.0 && nov <= 1.0)
+    }
+    // every distinct fingerprint is novel at least once (in its first
+    // doc; more if that doc repeats the span internally)
+    val distinctFps = graft.text.SpanDedup
+      .spans(docs, 4).select($"span_fp").distinct().count()
+    assert(out.map(_._2).sum >= distinctFps)
+  }
+
+  test("semanticDedup keeps every cell leader and output is a subset, any threshold") {
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-1.0f, 1.0f))
+    val vecs = samples(vecGen, 50).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0, 0, 0), Seq(0, 1.0, 0, 0), Seq(0, 0, 1.0, 0))
+    for (tau <- Seq(0.5, 0.9, 0.99)) {
+      val kept = graft.dedup.Dedup
+        .semanticDedup(emb, "vec_id", "embedding", cents, tau)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      assert(kept.map(_._1).toSet.subsetOf(vecs.map(_._1).toSet))
+      // rank-1 member of every populated cell survives at any threshold
+      val leaders = kept.filter(_._3 == 1).map(_._2).toSet
+      val cells = kept.map(_._2).toSet
+      assert(cells === leaders, s"cells $cells missing a surviving leader at tau=$tau")
+    }
+  }
+
   test("mergeUpsert is idempotent and key-complete on random batches") {
     val gen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(1L, 20L), Gen.chooseNum(0, 1000)))
     val tgtRows = samples(gen, 1).flatten.distinctBy(_._1)
