@@ -408,6 +408,131 @@ object Extended5Queries {
       |FROM q JOIN cum c USING (quality) CROSS JOIN total t
       |ORDER BY q.doc_id""".stripMargin
 
+  /** Curation-funnel observability: how many docs survive each gate
+    * of the mx05 pipeline (eligibility → exact-dedup canonical →
+    * quality → repetition → decontamination), computed in ONE pass:
+    * every gate becomes a boolean flag on a single frame, and the six
+    * cumulative-conjunction counts come from one aggregate — the
+    * pipeline telemetry a curation run reports without re-running a
+    * filter chain per stage.
+    */
+  private def mx06CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val docs = Tables.documents(s, dir)
+    val canon = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter(col("is_dup") === 0).select(col("doc_id"), lit(true).as("canon"))
+    val toks = docs.select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0).localCheckpoint()
+    val quality = docs.filter(TextStats.tokenCount(col("text")) > 0)
+      .select(col("doc_id"), (TextStats.qualityScore(col("text")) >= 0.5).as("q_ok"))
+    val rep = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))"))
+        .as("bg"))
+      .groupBy(col("doc_id"))
+      .agg(((lit(1) - countDistinct(col("bg")) / count(lit(1))) <= 0.4).as("rep_ok"))
+    val sh = toks.filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
+        .as("s5"))
+      .distinct()
+    val contaminated = sh.filter(col("doc_id") >= 25)
+      .join(broadcast(sh.filter(col("doc_id") < 25).select(col("s5")).distinct()), "s5")
+      .select(col("doc_id")).distinct().withColumn("contam", lit(true))
+    val flags = docs.select(col("doc_id"), (col("doc_id") >= 25).as("eligible"))
+      .join(canon, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("eligible"),
+        coalesce(col("canon"), lit(false)).as("canon"),
+        coalesce(col("q_ok"), lit(false)).as("q_ok"),
+        coalesce(col("rep_ok"), lit(false)).as("rep_ok"),
+        coalesce(col("contam"), lit(false)).as("contam"))
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    flags.agg(
+        count(lit(1)).as("s1"),
+        cnt(col("eligible")).as("s2"),
+        cnt(col("eligible") && col("canon")).as("s3"),
+        cnt(col("eligible") && col("canon") && col("q_ok")).as("s4"),
+        cnt(col("eligible") && col("canon") && col("q_ok") && col("rep_ok")).as("s5"),
+        cnt(col("eligible") && col("canon") && col("q_ok") && col("rep_ok")
+          && !col("contam")).as("s6"))
+      .select(explode(map(
+        lit(1), col("s1"), lit(2), col("s2"), lit(3), col("s3"),
+        lit(4), col("s4"), lit(5), col("s5"), lit(6), col("s6")))
+        .as(Seq("stage_idx", "n_docs")))
+      .withColumn("stage", element_at(array(
+        lit("all"), lit("eligible"), lit("canonical"), lit("quality"),
+        lit("repetition"), lit("decontaminated")), col("stage_idx")))
+      .select(col("stage_idx"), col("stage"), col("n_docs"))
+      .orderBy(col("stage_idx"))
+  }
+
+  private val mx06Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM documents),
+      |fp AS (
+      |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS c FROM fp)
+      |  WHERE doc_id = c),
+      |m AS (
+      |  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+      |    len(list_filter(toks, x -> list_contains(
+      |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS nstop
+      |  FROM toks WHERE len(toks) > 0),
+      |q AS (
+      |  SELECT doc_id,
+      |    0.4 * least(n / 50.0, 1.0) + 0.4 * (nd / CAST(n AS DOUBLE))
+      |      + 0.2 * least(5.0 * (nstop / CAST(n AS DOUBLE)), 1.0) AS quality
+      |  FROM m),
+      |bg AS (
+      |  SELECT doc_id, count(*) AS nb, count(DISTINCT b) AS nd
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))) AS b
+      |        FROM toks WHERE len(toks) >= 2)
+      |  GROUP BY doc_id),
+      |rep AS (SELECT doc_id, 1 - nd / CAST(nb AS DOUBLE) AS dup_frac FROM bg),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS s5
+      |  FROM toks WHERE len(toks) >= 5),
+      |contaminated AS (
+      |  SELECT DISTINCT c.doc_id
+      |  FROM sh c JOIN (SELECT DISTINCT s5 FROM sh WHERE doc_id < 25) b USING (s5)
+      |  WHERE c.doc_id >= 25),
+      |flags AS (
+      |  SELECT d.doc_id,
+      |    d.doc_id >= 25 AS eligible,
+      |    (c.doc_id IS NOT NULL) AS canon,
+      |    coalesce(q.quality >= 0.5, false) AS q_ok,
+      |    coalesce(rep.dup_frac <= 0.4, false) AS rep_ok,
+      |    (ct.doc_id IS NOT NULL) AS contam
+      |  FROM documents d
+      |  LEFT JOIN canon c USING (doc_id)
+      |  LEFT JOIN q USING (doc_id)
+      |  LEFT JOIN rep USING (doc_id)
+      |  LEFT JOIN contaminated ct USING (doc_id))
+      |SELECT stage_idx, stage, n_docs FROM (
+      |  SELECT 1 AS stage_idx, 'all' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM flags
+      |  UNION ALL SELECT 2, 'eligible',
+      |    CAST(sum(CASE WHEN eligible THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+      |  UNION ALL SELECT 3, 'canonical',
+      |    CAST(sum(CASE WHEN eligible AND canon THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+      |  UNION ALL SELECT 4, 'quality',
+      |    CAST(sum(CASE WHEN eligible AND canon AND q_ok THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+      |  UNION ALL SELECT 5, 'repetition',
+      |    CAST(sum(CASE WHEN eligible AND canon AND q_ok AND rep_ok THEN 1 ELSE 0 END) AS BIGINT)
+      |    FROM flags
+      |  UNION ALL SELECT 6, 'decontaminated',
+      |    CAST(sum(CASE WHEN eligible AND canon AND q_ok AND rep_ok AND NOT contam
+      |      THEN 1 ELSE 0 END) AS BIGINT) FROM flags)
+      |ORDER BY stage_idx""".stripMargin
+
   /** Key-skew profile of events.user_id — the pre-join diagnostic for
     * salting/broadcast/AQE decisions, emitted as (metric, value) rows.
     */
@@ -457,5 +582,6 @@ object Extended5Queries {
     Q("tx15_bpe_apply", tx15BpeApply, Some(graft.text.BpeTrainer.applyOracleSql(8))),
     Q("tx16_span_novelty", tx16SpanNovelty, Some(tx16Sql)),
     Q("tx17_quality_percentile", tx17QualityPercentile, Some(tx17Sql)),
+    Q("mx06_curation_funnel", mx06CurationFunnel, Some(mx06Sql)),
     Q("q83_key_skew", q83KeySkew, Some(q83Sql)))
 }

@@ -207,6 +207,15 @@ class Extended5Spec extends SparkSpec {
     assert(out.maxBy(_._2)._3 === 1.0)
   }
 
+  test("curation funnel is monotone and its final stage equals the curated corpus") {
+    val funnel = Catalog.queries("mx06_curation_funnel")(spark, Sf0001).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(funnel.keySet === (1 to 6).toSet)
+    assert((1 to 5).forall(i => funnel(i) >= funnel(i + 1)), s"not monotone: $funnel")
+    val curated = Catalog.queries("mx05_curation_pipeline")(spark, Sf0001).count()
+    assert(funnel(6) === curated)
+  }
+
   test("bigramNll: hand-computed interpolated probabilities on a two-doc corpus") {
     // corpus tokens: doc1 = [a b a], doc2 = [b b]  → N=5, cu(a)=2, cu(b)=3
     // bigrams: (a,b) (b,a) (b,b); cctx(a)=1, cctx(b)=2
