@@ -205,6 +205,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set(("click", 3L), ("view", 1L)))
   }
 
+  test("streaming curation: fingerprint dedup is first-seen, quality gate filters") {
+    import graft.streaming.DocStream
+    import graft.streaming.DocStream.Doc
+    val good = "the quick brown fox jumps over the lazy dog and then runs far away home"
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_").toString
+    Seq(
+      Doc(1L, ts(0), good, "web"),
+      Doc(2L, ts(1), good.toUpperCase, "web"), // same fingerprint → dropped
+      Doc(3L, ts(1), "short low words", "web") // quality below 0.5 → dropped
+    ).toDF().coalesce(1).write.mode("append").parquet(dir)
+    val q = DocStream.curatedDocs(DocStream.readDocs(spark, dir))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("curated_docs").start()
+    q.processAllAvailable()
+    // second drop: replay of doc 1's content (within watermark) + a new good doc
+    Seq(
+      Doc(4L, ts(2), good + " again", "api"),
+      Doc(5L, ts(2), good, "api") // dup of doc 1 across batches → dropped
+    ).toDF().coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("curated_docs").collect()
+      .map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq
+    assert(out === Seq((1L, "web"), (4L, "api")))
+  }
+
   test("batch shape of the streaming agg matches q21 on static data") {
     // the same windowed aggregation expressed on the static events
     // table (streaming/batch unification): hour windows over sf0.001
