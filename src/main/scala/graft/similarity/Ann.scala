@@ -231,4 +231,56 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** Product-quantization top-k (Jégou et al. 2011, the FAISS IVFPQ
+    * building block): the vector splits into `m` subspaces, each
+    * encoded as its nearest subspace-codebook centroid — m small ints
+    * instead of dim floats, the memory scheme that makes billion-vector
+    * indexes fit a cluster. Scoring is asymmetric (ADC): the EXACT
+    * query against each corpus vector's reconstruction (the
+    * concatenation of its chosen centroids), ranked by approximate
+    * cosine with the reconstruction's own norm.
+    *
+    * Caller supplies the codebooks (`codebooks(j)(i)` = centroid i of
+    * subspace j) — like [[ivfTopKFixed]], the deployed shape (train
+    * once, assign forever) and the reason the whole path is literal
+    * arithmetic an SQL oracle reproduces: encoding reuses the
+    * |c|² − 2·v·c comparator per subspace, reconstruction is a CASE
+    * over centroid literals.
+    *
+    * Scale: encoding is codegen'd projection on the corpus scan (no
+    * shuffle); queries broadcast; per-pair work is one dim-length dot
+    * against the reconstruction. At deployment the codes (m bytes) are
+    * what's stored and shipped — the 4-32× compression is the point;
+    * compose with IVF cells to avoid the full scan.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.size
+    val subDim = codebooks.head.head.size
+    require(codebooks.forall(_.forall(_.size == subDim)),
+      "all codebook centroids must share the subspace dimension")
+    var enc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    for (j <- 0 until m) {
+      val sub = slice(col("cv"), j * subDim + 1, subDim)
+      enc = enc.withColumn(s"code_$j", nearestCell(sub, codebooks(j)).getField("cell"))
+    }
+    val recon = concat((0 until m).map { j =>
+      val first = when(col(s"code_$j") === 0, array(codebooks(j)(0).map(lit): _*))
+      codebooks(j).zipWithIndex.tail.foldLeft(first) { case (acc, (c, i)) =>
+        acc.when(col(s"code_$j") === i, array(c.map(lit): _*))
+      }
+    }: _*)
+    val cells = enc.withColumn("rv", recon).withColumn("rn", norm(col("rv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = cells.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("rv")) / (col("qn") * col("rn"))).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
 }

@@ -92,4 +92,43 @@ class AnnSpec extends SparkSpec {
       .filter(abs($"cosine" - $"bc") > 1e-12)
     assert(joined.count() === 0)
   }
+
+  test("PQ: codebook-source vectors reconstruct exactly, so their scores are exact") {
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    val base = emb.filter($"vec_id" < 8).orderBy($"vec_id")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val codebooks = (0 until 8).map(j => base.map(v => v.slice(j * 8, j * 8 + 8)))
+    // k = full corpus so the top-k cut can't exclude the codebook ids
+    val pq = Ann.pqTopK(emb, emb.filter($"vec_id" < 3), "vec_id", "embedding", 1000, codebooks)
+      .filter($"neighbor_id" < 8) // neighbors that ARE codebook sources
+      .select($"query_id", $"neighbor_id", $"score")
+    val exact = Ann.bruteForceTopK(emb, emb.filter($"vec_id" < 3), "vec_id", "embedding", 1000)
+      .select($"query_id", $"neighbor_id", $"cosine")
+    // a codebook-source vector's encoding selects its own slices in every
+    // subspace (distance 0), so recon == original and ADC score == cosine
+    val drift = pq.join(exact, Seq("query_id", "neighbor_id"))
+      .filter(abs($"score" - $"cosine") > 1e-9)
+    assert(drift.count() === 0)
+    assert(pq.count() > 0)
+  }
+
+  test("PQ top-k approximates exact ranking with bounded score error") {
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    val base = emb.filter($"vec_id" < 8).orderBy($"vec_id")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val codebooks = (0 until 8).map(j => base.map(v => v.slice(j * 8, j * 8 + 8)))
+    val q = emb.filter($"vec_id" < 10)
+    val pq = Ann.pqTopK(emb, q, "vec_id", "embedding", 5, codebooks)
+      .select($"query_id", $"neighbor_id", $"score")
+    val exact = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 1000)
+      .select($"query_id", $"neighbor_id", $"cosine")
+    // approximate scores stay within quantization distance of the true
+    // cosine for every reported neighbor (8 centroids/subspace on
+    // near-uniform data is coarse — the bound is loose but must hold)
+    val err = pq.join(exact, Seq("query_id", "neighbor_id"))
+      .select(max(abs($"score" - $"cosine"))).first().getDouble(0)
+    assert(err < 0.6, s"max |ADC - exact| = $err")
+  }
 }
