@@ -275,6 +275,79 @@ object SimilarityQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF + PQ composed (FAISS IVFADC shape): coarse cells bound the
+    * scan (nProbe=3 of 8 cells), PQ codes bound storage/scoring. Both
+    * quantizers from the first 8 corpus vectors → fully generated
+    * oracle combining the sim03 and sim06 chains.
+    */
+  private def sim07IvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val codebooks = (0 until 8).map(j => base.map(v => v.slice(j * 8, j * 8 + 8)))
+    Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, coarse = base, codebooks = codebooks, nProbe = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val sim07Sql: String = {
+    val m = 8; val sub = 8
+    val assigns = (0 until m).map { j =>
+      val lo = j * sub + 1; val hi = (j + 1) * sub
+      s"""a$j AS (
+         |  SELECT e.vec_id, c.ci,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(c.v[$lo:$hi], c.v[$lo:$hi])
+         |        - 2.0::DOUBLE * list_dot_product(e.v[$lo:$hi], c.v[$lo:$hi]),
+         |      c.ci) AS rn
+         |  FROM e, cent c),
+         |c$j AS (SELECT vec_id, ci AS code FROM a$j WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (0 until m)
+      .map(j => s"JOIN c$j ON c$j.vec_id = e.vec_id JOIN cent k$j ON k$j.ci = c$j.code")
+      .mkString("\n  ")
+    val slices = (0 until m).map(j => s"k$j.v[${j * sub + 1}:${(j + 1) * sub}]")
+      .mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS ci, v FROM e WHERE vec_id < 8),
+       |coarse AS (
+       |  SELECT e.vec_id, c.ci,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_dot_product(c.v, c.v) - 2.0::DOUBLE * list_dot_product(e.v, c.v),
+       |      c.ci) AS rn
+       |  FROM e, cent c),
+       |cellof AS (SELECT vec_id, ci AS cell FROM coarse WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, ci AS cell FROM coarse
+       |  WHERE rn <= 3 AND vec_id < 10),
+       |$assigns,
+       |recon AS (
+       |  SELECT e.vec_id, flatten([$slices]) AS rv
+       |  FROM e
+       |  $joins),
+       |scored AS (
+       |  SELECT p.query_id, r.vec_id AS neighbor_id,
+       |    list_dot_product(q.v, r.rv)
+       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(r.rv, r.rv)))
+       |      AS score
+       |  FROM probes p
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  JOIN cellof cf ON cf.cell = p.cell
+       |  JOIN recon r ON r.vec_id = cf.vec_id
+       |  WHERE p.query_id != r.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+       |      AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(score, 4) AS score
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Per-label embedding centroids (first 8 dims) — the cluster-profile
     * aggregate an embedding-quality dashboard reads: one narrow
     * explode + one groupBy on (label, dim), all vector arithmetic in
@@ -340,6 +413,7 @@ object SimilarityQueries {
     Q("sim03_ivf_topk", sim03IvfTopK, Some(sim03Sql)),
     Q("sim05_text_search", sim05TextSearch, Some(sim05Sql)),
     Q("sim06_pq_topk", sim06PqTopK, Some(sim06Sql)),
+    Q("sim07_ivfpq_topk", sim07IvfPqTopK, Some(sim07Sql)),
     Q("q84_label_centroids", q84LabelCentroids, Some(q84Sql)),
     Q("q85_ann_recall", q85AnnRecall, Some(q85Sql)),
   )

@@ -92,6 +92,15 @@ object Ann {
   def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column =
     element_at(array_sort(array(centroidDists(v, centroids.zipWithIndex): _*)), 1)
 
+  /** The `nProbe` nearest centroid indices as an int array Column —
+    * the multi-cell generalization of [[nearestCell]], shared by the
+    * IVF probe side and its compositions.
+    */
+  def cellProbes(v: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    transform(
+      slice(array_sort(array(centroidDists(v, centroids.zipWithIndex): _*)), 1, nProbe),
+      p => p.getField("cell"))
+
   /** Shared IVF probe+score tail: corpus rows carry an assigned cell;
     * each query explodes into its nProbe nearest cells (broadcast), and
     * only same-cell pairs are scored.
@@ -254,8 +263,13 @@ object Ann {
     * what's stored and shipped — the 4-32× compression is the point;
     * compose with IVF cells to avoid the full scan.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+  /** Shared PQ encode + reconstruct: per-subspace nearest-centroid
+    * codes, then the reconstruction `rv` (concatenated chosen-centroid
+    * literals via a CASE per subspace) with its norm `rn`. Output keeps
+    * the code columns — at deployment THOSE are what a store persists.
+    */
+  private def pqEncodeRecon(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     val m = codebooks.size
     val subDim = codebooks.head.head.size
     require(codebooks.forall(_.forall(_.size == subDim)),
@@ -271,16 +285,54 @@ object Ann {
         acc.when(col(s"code_$j") === i, array(c.map(lit): _*))
       }
     }: _*)
-    val cells = enc.withColumn("rv", recon).withColumn("rn", norm(col("rv")))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qn", norm(col("qv")))
-    val scored = cells.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("rv")) / (col("qn") * col("rn"))).as("score"))
+    enc.withColumn("rv", recon).withColumn("rn", norm(col("rv")))
+  }
+
+  /** Shared ADC scoring tail: approximate cosine of the exact query
+    * against each candidate's reconstruction, top-k per query. */
+  private def adcRank(candidates: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    candidates
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("rv")) / (col("qn") * col("rn"))).as("score"))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val cells = pqEncodeRecon(corpus, idCol, vecCol, codebooks)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    adcRank(cells.join(broadcast(q), col("query_id") =!= col("neighbor_id")), k)
+  }
+
+  /** IVF + PQ composed (the FAISS IVFADC shape, non-residual variant):
+    * the coarse quantizer bounds WHICH vectors are scored (nProbe
+    * cells per query instead of the full corpus), PQ codes bound WHAT
+    * is stored and scored (m small ints per vector). Both quantizers
+    * are caller-supplied → the whole path stays literal arithmetic
+    * with a generated SQL oracle, like its two parents. The classic
+    * refinement (encode residuals v − coarse_centroid instead of raw
+    * vectors) composes the same way; raw-vector codes keep codebooks
+    * shareable across cells.
+    *
+    * Scale: one corpus scan does coarse assignment + PQ encoding
+    * (codegen'd projections, no shuffle); the scoring join hashes on
+    * cell id with the probed queries broadcast — per-query work is
+    * corpus/nLists × nProbe dim-length dots against reconstructions.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      nProbe: Int = 4): DataFrame = {
+    val cells = pqEncodeRecon(corpus, idCol, vecCol, codebooks)
+      .withColumn("cell", nearestCell(col("cv"), coarse).getField("cell"))
+    val qProbed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("cell", explode(cellProbes(col("qv"), coarse, nProbe)))
+    adcRank(cells.join(broadcast(qProbed), Seq("cell")), k)
   }
 }
