@@ -348,6 +348,40 @@ object SimilarityQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Binary sign-bit search: 64-dim embeddings → two 32-bit words,
+    * Hamming top-5 via xor+popcount — integer-exact, so a plain SQL
+    * oracle reproduces the ranking bit-for-bit.
+    */
+  private def sim08HammingTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Ann.hammingTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val sim08Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sig AS (
+      |  SELECT vec_id,
+      |    bit_or(CASE WHEN i <= 32 AND v[i] > 0 THEN 1::BIGINT << (i - 1)
+      |      ELSE 0::BIGINT END) AS h1,
+      |    bit_or(CASE WHEN i > 32 AND v[i] > 0 THEN 1::BIGINT << (i - 33)
+      |      ELSE 0::BIGINT END) AS h2
+      |  FROM (SELECT vec_id, v, unnest(range(1, 65)) AS i FROM e)
+      |  GROUP BY vec_id),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(bit_count(xor(q.h1, c.h1)) + bit_count(xor(q.h2, c.h2)) AS INTEGER)
+      |      AS hamming
+      |  FROM sig q JOIN sig c ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, hamming,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id)
+      |      AS INTEGER) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, hamming
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Per-label embedding centroids (first 8 dims) — the cluster-profile
     * aggregate an embedding-quality dashboard reads: one narrow
     * explode + one groupBy on (label, dim), all vector arithmetic in
@@ -414,6 +448,7 @@ object SimilarityQueries {
     Q("sim05_text_search", sim05TextSearch, Some(sim05Sql)),
     Q("sim06_pq_topk", sim06PqTopK, Some(sim06Sql)),
     Q("sim07_ivfpq_topk", sim07IvfPqTopK, Some(sim07Sql)),
+    Q("sim08_hamming_topk", sim08HammingTopK, Some(sim08Sql)),
     Q("q84_label_centroids", q84LabelCentroids, Some(q84Sql)),
     Q("q85_ann_recall", q85AnnRecall, Some(q85Sql)),
   )

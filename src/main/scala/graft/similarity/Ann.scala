@@ -335,4 +335,50 @@ object Ann {
       .withColumn("cell", explode(cellProbes(col("qv"), coarse, nProbe)))
     adcRank(cells.join(broadcast(qProbed), Seq("cell")), k)
   }
+
+  /** Pack 32 sign bits of `v` (1-based dims lo..lo+31) into a long:
+    * bit (i − lo) set iff v[i] > 0. Two calls cover a 64-dim vector
+    * without touching the long's sign bit.
+    */
+  private def packSignBits(v: Column, lo: Int): Column =
+    aggregate(
+      sequence(lit(lo), lit(lo + 31)),
+      lit(0L),
+      (acc, i) => acc.bitwiseOR(
+        when(element_at(v, i.cast("int")) > 0,
+          call_function("shiftleft", lit(1L), (i - lit(lo)).cast("int")))
+          .otherwise(lit(0L))))
+
+  /** Binary-embedding search: 64-dim vectors binarized to their sign
+    * bits (two 32-bit words in longs — 8 bytes/vector, the most
+    * compressed ANN representation) and ranked by Hamming distance via
+    * xor + popcount. Everything is small-integer arithmetic, so the
+    * ranking is exactly reproducible across engines — no float ties at
+    * the cut, the same property as the int8 path (sim04), at 32×
+    * smaller storage than float32.
+    *
+    * Scale: binarization is a codegen'd projection on the scan;
+    * queries broadcast; per-pair cost is two xor+popcount ops —
+    * binary pre-ranking is the classic cheap first stage before exact
+    * or PQ re-ranking.
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    def sigs(df: DataFrame, id: String) = df
+      .select(col(idCol).as(id),
+        packSignBits(col(vecCol), 1).as(s"${id}_h1"),
+        packSignBits(col(vecCol), 33).as(s"${id}_h2"))
+    val c = sigs(corpus, "neighbor_id")
+    val q = sigs(queries, "query_id")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (bit_count(col("neighbor_id_h1").bitwiseXOR(col("query_id_h1"))) +
+          bit_count(col("neighbor_id_h2").bitwiseXOR(col("query_id_h2"))))
+          .cast("int").as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+  }
 }

@@ -93,6 +93,21 @@ class AnnSpec extends SparkSpec {
     assert(joined.count() === 0)
   }
 
+  test("hammingTopK: sign-bit packing gives exact known distances in both words") {
+    def vec(flips: Set[Int]): Array[Float] =
+      (1 to 64).map(i => if (flips(i)) -1.0f else 1.0f).toArray
+    val corpus = Seq(
+      (1L, vec(Set.empty)),
+      (2L, vec(Set(1, 2, 3))),        // 3 flips, all in word 1
+      (3L, vec(Set(33, 64))),         // 2 flips, all in word 2
+      (4L, vec((1 to 64).toSet)),     // every bit differs
+    ).toDF("vec_id", "embedding")
+    val got = Ann.hammingTopK(corpus, corpus.filter($"vec_id" === 1),
+        "vec_id", "embedding", k = 3)
+      .orderBy($"rank").collect().map(r => (r.getLong(2), r.getInt(3)))
+    assert(got.toSeq === Seq((3L, 2), (2L, 3), (4L, 64)))
+  }
+
   test("PQ: codebook-source vectors reconstruct exactly, so their scores are exact") {
     val emb = graft.Tables.embeddings(spark, Sf0001)
     val base = emb.filter($"vec_id" < 8).orderBy($"vec_id")
