@@ -382,6 +382,52 @@ object SimilarityQueries {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Two-stage cascade: Hamming pre-rank to 50 candidates, exact
+    * cosine re-rank to top-5 — integer stage-1 cut keeps the whole
+    * composition oracle-reproducible.
+    */
+  private def sim09RerankTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Ann.rerankTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, preK = 50)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val sim09Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sig AS (
+      |  SELECT vec_id,
+      |    bit_or(CASE WHEN i <= 32 AND v[i] > 0 THEN 1::BIGINT << (i - 1)
+      |      ELSE 0::BIGINT END) AS h1,
+      |    bit_or(CASE WHEN i > 32 AND v[i] > 0 THEN 1::BIGINT << (i - 33)
+      |      ELSE 0::BIGINT END) AS h2
+      |  FROM (SELECT vec_id, v, unnest(range(1, 65)) AS i FROM e)
+      |  GROUP BY vec_id),
+      |pre AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        bit_count(xor(q.h1, c.h1)) + bit_count(xor(q.h2, c.h2)), c.vec_id)
+      |        AS rnk
+      |    FROM sig q JOIN sig c ON q.vec_id < 10 AND q.vec_id != c.vec_id)
+      |  WHERE rnk <= 50),
+      |scored AS (
+      |  SELECT p.query_id, p.neighbor_id,
+      |    list_cosine_similarity(q.v, c.v) AS cosine
+      |  FROM pre p
+      |  JOIN e q ON q.vec_id = p.query_id
+      |  JOIN e c ON c.vec_id = p.neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+      |      AS INTEGER) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, round(cosine, 4) AS cosine
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Per-label embedding centroids (first 8 dims) — the cluster-profile
     * aggregate an embedding-quality dashboard reads: one narrow
     * explode + one groupBy on (label, dim), all vector arithmetic in
@@ -449,6 +495,7 @@ object SimilarityQueries {
     Q("sim06_pq_topk", sim06PqTopK, Some(sim06Sql)),
     Q("sim07_ivfpq_topk", sim07IvfPqTopK, Some(sim07Sql)),
     Q("sim08_hamming_topk", sim08HammingTopK, Some(sim08Sql)),
+    Q("sim09_rerank_topk", sim09RerankTopK, Some(sim09Sql)),
     Q("q84_label_centroids", q84LabelCentroids, Some(q84Sql)),
     Q("q85_ann_recall", q85AnnRecall, Some(q85Sql)),
   )

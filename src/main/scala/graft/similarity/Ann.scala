@@ -381,4 +381,33 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
   }
+
+  /** Two-stage retrieval (the production search cascade): binary
+    * Hamming pre-ranking prunes the corpus to `preK` candidates per
+    * query at 8 bytes/vector, then exact cosine re-ranks only those
+    * survivors to the final `k`. Recall is governed by preK/k — the
+    * standard accuracy-vs-cost dial — while the expensive float dots
+    * touch preK rows per query instead of the corpus.
+    *
+    * Both stages are already oracle-checked operators (sim08/sim01
+    * semantics); the composition stays exactly reproducible because
+    * stage 1's cut is integer-ranked.
+    */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, preK: Int): DataFrame = {
+    val cand = hammingTopK(corpus, queries, idCol, vecCol, preK)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
 }
