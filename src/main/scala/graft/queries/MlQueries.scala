@@ -147,6 +147,67 @@ object MlQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Top principal direction by UNROLLED POWER ITERATION — the
+    * oracle-checkable counterpart to ml05's MLlib PCA (whose internal
+    * eigensolver no SQL engine reproduces). Eight fixed iterations of
+    * v ← normalize(G·v) over the uncentered Gram matrix G = XᵀX,
+    * starting from the all-ones vector: every step is plain join+agg
+    * arithmetic both engines execute identically, sign and all.
+    * Output: each vector's projection onto the estimated direction.
+    *
+    * Scale shape: G is built ONCE (one explode self-join shuffling
+    * (i, j) cells — 64² rows regardless of corpus size; at 100 TB
+    * this is the standard distributed Gram accumulation) and
+    * localCheckpoint'd; each iteration is a 4096-row join — driver
+    * never touches the data. MLlib's PCA stays the production path
+    * (ml05); this gate proves the linear-algebra plumbing end-to-end.
+    */
+  private def ml08PowerPc1(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val x = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xi0")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"), col("xi0").cast("double").as("xi"))
+    val g = x.select(col("vec_id"), col("i"), col("xi"))
+      .join(x.select(col("vec_id"), col("i").as("j"), col("xi").as("xj")), "vec_id")
+      .groupBy(col("i"), col("j")).agg(sum(col("xi") * col("xj")).as("gv"))
+      .localCheckpoint()
+    var v = s.range(1, 65).select(col("id").cast("int").as("i"), lit(1.0).as("vval"))
+    for (_ <- 1 to 8) {
+      val w = g.join(v.select(col("i").as("j"), col("vval")), "j")
+        .groupBy(col("i")).agg(sum(col("gv") * col("vval")).as("w"))
+      val n = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      v = w.crossJoin(broadcast(n)).select(col("i"), (col("w") / col("nrm")).as("vval"))
+    }
+    x.join(v, "i").groupBy(col("vec_id"))
+      .agg(round(sum(col("xi") * col("vval")), 4).as("pc1"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val ml08Sql: String = {
+    val iters = (1 to 8).map { t =>
+      val prev = s"v${t - 1}"
+      s"""w$t AS (
+         |  SELECT g.i, sum(g.gv * $prev.vval) AS w
+         |  FROM g JOIN $prev ON g.j = $prev.i GROUP BY 1),
+         |n$t AS (SELECT sqrt(sum(w * w)) AS nrm FROM w$t),
+         |v$t AS (SELECT i, w / nrm AS vval FROM w$t, n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS (
+       |  SELECT vec_id, i, v[i] AS xi
+       |  FROM (SELECT vec_id, v, unnest(range(1, 65)) AS i FROM e)),
+       |g AS (
+       |  SELECT a.i, b.i AS j, sum(a.xi * b.xi) AS gv
+       |  FROM x a JOIN x b USING (vec_id)
+       |  GROUP BY 1, 2),
+       |v0 AS (SELECT unnest(range(1, 65)) AS i, 1.0::DOUBLE AS vval),
+       |$iters
+       |SELECT x.vec_id, round(sum(x.xi * v8.vval), 4) AS pc1
+       |FROM x JOIN v8 ON x.i = v8.i
+       |GROUP BY x.vec_id
+       |ORDER BY x.vec_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("ml01_features", ml01Features, Some(ml01Sql)),
     Q("ml02_split_counts", ml02SplitCounts, Some(ml02Sql)),
@@ -154,5 +215,6 @@ object MlQueries {
     Q("ml04_importances", ml04Importances, None),
     Q("ml05_pca", ml05Pca, None),
     Q("ml06_hash_embed", ml06HashEmbed, None, Some(() => ml06Sql())),
+    Q("ml08_power_pc1", ml08PowerPc1, Some(ml08Sql)),
   )
 }

@@ -70,6 +70,28 @@ class MlSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("power-iteration pc1 recovers a planted dominant direction") {
+    import org.apache.spark.sql.functions.col
+    // vectors along e1 with magnitude i and a tiny e2 component: the
+    // Gram matrix's top eigenvector is ~e1, so projections must come
+    // back monotone in i with a consistent sign (all-ones start)
+    val rows = (1 to 20).map { i =>
+      val v = new Array[Float](64)
+      v(0) = i.toFloat; v(1) = 0.01f * i
+      (i.toLong, v)
+    }
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ml08_").toString
+    emb.write.parquet(s"$dir/embeddings.parquet")
+    val out = graft.queries.Catalog.queries("ml08_power_pc1")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    assert(out.length === 20)
+    val projs = out.map(_._2)
+    assert(projs.forall(_ > 0), s"sign must be consistent-positive: ${projs.toSeq}")
+    assert(projs.sliding(2).forall { case Array(a, b) => b > a },
+      s"projections must be monotone in the planted magnitude: ${projs.toSeq}")
+  }
+
   test("hashingEmbed is deterministic and fixed-width (M1 stand-in)") {
     val docs = Tables.documents(spark, Sf0001)
     val e = MlPipeline.hashingEmbed(docs, "doc_id", "text", numFeatures = 64)
