@@ -17,11 +17,19 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Simplified (non-normalized) PageRank: rank₀ = 1, then
-    * rankᵢ(v) = (1 − d) + d · Σ_{(u,v)∈E} rankᵢ₋₁(u) / outdeg(u)
+    * rankᵢ(v) = round((1 − d) + d · Σ_{(u,v)∈E} rankᵢ₋₁(u) / outdeg(u), 8)
     * for a FIXED iteration count — deterministic, so an engine-
     * independent oracle can replay it (unrolled per-iteration SQL).
     * Dangling nodes contribute nothing (their mass is not
     * redistributed), matching the common simplified formulation.
+    *
+    * The per-iteration 8-decimal snap makes the ITERATED state
+    * engine-reproducible: partial-aggregation order shifts the
+    * contribution sums by ~1e-15 per round, and unsnapped that drift
+    * compounds until a 4-decimal output rounding can flip (observed
+    * at sf0.001: five ranks off by the last printed digit vs the
+    * oracle). Snapping far above the drift and far below the output
+    * precision pins both engines to identical state every round.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 10, damping: Double = 0.85): DataFrame = {
@@ -41,7 +49,7 @@ object Graph {
       ranks = nodes
         .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
-          (lit(1.0 - damping) + lit(damping) * coalesce(col("incoming"), lit(0.0)))
+          round(lit(1.0 - damping) + lit(damping) * coalesce(col("incoming"), lit(0.0)), 8)
             .as("rank"))
       // checkpoint every 3rd round, not every round: an eager
       // materialization job per iteration dominated wall-clock

@@ -746,7 +746,8 @@ object Extended4Queries {
     val iterCtes = (1 to PageRankIters).map { i =>
       s"""r$i AS (
          |  SELECT n.node,
-         |    CAST($base AS DOUBLE) + CAST($d AS DOUBLE) * coalesce(c.incoming, 0.0) AS rank
+         |    round(CAST($base AS DOUBLE) + CAST($d AS DOUBLE) * coalesce(c.incoming, 0.0), 8)
+         |      AS rank
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS node, sum(r.rank / od.outdeg) AS incoming
          |    FROM e JOIN od USING (src) JOIN r${i - 1} r ON r.node = e.src

@@ -16,7 +16,10 @@ class GraphSpec extends SparkSpec {
     for (_ <- 1 to iters) {
       val incoming = e.groupBy(_._2).view.mapValues(in =>
         in.map { case (u, _) => r(u) / outDeg(u) }.sum).toMap
-      r = nodes.map(n => n -> ((1.0 - d) + d * incoming.getOrElse(n, 0.0))).toMap
+      // mirror the operator's per-iteration 8-decimal snap (see
+      // Graph.pageRank — it pins cross-engine state reproducibility)
+      r = nodes.map(n => n ->
+        math.round(((1.0 - d) + d * incoming.getOrElse(n, 0.0)) * 1e8) / 1e8).toMap
     }
     r
   }
