@@ -311,13 +311,20 @@ object DedupQueries {
     val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
       s"    min((h * $a + $b) % 2147483647) AS mh_$i"
     }.mkString(",\n")
+    // UNION ALL + outer DISTINCT, NOT a bare UNION chain: inside a
+    // WITH RECURSIVE block DuckDB does not set-dedupe a multi-branch
+    // UNION in a non-recursive CTE, so a pair matching in 2+ bands
+    // came back duplicated — doubling its shared-shingle count and
+    // zeroing the Jaccard denominator. Surfaced by the sf0.1 sweep
+    // (pair 1237/4246 matched two bands); sf0.01 had no multi-band
+    // pair, which is why the driver-scale gate alone missed it.
     val bandJoins = (0 until bands).map { bd =>
       val conds = (0 until rowsPerBand)
         .map(r => s"a.mh_${bd * rowsPerBand + r} = b.mh_${bd * rowsPerBand + r}")
         .mkString(" AND ")
       s"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n" +
         s"  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND $conds"
-    }.mkString("\n  UNION\n")
+    }.mkString("\n  UNION ALL\n")
     s"""WITH RECURSIVE $shingleCteBody,
        | inv AS (SELECT doc_id, unnest(sh) AS h FROM sh),
        | sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
@@ -326,7 +333,9 @@ object DedupQueries {
        |$mins
        |  FROM inv GROUP BY doc_id
        | ), cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
        |$bandJoins
+       |  )
        | ), common AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS common
        |  FROM cand c
