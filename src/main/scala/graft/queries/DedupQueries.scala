@@ -364,6 +364,73 @@ object DedupQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Dedup-index evaluation harness (the q85 idea for MinHash): per
+    * banding configuration, how many of the TRUE near-dup pairs (dd02's
+    * exact inverted-index pairs at 0.5) the LSH candidates recover —
+    * the recall measurement that justifies bands/rowsPerBand before a
+    * 100 TB run. One summary row: true pairs, candidates, recovered,
+    * recall.
+    */
+  private def dd15LshRecall(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val cand = Dedup.minHashCandidatePairs(docs, "doc_id", "text")
+      .select(col("doc_a").as("ca"), col("doc_b").as("cb"))
+    val hit = exact.join(cand,
+      col("doc_a") === col("ca") && col("doc_b") === col("cb"), "left")
+    hit.agg(
+        count(lit(1)).as("true_pairs"),
+        count(col("ca")).as("recovered"))
+      .crossJoin(cand.agg(count(lit(1)).as("candidates")))
+      .select(col("true_pairs"), col("candidates"), col("recovered"),
+        round(col("recovered") / col("true_pairs"), 4).as("recall"))
+  }
+
+  private val dd15Sql: String = {
+    val bands = 8; val rowsPerBand = 4
+    val coeffs = Dedup.minHashCoeffs(bands * rowsPerBand)
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"    min((h * $a + $b) % 2147483647) AS mh_$i"
+    }.mkString(",\n")
+    val bandJoins = (0 until bands).map { bd =>
+      val conds = (0 until rowsPerBand)
+        .map(r => s"a.mh_${bd * rowsPerBand + r} = b.mh_${bd * rowsPerBand + r}")
+        .mkString(" AND ")
+      s"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n" +
+        s"  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND $conds"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $shingleCteBody,
+       | inv AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+       | sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+       | co AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       | ), exact AS (
+       |  SELECT doc_a, doc_b FROM co
+       |  JOIN sizes na ON doc_a = na.doc_id
+       |  JOIN sizes nb ON doc_b = nb.doc_id
+       |  WHERE common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE) >= 0.5
+       | ), sig AS (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM inv GROUP BY doc_id
+       | ), cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |$bandJoins
+       |  )
+       | )
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM exact) AS true_pairs,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS candidates,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM exact e
+       |    JOIN cand c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b) AS recovered,
+       |  round((SELECT count(*) FROM exact e
+       |    JOIN cand c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
+       |    / CAST((SELECT count(*) FROM exact) AS DOUBLE), 4) AS recall""".stripMargin
+  }
+
   /** Quality-aware canonical selection: cluster the exact-Jaccard
     * near-dup pairs (dd02/dd08's edges), keep each cluster's
     * HIGHEST-quality member (tx02's score), pass singletons through.
@@ -485,5 +552,6 @@ object DedupQueries {
     Q("dd12_semantic_dedup", dd12SemanticDedup, Some(dd12Sql)),
     Q("dd13_quality_canonical", dd13QualityCanonical, Some(dd13Sql)),
     Q("dd14_minhash_curated", dd14MinhashCurated, Some(dd14Sql)),
+    Q("dd15_lsh_recall", dd15LshRecall, Some(dd15Sql)),
   )
 }
