@@ -163,23 +163,53 @@ object MlQueries {
     * (ml05); this gate proves the linear-algebra plumbing end-to-end.
     */
   private def ml08PowerPc1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val x = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xi0")))
-      .select(col("vec_id"), (col("i0") + 1).as("i"), col("xi0").cast("double").as("xi"))
-    val g = x.select(col("vec_id"), col("i"), col("xi"))
-      .join(x.select(col("vec_id"), col("i").as("j"), col("xi").as("xj")), "vec_id")
-      .groupBy(col("i"), col("j")).agg(sum(col("xi") * col("xj")).as("gv"))
-      .localCheckpoint()
-    var v = s.range(1, 65).select(col("id").cast("int").as("i"), lit(1.0).as("vval"))
+    // Gram accumulation per partition (the treeAggregate shape): each
+    // task folds its rows into a local 64×64 array and emits 4096
+    // partial cells — the explode-self-join formulation shuffled
+    // rows×64² cells (9.7 s at sf0.1 vs ~1 s for this).
+    val g = emb.select(col("embedding")).as[Seq[Float]]
+      .mapPartitions { it =>
+        val acc = Array.ofDim[Double](64, 64)
+        it.foreach { v =>
+          var i = 0
+          while (i < 64) {
+            val vi = v(i).toDouble
+            var j = 0
+            while (j < 64) { acc(i)(j) += vi * v(j).toDouble; j += 1 }
+            i += 1
+          }
+        }
+        (for (i <- 0 until 64; j <- 0 until 64 if acc(i)(j) != 0.0)
+          yield (i + 1, j + 1, acc(i)(j))).iterator
+      }
+      .toDF("i", "j", "pgv")
+      .groupBy(col("i"), col("j")).agg(sum(col("pgv")).as("gv"))
+    // G is 64×64 APEX STATE — corpus-size-independent, so iterating on
+    // the driver is the right altitude (same rationale as collected
+    // centroids/codebooks): one distributed job builds G, pure-Scala
+    // rounds replay the recurrence, and the projection is a single
+    // codegen'd dot against the final direction burned in as literals.
+    // The DataFrame-iteration formulation cost 16 tiny scheduled jobs
+    // (2.4 s at sf0.1); this shape is ~1 s and scan-bound.
+    //
+    // Per-iteration 8-decimal snap, exactly like Graph.pageRank: Gram
+    // partial-sum order differs between engines, and unsnapped
+    // iterated state lets that drift compound into the output
+    // rounding. Snapped, both engines carry identical state.
+    val gm = Array.ofDim[Double](64, 64)
+    g.collect().foreach(r => gm(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getDouble(2))
+    var vec = Array.fill(64)(1.0)
     for (_ <- 1 to 8) {
-      val w = g.join(v.select(col("i").as("j"), col("vval")), "j")
-        .groupBy(col("i")).agg(sum(col("gv") * col("vval")).as("w"))
-      val n = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-      v = w.crossJoin(broadcast(n)).select(col("i"), (col("w") / col("nrm")).as("vval"))
+      val w = Array.tabulate(64)(i =>
+        (0 until 64).foldLeft(0.0)((acc, j) => acc + gm(i)(j) * vec(j)))
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      vec = w.map(x => math.round(x / nrm * 1e8) / 1e8)
     }
-    x.join(v, "i").groupBy(col("vec_id"))
-      .agg(round(sum(col("xi") * col("vval")), 4).as("pc1"))
+    emb.select(col("vec_id"),
+        round(graft.functions.VectorExprs.dot(col("embedding"),
+          array(vec.map(lit).toIndexedSeq: _*)), 4).as("pc1"))
       .orderBy(col("vec_id"))
   }
 
@@ -190,7 +220,7 @@ object MlQueries {
          |  SELECT g.i, sum(g.gv * $prev.vval) AS w
          |  FROM g JOIN $prev ON g.j = $prev.i GROUP BY 1),
          |n$t AS (SELECT sqrt(sum(w * w)) AS nrm FROM w$t),
-         |v$t AS (SELECT i, w / nrm AS vval FROM w$t, n$t)""".stripMargin
+         |v$t AS (SELECT i, round(w / nrm, 8) AS vval FROM w$t, n$t)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |x AS (
