@@ -229,16 +229,24 @@ object Dedup {
     * The pair join runs on (band, band_key) — Σ bucket² work, never a
     * cross join.
     */
-  def minHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+  /** (doc, band, band_key) rows for LSH bucket joins. The band key is
+    * the underscore-joined row minima — injective because '_' is not a
+    * digit, so decimal components re-parse unambiguously (no
+    * concatenation collisions).
+    */
+  def bandedSignatureKeys(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
-    val k = bands * rowsPerBand
-    val sig = minHashSignatures(docs, idCol, textCol, n, k, seed)
+    val sig = minHashSignatures(docs, idCol, textCol, n, bands * rowsPerBand, seed)
     val bandKeys = (0 until bands).map { b =>
       concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
     }
-    val banded = sig.select(col("doc"),
-      posexplode(array(bandKeys: _*)))
+    sig.select(col("doc"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+  }
+
+  def minHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    val banded = bandedSignatureKeys(docs, idCol, textCol, n, bands, rowsPerBand, seed)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc") < col("b.doc"))
@@ -437,6 +445,42 @@ object Dedup {
         VectorExprs.cosineWithNorms(col("a.v"), col("b.v"),
           col("a.norm"), col("b.norm")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Ingest-time near-dup dedup against an existing corpus — dd07's
+    * exact incremental check upgraded to MinHash: incoming docs band-
+    * join the CORPUS signatures only (never all-pairs), candidates are
+    * verified by exact Jaccard on the shingle inverted index, and an
+    * incoming doc with any verified corpus near-dup is dropped. The
+    * corpus side's signatures/shingles are exactly what a production
+    * index persists between ingest batches.
+    *
+    * Returns the kept incoming rows (doc_id only, dd07's contract).
+    */
+  def minHashDedupAgainstCorpus(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 4, threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val bIn = bandedSignatureKeys(incoming, idCol, textCol, n, bands, rowsPerBand, seed)
+      .toDF("in_doc", "band", "band_key")
+    val bC = bandedSignatureKeys(corpus, idCol, textCol, n, bands, rowsPerBand, seed)
+      .toDF("c_doc", "band", "band_key")
+    val cand = bIn.join(bC, Seq("band", "band_key"))
+      .select(col("in_doc"), col("c_doc")).distinct()
+    val invIn = hashedShingleRows(incoming, idCol, textCol, n)
+    val invC = hashedShingleRows(corpus, idCol, textCol, n)
+    val common = cand
+      .join(invIn.toDF("in_doc", "s"), "in_doc")
+      .join(invC.toDF("c_doc", "s"), Seq("c_doc", "s"))
+      .groupBy(col("in_doc"), col("c_doc")).agg(count(lit(1)).as("common"))
+    val dups = common
+      .join(invIn.groupBy(col("doc")).agg(count(lit(1)).as("n_in"))
+        .toDF("in_doc", "n_in"), "in_doc")
+      .join(invC.groupBy(col("doc")).agg(count(lit(1)).as("n_c"))
+        .toDF("c_doc", "n_c"), "c_doc")
+      .filter(col("common") / (col("n_in") + col("n_c") - col("common")) >= threshold)
+      .select(col("in_doc").as(idCol)).distinct()
+    incoming.join(dups, Seq(idCol), "left_anti")
+      .select(col(idCol).as("doc_id"))
   }
 
   /** The WEB-SCALE near-dup curation composition (RefinedWeb/CCNet

@@ -431,6 +431,61 @@ object DedupQueries {
        |    / CAST((SELECT count(*) FROM exact) AS DOUBLE), 4) AS recall""".stripMargin
   }
 
+  /** Incremental MinHash dedup: docs ≥ 400 arrive against the < 400
+    * corpus (dd07's split, near-dup instead of exact). Banded
+    * candidates cross-side only, exact-Jaccard verification, drop on
+    * any verified corpus near-dup.
+    */
+  private def dd16IncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.minHashDedupAgainstCorpus(
+        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  private val dd16Sql: String = {
+    val bands = 8; val rowsPerBand = 4
+    val coeffs = Dedup.minHashCoeffs(bands * rowsPerBand)
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"    min((h * $a + $b) % 2147483647) AS mh_$i"
+    }.mkString(",\n")
+    val bandJoins = (0 until bands).map { bd =>
+      val conds = (0 until rowsPerBand)
+        .map(r => s"a.mh_${bd * rowsPerBand + r} = b.mh_${bd * rowsPerBand + r}")
+        .mkString(" AND ")
+      s"  SELECT a.doc_id AS doc_c, b.doc_id AS doc_in\n" +
+        s"  FROM sig a JOIN sig b ON a.doc_id < 400 AND b.doc_id >= 400 AND $conds"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $shingleCteBody,
+       | inv AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+       | sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+       | sig AS (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM inv GROUP BY doc_id
+       | ), cand AS (
+       |  SELECT DISTINCT doc_c, doc_in FROM (
+       |$bandJoins
+       |  )
+       | ), common AS (
+       |  SELECT c.doc_c, c.doc_in, count(*) AS common
+       |  FROM cand c
+       |  JOIN inv a ON a.doc_id = c.doc_c
+       |  JOIN inv b ON b.doc_id = c.doc_in AND b.h = a.h
+       |  GROUP BY 1, 2
+       | ), dup AS (
+       |  SELECT DISTINCT doc_in FROM common
+       |  JOIN sizes nc ON doc_c = nc.doc_id
+       |  JOIN sizes ni ON doc_in = ni.doc_id
+       |  WHERE common / CAST(nc.n_sh + ni.n_sh - common AS DOUBLE) >= 0.5
+       | )
+       |SELECT d.doc_id FROM documents d
+       |WHERE d.doc_id >= 400
+       |  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc_in = d.doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Quality-aware canonical selection: cluster the exact-Jaccard
     * near-dup pairs (dd02/dd08's edges), keep each cluster's
     * HIGHEST-quality member (tx02's score), pass singletons through.
@@ -553,5 +608,6 @@ object DedupQueries {
     Q("dd13_quality_canonical", dd13QualityCanonical, Some(dd13Sql)),
     Q("dd14_minhash_curated", dd14MinhashCurated, Some(dd14Sql)),
     Q("dd15_lsh_recall", dd15LshRecall, Some(dd15Sql)),
+    Q("dd16_incr_minhash", dd16IncrementalMinhash, Some(dd16Sql)),
   )
 }

@@ -533,6 +533,93 @@ object Extended5Queries {
       |      THEN 1 ELSE 0 END) AS BIGINT) FROM flags)
       |ORDER BY stage_idx""".stripMargin
 
+  /** Per-user event-type transition matrix (first-order Markov
+    * estimate) — the sequence statistic behavioral-dataset pipelines
+    * compute before sessionizing or sampling. Successors come from a
+    * lag window per user ordered by (epoch-micros, event_id) — the
+    * deterministic tie order both engines share; probabilities are
+    * per-source-state row counts over the tiny transition table.
+    */
+  private def q86TransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val trans = e.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val margins = trans.groupBy(col("prev")).agg(sum(col("n")).as("n_from"))
+    trans.join(margins, "prev")
+      .select(col("prev"), col("next"), col("n"),
+        round(col("n") / col("n_from"), 4).as("p"))
+      .orderBy(col("prev"), col("next"))
+  }
+
+  private val q86Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+      |seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      |  FROM e),
+      |trans AS (
+      |  SELECT prev, event_type AS next, count(*) AS n
+      |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |margins AS (SELECT prev, sum(n) AS n_from FROM trans GROUP BY 1)
+      |SELECT t.prev, t.next, CAST(t.n AS BIGINT) AS n,
+      |  round(t.n / CAST(m.n_from AS DOUBLE), 4) AS p
+      |FROM trans t JOIN margins m USING (prev)
+      |ORDER BY t.prev, t.next""".stripMargin
+
+  /** Cross-source contamination matrix: for every source pair, how
+    * many distinct 5-gram shingles they share and what fraction of
+    * the smaller side's shingle vocabulary that is — the
+    * leakage-between-subcorpora diagnostic run before treating
+    * sources as independent mixture components (tx08 checks docs
+    * against one benchmark; this checks every source against every
+    * other).
+    */
+  private def tx18SourceContamination(s: SparkSession, dir: String): DataFrame = {
+    val inv = Tables.documents(s, dir)
+      .select(col("source"), TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
+        .as("s5"))
+      .distinct()
+    val sizes = inv.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    inv.toDF("source_a", "s5")
+      .join(inv.toDF("source_b", "s5"), Seq("s5"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("shared"))
+      .join(sizes.toDF("source_a", "n_a"), "source_a")
+      .join(sizes.toDF("source_b", "n_b"), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared"),
+        round(col("shared") / least(col("n_a"), col("n_b")), 4).as("overlap"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private val tx18Sql =
+    """WITH inv AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS s5
+      |  FROM (SELECT source, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 5),
+      |sizes AS (SELECT source, count(*) AS n_sh FROM inv GROUP BY 1),
+      |shared AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+      |  FROM inv a JOIN inv b ON a.s5 = b.s5 AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT s.source_a, s.source_b, CAST(s.shared AS BIGINT) AS shared,
+      |  round(s.shared / CAST(least(na.n_sh, nb.n_sh) AS DOUBLE), 4) AS overlap
+      |FROM shared s
+      |JOIN sizes na ON s.source_a = na.source
+      |JOIN sizes nb ON s.source_b = nb.source
+      |ORDER BY s.source_a, s.source_b""".stripMargin
+
   /** Key-skew profile of events.user_id — the pre-join diagnostic for
     * salting/broadcast/AQE decisions, emitted as (metric, value) rows.
     */
@@ -583,5 +670,7 @@ object Extended5Queries {
     Q("tx16_span_novelty", tx16SpanNovelty, Some(tx16Sql)),
     Q("tx17_quality_percentile", tx17QualityPercentile, Some(tx17Sql)),
     Q("mx06_curation_funnel", mx06CurationFunnel, Some(mx06Sql)),
-    Q("q83_key_skew", q83KeySkew, Some(q83Sql)))
+    Q("q83_key_skew", q83KeySkew, Some(q83Sql)),
+    Q("q86_transition_matrix", q86TransitionMatrix, Some(q86Sql)),
+    Q("tx18_source_contamination", tx18SourceContamination, Some(tx18Sql)))
 }

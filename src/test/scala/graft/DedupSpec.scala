@@ -167,6 +167,18 @@ class DedupSpec extends SparkSpec {
     assert(kept === Seq(1L, 3L, 4L))
   }
 
+  test("minHashDedupAgainstCorpus drops verified corpus near-dups, keeps fresh docs") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha  beta gamma delta epsilon zeta eta theta"), // identical tokens → dropped
+      (11L, "totally different content with no shared shingles anywhere here"),
+      (12L, "short"), // < 3 tokens: no shingles, can never be a dup → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.minHashDedupAgainstCorpus(incoming, corpus, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(11L, 12L))
+  }
+
   test("curateByQuality keeps the highest-quality cluster member, passes singletons") {
     val d = Seq(
       (1L, "short"),                                            // cluster {1,2}: low quality
