@@ -620,6 +620,35 @@ object Extended5Queries {
       |JOIN sizes nb ON s.source_b = nb.source
       |ORDER BY s.source_a, s.source_b""".stripMargin
 
+  /** Temperature-scaled mixture weights (the multilingual-sampling
+    * formula: p_s ∝ n_s^α with α = 0.5): per source, its document
+    * count, natural share, and the α-scaled sampling weight that
+    * up-samples small sources. Two tiny aggregates over one per-source
+    * count — the mixing table mx02 consumes, now derived in-engine
+    * instead of supplied.
+    */
+  private def mx07TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(sum(col("n_docs")).as("total"),
+      sum(pow(col("n_docs"), 0.5)).as("pow_total"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs") / col("total"), 4).as("natural_share"),
+        round(pow(col("n_docs"), 0.5) / col("pow_total"), 4).as("alpha_weight"))
+      .orderBy(col("source"))
+  }
+
+  private val mx07Sql =
+    """WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |totals AS (
+      |  SELECT sum(n_docs) AS total, sum(pow(n_docs, 0.5)) AS pow_total FROM counts)
+      |SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
+      |  round(c.n_docs / CAST(t.total AS DOUBLE), 4) AS natural_share,
+      |  round(pow(c.n_docs, 0.5) / t.pow_total, 4) AS alpha_weight
+      |FROM counts c CROSS JOIN totals t
+      |ORDER BY c.source""".stripMargin
+
   /** Key-skew profile of events.user_id — the pre-join diagnostic for
     * salting/broadcast/AQE decisions, emitted as (metric, value) rows.
     */
@@ -672,5 +701,6 @@ object Extended5Queries {
     Q("mx06_curation_funnel", mx06CurationFunnel, Some(mx06Sql)),
     Q("q83_key_skew", q83KeySkew, Some(q83Sql)),
     Q("q86_transition_matrix", q86TransitionMatrix, Some(q86Sql)),
-    Q("tx18_source_contamination", tx18SourceContamination, Some(tx18Sql)))
+    Q("tx18_source_contamination", tx18SourceContamination, Some(tx18Sql)),
+    Q("mx07_temperature_mix", mx07TemperatureMix, Some(mx07Sql)))
 }
