@@ -207,6 +207,54 @@ class Extended5Spec extends SparkSpec {
     assert(out.maxBy(_._2)._3 === 1.0)
   }
 
+  test("transition matrix: hand-computed first-order Markov estimate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q86_").toString
+    // ts stored as raw NANOS (the driver data's TIMESTAMP(NANOS)
+    // shape that Tables.events rebuilds from a long column)
+    def t(m: Int): Long = (1767225600L + m * 60L) * 1000000000L
+    // user 1: A→B→A; user 2: B→B — margins A:1, B:2
+    Seq((1L, t(0), 1L, "A", 0.0, null.asInstanceOf[String]),
+        (2L, t(1), 1L, "B", 0.0, null.asInstanceOf[String]),
+        (3L, t(2), 1L, "A", 0.0, null.asInstanceOf[String]),
+        (4L, t(0), 2L, "B", 0.0, null.asInstanceOf[String]),
+        (5L, t(1), 2L, "B", 0.0, null.asInstanceOf[String]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val m = Catalog.queries("q86_transition_matrix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(m === Map(("A", "B") -> ((1L, 1.0)), ("B", "A") -> ((1L, 0.5)),
+      ("B", "B") -> ((1L, 0.5))))
+  }
+
+  test("source contamination: shared 5-grams counted once per source pair") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx18_").toString
+    val shared = "one two three four five"
+    Seq((1L, s"$shared alpha", "web", 0L), (2L, s"$shared beta", "web", 0L),
+        (3L, s"$shared gamma", "api", 0L), (4L, "wholly unrelated text body here", "book", 0L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .withColumn("lang", lit("en"))
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Catalog.queries("tx18_source_contamination")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // the only cross-source shared shingle is the 5-gram "one..five"
+    // (api↔web); book shares nothing with anyone
+    assert(rows.toSeq === Seq(("api", "web", 1L)))
+  }
+
+  test("temperature mix: alpha weights up-sample the small source, sums are 1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mx07_").toString
+    (Seq.fill(16)("big") ++ Seq.fill(4)("small")).zipWithIndex
+      .map { case (src, i) => (i.toLong, s"text $i", src, 0L) }
+      .toDF("doc_id", "text", "source", "n_chars")
+      .withColumn("lang", lit("en"))
+      .write.parquet(s"$dir/documents.parquet")
+    val m = Catalog.queries("mx07_temperature_mix")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m("big") === ((16L, 0.8, 0.6667)))  // sqrt(16)/(4+2) = 2/3 @ 4dp
+    assert(m("small") === ((4L, 0.2, 0.3333))) // sqrt(4)/6 = 1/3 @ 4dp
+    assert(math.abs(m.values.map(_._3).sum - 1.0) < 1e-3) // 4dp rounding slack
+  }
+
   test("curation funnel is monotone and its final stage equals the curated corpus") {
     val funnel = Catalog.queries("mx06_curation_funnel")(spark, Sf0001).collect()
       .map(r => r.getInt(0) -> r.getLong(2)).toMap
