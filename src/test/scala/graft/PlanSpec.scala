@@ -280,6 +280,24 @@ class PlanSpec extends SparkSpec {
       "metric assembly must be single-row broadcast crosses, not a data cartesian")
   }
 
+  test("incremental minhash dedup: cross-side band join only, never a cartesian") {
+    val docs = Tables.documents(spark, Sf0001)
+    val plan = graft.dedup.Dedup.minHashDedupAgainstCorpus(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 400),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") < 400),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"incremental dedup must stay banded/hash-joined:\n${plan.take(1500)}")
+  }
+
+  test("source contamination: shingle pairing is an equi-join on the 5-gram") {
+    val plan = Catalog.queries("tx18_source_contamination")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "source-pair overlap must come from the inverted-index equi-join")
+  }
+
   test("bigramNll: unigram vocab broadcasts; bigram table joins by shuffle") {
     val docs = Tables.documents(spark, Sf0001)
     val plan = graft.text.TextStats.bigramNll(docs, "doc_id", "text")
