@@ -29,7 +29,10 @@ object Bench {
     // round-6 families
     "tx12_span_dedup", "dd10_passage_overlap", "sim04_quantized_topk",
     "dd12_semantic_dedup", "dd13_quality_canonical", "tx14_bigram_nll",
-    "tx15_bpe_apply", "q83_key_skew", "dd14_minhash_curated", "sim05_text_search")
+    "tx15_bpe_apply", "q83_key_skew", "dd14_minhash_curated", "sim05_text_search",
+    "ml08_power_pc1", "dd16_incr_minhash", "sim06_pq_topk", "sim07_ivfpq_topk",
+    "sim08_hamming_topk", "sim09_rerank_topk", "dd15_lsh_recall",
+    "tx16_span_novelty", "mx06_curation_funnel", "tx18_source_contamination")
 
   private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
 
