@@ -273,12 +273,15 @@ object Extended4Queries {
     * even at 100 TB.
     */
   private def tx08Contamination(s: SparkSession, dir: String): DataFrame = {
+    // Shingles hash to 48-bit longs before the distinct: the only
+    // shuffle in the query carries 8-byte keys, not 5-gram strings.
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 5)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
-        .as("sh5"))
+        .as("sh5s"))
+      .select(col("doc_id"), graft.dedup.Dedup.md5Hash48(col("sh5s")).as("sh5"))
       .distinct()
     val bench = sh.filter(col("doc_id") < 25).select(col("sh5")).distinct()
       .withColumn("hit", lit(1))
@@ -297,9 +300,10 @@ object Extended4Queries {
     """WITH toks AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
       |  FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
-      |    unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS sh5
-      |  FROM toks WHERE len(toks) >= 5),
+      |sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(sh5s), 1, 12))::BIGINT AS sh5
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS sh5s
+      |        FROM toks WHERE len(toks) >= 5)),
       |bench AS (SELECT DISTINCT sh5 FROM sh WHERE doc_id < 25),
       |corpus AS (SELECT doc_id, sh5 FROM sh WHERE doc_id >= 25)
       |SELECT doc_id, count(*) AS n_shingles,
@@ -871,7 +875,8 @@ object Extended4Queries {
     val sh = toks.filter(size(col("toks")) >= 5)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
-        .as("s5"))
+        .as("s5s"))
+      .select(col("doc_id"), graft.dedup.Dedup.md5Hash48(col("s5s")).as("s5"))
       .distinct()
     val contaminated = sh.filter(col("doc_id") >= 25)
       .join(broadcast(sh.filter(col("doc_id") < 25).select(col("s5")).distinct()), "s5")
@@ -916,9 +921,10 @@ object Extended4Queries {
       |  GROUP BY doc_id),
       |rep AS (SELECT doc_id, 1 - nd / CAST(nb AS DOUBLE) AS dup_frac FROM bg),
       |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS s5
-      |  FROM toks WHERE len(toks) >= 5),
+      |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s5s), 1, 12))::BIGINT AS s5
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS s5s
+      |        FROM toks WHERE len(toks) >= 5)),
       |contaminated AS (
       |  SELECT DISTINCT c.doc_id
       |  FROM sh c JOIN (SELECT DISTINCT s5 FROM sh WHERE doc_id < 25) b USING (s5)

@@ -34,7 +34,8 @@ object Extended5Queries {
       |    array_to_string(toks[st:st+7], ' ') AS span_text
       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 8)) AS st
       |        FROM toks WHERE len(toks) > 0)),
-      |withfp AS (SELECT doc_id, span_idx, span_text, md5(span_text) AS span_fp FROM spans),
+      |withfp AS (SELECT doc_id, span_idx, span_text,
+      |    ('0x' || substr(md5(span_text), 1, 12))::BIGINT AS span_fp FROM spans),
       |dup AS (SELECT span_fp FROM withfp GROUP BY span_fp HAVING count(DISTINCT doc_id) > 1),
       |kept AS (SELECT * FROM withfp WHERE span_fp NOT IN (SELECT span_fp FROM dup)),
       |agg AS (
@@ -61,7 +62,8 @@ object Extended5Queries {
       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
       |  FROM documents),
       |grams AS (
-      |  SELECT doc_id, st AS pos, md5(array_to_string(toks[st:st+7], ' ')) AS gfp
+      |  SELECT doc_id, st AS pos,
+      |    ('0x' || substr(md5(array_to_string(toks[st:st+7], ' ')), 1, 12))::BIGINT AS gfp
       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS st
       |        FROM toks WHERE len(toks) >= 8)),
       |sel AS (
@@ -243,7 +245,8 @@ object Extended5Queries {
       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
       |  FROM documents),
       |grams AS (
-      |  SELECT doc_id, st AS pos, md5(array_to_string(toks[st:st+7], ' ')) AS gfp
+      |  SELECT doc_id, st AS pos,
+      |    ('0x' || substr(md5(array_to_string(toks[st:st+7], ' ')), 1, 12))::BIGINT AS gfp
       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS st
       |        FROM toks WHERE len(toks) >= 8)),
       |sel AS (
@@ -352,7 +355,8 @@ object Extended5Queries {
       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
       |  FROM documents),
       |spans AS (
-      |  SELECT doc_id, md5(array_to_string(toks[st:st+7], ' ')) AS span_fp
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(array_to_string(toks[st:st+7], ' ')), 1, 12))::BIGINT AS span_fp
       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 8)) AS st
       |        FROM toks WHERE len(toks) > 0)),
       |firsts AS (SELECT span_fp, min(doc_id) AS first_doc FROM spans GROUP BY 1)
@@ -431,10 +435,13 @@ object Extended5Queries {
         .as("bg"))
       .groupBy(col("doc_id"))
       .agg(((lit(1) - countDistinct(col("bg")) / count(lit(1))) <= 0.4).as("rep_ok"))
+    // 48-bit hashed shingles: the distinct shuffles 8-byte longs and
+    // the broadcast benchmark set is ~5× smaller than with raw strings.
     val sh = toks.filter(size(col("toks")) >= 5)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
-        .as("s5"))
+        .as("s5s"))
+      .select(col("doc_id"), graft.dedup.Dedup.md5Hash48(col("s5s")).as("s5"))
       .distinct()
     val contaminated = sh.filter(col("doc_id") >= 25)
       .join(broadcast(sh.filter(col("doc_id") < 25).select(col("s5")).distinct()), "s5")
@@ -498,9 +505,10 @@ object Extended5Queries {
       |  GROUP BY doc_id),
       |rep AS (SELECT doc_id, 1 - nd / CAST(nb AS DOUBLE) AS dup_frac FROM bg),
       |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS s5
-      |  FROM toks WHERE len(toks) >= 5),
+      |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s5s), 1, 12))::BIGINT AS s5
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS s5s
+      |        FROM toks WHERE len(toks) >= 5)),
       |contaminated AS (
       |  SELECT DISTINCT c.doc_id
       |  FROM sh c JOIN (SELECT DISTINCT s5 FROM sh WHERE doc_id < 25) b USING (s5)
@@ -582,12 +590,17 @@ object Extended5Queries {
     * other).
     */
   private def tx18SourceContamination(s: SparkSession, dir: String): DataFrame = {
+    // Shingles are reduced to 48-bit md5-derived longs BEFORE the
+    // distinct and the self-join: the inverted-index shuffle carries
+    // 8-byte keys instead of ~40-byte 5-gram strings (the Dedup
+    // hashedShingleRows discipline — never shuffle shingle text).
     val inv = Tables.documents(s, dir)
       .select(col("source"), TextStats.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 5)
       .select(col("source"), explode(expr(
         "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
-        .as("s5"))
+        .as("s5s"))
+      .select(col("source"), graft.dedup.Dedup.md5Hash48(col("s5s")).as("s5"))
       .distinct()
     val sizes = inv.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     inv.toDF("source_a", "s5")
@@ -603,11 +616,13 @@ object Extended5Queries {
 
   private val tx18Sql =
     """WITH inv AS (
-      |  SELECT DISTINCT source,
-      |    unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS s5
-      |  FROM (SELECT source, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
-      |        FROM documents)
-      |  WHERE len(toks) >= 5),
+      |  SELECT DISTINCT source, ('0x' || substr(md5(s5s), 1, 12))::BIGINT AS s5
+      |  FROM (
+      |    SELECT source,
+      |      unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS s5s
+      |    FROM (SELECT source, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |          FROM documents)
+      |    WHERE len(toks) >= 5)),
       |sizes AS (SELECT source, count(*) AS n_sh FROM inv GROUP BY 1),
       |shared AS (
       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared

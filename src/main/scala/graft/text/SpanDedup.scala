@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * document; the survivors are reassembled in original order.
   *
   * Scale shape (100 TB): one explode (narrow), one groupBy on the
-  * 16-byte fingerprint (shuffle linear in corpus token count / window),
+  * 8-byte fingerprint (shuffle linear in corpus token count / window),
   * one join back on the fingerprint, one per-doc reassembly groupBy.
   * No pairwise comparison anywhere — cost is O(tokens), not O(docs²).
   * The duplicated-fingerprint set is usually tiny relative to the span
@@ -26,6 +26,11 @@ object SpanDedup {
   /** One row per `window`-token span: (doc_id, span_idx, span_text,
     * span_fp). Non-overlapping tiling — the dedup unit, not a search
     * index (for overlap-sensitive detection see `passageOverlap`).
+    * span_fp is a 48-bit md5-derived long, not the 32-char hex digest:
+    * it exists only to be grouped and joined on, and an 8-byte shuffle
+    * key carries 4× less than the hex string at corpus scale. The
+    * ~|spans|²/2^49 collision odds are the standard fingerprint-dedup
+    * trade (same budget as [[graft.dedup.Dedup.hashedShingleRows]]).
     */
   def spans(docs: DataFrame, window: Int): DataFrame =
     docs
@@ -36,7 +41,7 @@ object SpanDedup {
       .select(col("doc_id"),
         expr(s"CAST((st - 1) DIV $window AS INT)").as("span_idx"),
         expr(s"concat_ws(' ', slice(toks, st, $window))").as("span_text"))
-      .withColumn("span_fp", md5(col("span_text")))
+      .withColumn("span_fp", graft.dedup.Dedup.md5Hash48(col("span_text")))
 
   /** Per-document NOVELTY: the fraction of a doc's spans whose first
     * corpus occurrence (min doc_id per span fingerprint) is this doc —
@@ -45,7 +50,7 @@ object SpanDedup {
     * counts as novel here (it is measured separately by the
     * repetition filter); only cross-document copying lowers the score.
     *
-    * Scale shape: one groupBy on the 16-byte fingerprint for the
+    * Scale shape: one groupBy on the 8-byte fingerprint for the
     * first-owner table, one join back, one per-doc aggregate — all
     * hash shuffles, nothing pairwise.
     */
@@ -111,7 +116,10 @@ object SpanDedup {
     *
     * Scale shape: one explode to the gram stream (linear), one
     * running-min window per doc (partition-local sort on doc_id, no
-    * cross-doc traffic), distinct + groupBy on 16-byte fingerprints.
+    * cross-doc traffic), distinct + groupBy on 8-byte long fingerprints
+    * (min-selection runs over 48-bit md5-derived longs — cheaper to
+    * sort and 4× narrower to shuffle than hex digests, and equally
+    * content-determined, so the winnowing guarantee is unchanged).
     * Selected density ≈ 2/(w+1) of gram count, so the cross-doc
     * shuffle carries ~25% of the token stream at w=8.
     */
@@ -144,7 +152,8 @@ object SpanDedup {
       .select(col("doc_id"), col("toks"),
         explode(expr(s"sequence(1, size(toks) - ${k - 1})")).as("pos"))
       .select(col("doc_id"), col("pos"),
-        md5(expr(s"concat_ws(' ', slice(toks, pos, $k))")).as("gfp"))
+        graft.dedup.Dedup.md5Hash48(
+          expr(s"concat_ws(' ', slice(toks, pos, $k))")).as("gfp"))
     val fr = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(0, w - 1)
     grams
