@@ -95,7 +95,10 @@ object Multimodal {
         val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
         val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
         val bytesPerSample = f.getSampleSizeInBits / 8
-        if ((!signed && !unsigned) || (bytesPerSample != 1 && bytesPerSample != 2)) None
+        // getFrameSize may be AudioSystem.NOT_SPECIFIED (-1); dividing
+        // by it would throw instead of falling back to the stub
+        if ((!signed && !unsigned) || (bytesPerSample != 1 && bytesPerSample != 2)
+            || f.getFrameSize <= 0) None
         else {
           val raw = ais.readAllBytes()
           val frameSize = f.getFrameSize

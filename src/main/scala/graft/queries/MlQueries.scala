@@ -147,6 +147,14 @@ object MlQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** 8-dp state snap with HALF-AWAY-FROM-ZERO ties, matching SQL
+    * round(): Scala's math.round rounds half toward +infinity, which
+    * would diverge from the DuckDB oracle on a negative iterate
+    * landing exactly on a 1e-8 half-boundary.
+    */
+  private def snap8(x: Double): Double =
+    math.signum(x) * math.round(math.abs(x) * 1e8) / 1e8
+
   /** Top principal direction by UNROLLED POWER ITERATION — the
     * oracle-checkable counterpart to ml05's MLlib PCA (whose internal
     * eigensolver no SQL engine reproduces). Eight fixed iterations of
@@ -205,7 +213,7 @@ object MlQueries {
       val w = Array.tabulate(64)(i =>
         (0 until 64).foldLeft(0.0)((acc, j) => acc + gm(i)(j) * vec(j)))
       val nrm = math.sqrt(w.map(x => x * x).sum)
-      vec = w.map(x => math.round(x / nrm * 1e8) / 1e8)
+      vec = w.map(x => snap8(x / nrm))
     }
     emb.select(col("vec_id"),
         round(graft.functions.VectorExprs.dot(col("embedding"),

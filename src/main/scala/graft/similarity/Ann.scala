@@ -190,17 +190,24 @@ object Ann {
     */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val maxAbs = corpus
-      .agg(max(array_max(transform(col(vecCol), x => abs(x)))))
-      .first().getFloat(0)
-    require(maxAbs > 0f, "quantization scale undefined: all-zero corpus")
-    val scale = 127.0 / maxAbs.toDouble
+    // The global max-|x| rides along as a broadcast scalar (the mx07
+    // totals pattern) instead of a separate driver first() job — the
+    // composed path stays one plan, and ReuseExchange shares the
+    // corpus aggregate between the two crossJoins. An all-zero corpus
+    // raises in-plan rather than via a driver require.
+    val mx = corpus
+      .agg(max(array_max(transform(col(vecCol), x => abs(x))))
+        .cast("double").as("__maxabs"))
+    val scale = when(col("__maxabs") > 0d, lit(127.0) / col("__maxabs"))
+      .otherwise(raise_error(lit("quantization scale undefined: all-zero corpus")))
     // floor(x·s + ½): explicit half-up rounding — identical in every
     // engine, unlike round()'s dialect-dependent tie rules
     def quant(v: Column): Column =
-      transform(v, x => floor(x.cast("double") * lit(scale) + lit(0.5)).cast("float"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), quant(col(vecCol)).as("qc"))
-    val q = queries.select(col(idCol).as("query_id"), quant(col(vecCol)).as("qq"))
+      transform(v, x => floor(x.cast("double") * scale + lit(0.5)).cast("float"))
+    val c = corpus.crossJoin(broadcast(mx))
+      .select(col(idCol).as("neighbor_id"), quant(col(vecCol)).as("qc"))
+    val q = queries.crossJoin(broadcast(mx))
+      .select(col(idCol).as("query_id"), quant(col(vecCol)).as("qq"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         dot(col("qq"), col("qc")).cast("long").as("qdot"))
@@ -274,7 +281,13 @@ object Ann {
     val subDim = codebooks.head.head.size
     require(codebooks.forall(_.forall(_.size == subDim)),
       "all codebook centroids must share the subspace dimension")
+    // slice() silently clamps short subvectors, so a codebook whose
+    // m·subDim disagrees with the corpus dimension would mis-encode
+    // instead of failing — assert the width in-plan (assert_true is
+    // null on success, so the filter keeps every valid row).
     var enc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .filter(assert_true(size(col("cv")) === m * subDim,
+        lit(s"PQ codebooks cover ${m * subDim} dims; corpus vector differs")).isNull)
     for (j <- 0 until m) {
       val sub = slice(col("cv"), j * subDim + 1, subDim)
       enc = enc.withColumn(s"code_$j", nearestCell(sub, codebooks(j)).getField("cell"))

@@ -35,10 +35,17 @@ object DocStream {
     spark.readStream.schema(docSchema).parquet(dir)
 
   /** Watermark-bounded streaming curation: exact dedup on the
-    * normalized-content fingerprint (first arrival wins — the batch
-    * pipeline's min-id canonical rule becomes first-seen in event
-    * time), then the batch quality gate. Emits curated docs with
-    * their scores.
+    * normalized-content fingerprint, then the batch quality gate.
+    * Emits curated docs with their scores.
+    *
+    * Dedup keeps the FIRST-PROCESSED row per fingerprint: duplicates
+    * in later micro-batches (within the watermark) are dropped, but
+    * when duplicate fingerprints land in the SAME micro-batch the
+    * survivor is arbitrary (processing order), not min-doc_id — so
+    * WHICH doc survives is deterministic per fingerprint only across
+    * batches. A pipeline needing the batch min-id canonical rule
+    * should pre-aggregate min(doc_id) per fingerprint per batch via
+    * foreachBatch before this dedup.
     */
   def curatedDocs(docs: DataFrame, watermarkDelay: String = "10 minutes",
       minQuality: Double = 0.5): DataFrame =
