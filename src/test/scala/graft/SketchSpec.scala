@@ -37,4 +37,34 @@ class SketchSpec extends SparkSpec {
     val (exact, approx) = (r.getDouble(0), r.getDouble(1))
     assert(math.abs(approx - exact) / exact < 0.02, s"exact=$exact approx=$approx")
   }
+
+  // --- q38b: the deterministic (oracle-checkable) sketch twin ---------------
+
+  test("q38b KMV estimate within the k=32 error envelope of exact distinct") {
+    // stderr of the k-independent-minima estimator is ~1/sqrt(k) ≈ 18%;
+    // 2.5 sigma keeps the assertion meaningful without flaking on the
+    // fixed md5 draw
+    val rows = queries.Catalog.queries("q38b_kmv_sketch")(spark, Sf0001).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      val est = r.getAs[Double]("kmv_parts")
+      assert(math.abs(est - exact) / exact < 0.45, s"flag=${r.getString(0)} exact=$exact kmv=$est")
+    }
+  }
+
+  test("q38b histogram-CDF bucket equals the exact rank-based percentile's bucket") {
+    // first bucket with cum ≥ q·n IS the bucket holding the ⌈q·n⌉-th
+    // smallest value — verify against a brute-force sorted lookup
+    val li = Tables.lineitem(spark, Sf0001)
+    val byFlag = li.select($"l_returnflag", $"l_extendedprice")
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(r => math.floor(r.getDouble(1)).toLong).sorted)
+    queries.Catalog.queries("q38b_kmv_sketch")(spark, Sf0001).collect().foreach { r =>
+      val vs = byFlag(r.getString(0))
+      def rankBucket(q: Double) = vs(math.ceil(vs.length * q).toInt - 1)
+      assert(r.getAs[Long]("p50_bucket") == rankBucket(0.5), s"flag=${r.getString(0)}")
+      assert(r.getAs[Long]("p90_bucket") == rankBucket(0.9), s"flag=${r.getString(0)}")
+    }
+  }
 }
