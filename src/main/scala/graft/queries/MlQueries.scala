@@ -170,14 +170,16 @@ object MlQueries {
     * never touches the data. MLlib's PCA stays the production path
     * (ml05); this gate proves the linear-algebra plumbing end-to-end.
     */
-  private def ml08PowerPc1(s: SparkSession, dir: String): DataFrame = {
+  /** Distributed 64×64 uncentered Gram accumulation (the treeAggregate
+    * shape): each task folds its rows into a local array and emits 4096
+    * partial cells — the explode-self-join formulation shuffled rows×64²
+    * cells (9.7 s at sf0.1 vs ~1 s for this). G is APEX STATE —
+    * corpus-size-independent — so collecting it to the driver is the
+    * right altitude (same rationale as collected centroids/codebooks).
+    */
+  private def gram64(s: SparkSession, dir: String): Array[Array[Double]] = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-    // Gram accumulation per partition (the treeAggregate shape): each
-    // task folds its rows into a local 64×64 array and emits 4096
-    // partial cells — the explode-self-join formulation shuffled
-    // rows×64² cells (9.7 s at sf0.1 vs ~1 s for this).
-    val g = emb.select(col("embedding")).as[Seq[Float]]
+    val g = Tables.embeddings(s, dir).select(col("embedding")).as[Seq[Float]]
       .mapPartitions { it =>
         val acc = Array.ofDim[Double](64, 64)
         it.foreach { v =>
@@ -194,31 +196,170 @@ object MlQueries {
       }
       .toDF("i", "j", "pgv")
       .groupBy(col("i"), col("j")).agg(sum(col("pgv")).as("gv"))
-    // G is 64×64 APEX STATE — corpus-size-independent, so iterating on
-    // the driver is the right altitude (same rationale as collected
-    // centroids/codebooks): one distributed job builds G, pure-Scala
-    // rounds replay the recurrence, and the projection is a single
-    // codegen'd dot against the final direction burned in as literals.
-    // The DataFrame-iteration formulation cost 16 tiny scheduled jobs
-    // (2.4 s at sf0.1); this shape is ~1 s and scan-bound.
-    //
-    // Per-iteration 8-decimal snap, exactly like Graph.pageRank: Gram
-    // partial-sum order differs between engines, and unsnapped
-    // iterated state lets that drift compound into the output
-    // rounding. Snapped, both engines carry identical state.
     val gm = Array.ofDim[Double](64, 64)
     g.collect().foreach(r => gm(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getDouble(2))
+    gm
+  }
+
+  /** Column sums and row count of the embedding matrix — the rank-1
+    * centering correction: G − s·sᵀ/n is (n−1)·covariance, whose
+    * eigenvectors are the PCA directions MLlib finds (scaling doesn't
+    * move eigenvectors). One extra scan-level agg job.
+    */
+  private def colSums64(s: SparkSession, dir: String): (Array[Double], Long) = {
+    val emb = Tables.embeddings(s, dir)
+    val sums = emb.agg(
+      count(lit(1)).as("n"),
+      (0 until 64).map(i =>
+        sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i")): _*)
+      .first()
+    (Array.tabulate(64)(i => sums.getDouble(i + 1)), sums.getLong(0))
+  }
+
+  /** Eight snapped power-iteration rounds over a driver-side Gram:
+    * returns the unit direction and the last pre-snap norm |G·v|
+    * snapped to 6 dp — the eigenvalue estimate deflation uses.
+    *
+    * Per-iteration 8-decimal snap, exactly like Graph.pageRank: Gram
+    * partial-sum order differs between engines, and unsnapped iterated
+    * state lets that drift compound into the output rounding. Snapped,
+    * both engines carry identical state.
+    */
+  private def powerIterate(g: Array[Array[Double]]): (Array[Double], Double) = {
     var vec = Array.fill(64)(1.0)
+    var lastNrm = 0.0
     for (_ <- 1 to 8) {
       val w = Array.tabulate(64)(i =>
-        (0 until 64).foldLeft(0.0)((acc, j) => acc + gm(i)(j) * vec(j)))
-      val nrm = math.sqrt(w.map(x => x * x).sum)
-      vec = w.map(x => snap8(x / nrm))
+        (0 until 64).foldLeft(0.0)((acc, j) => acc + g(i)(j) * vec(j)))
+      lastNrm = math.sqrt(w.map(x => x * x).sum)
+      vec = w.map(x => snap8(x / lastNrm))
     }
-    emb.select(col("vec_id"),
+    (vec, math.round(lastNrm * 1e6) / 1e6)
+  }
+
+  private def ml08PowerPc1(s: SparkSession, dir: String): DataFrame = {
+    // one distributed job builds G, pure-Scala rounds replay the
+    // recurrence, and the projection is a single codegen'd dot against
+    // the final direction burned in as literals. The DataFrame-
+    // iteration formulation cost 16 tiny scheduled jobs (2.4 s at
+    // sf0.1); this shape is ~1 s and scan-bound.
+    val (vec, _) = powerIterate(gram64(s, dir))
+    Tables.embeddings(s, dir).select(col("vec_id"),
         round(graft.functions.VectorExprs.dot(col("embedding"),
           array(vec.map(lit).toIndexedSeq: _*)), 4).as("pc1"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Top-4 principal directions by DEFLATED power iteration — the
+    * hash-green counterpart to ml05's MLlib PCA: after each component
+    * converges, Hotelling deflation (G ← G − λ·v·vᵀ, λ = |G·v| snapped
+    * to 6 dp) removes it and the next iteration finds the next
+    * direction. Every quantity either engine carries — iterates,
+    * eigenvalue estimates, the deflated matrix recurrence — is the
+    * same snapped arithmetic, so the DuckDB oracle (4 components × 8
+    * unrolled rounds + 3 deflations) reproduces the projections
+    * exactly. The Gram is CENTERED first (G − s·sᵀ/n = (n−1)·cov) so
+    * the directions are covariance eigenvectors like MLlib's;
+    * projections stay raw-vector dots (MLlib's transform convention —
+    * it does not re-center).
+    *
+    * MLlib's PCA (ml05) stays the production path. The synthetic
+    * embeddings have a near-flat spectrum (top explained-variance
+    * fractions 0.0289/0.0270/0.0259/0.0253), so per-component equality
+    * with an exact eigensolver is ill-posed for ANY iterative method
+    * at any iteration count; the truthful invariant — pinned in
+    * MlSpec — is subspace quality: the 4 power directions capture
+    * ≥ 93% of the variance MLlib's exact top-4 subspace captures
+    * (random directions would capture ~58%).
+    *
+    * Scale shape: identical to ml08 — one distributed Gram job plus a
+    * column-sum agg, 64×64 driver state, final projection is 4
+    * codegen'd dots.
+    */
+  private def ml05bPowerPca(s: SparkSession, dir: String): DataFrame = {
+    val g = gram64(s, dir)
+    val (cs, n) = colSums64(s, dir)
+    // center: G − s·sᵀ/n = (n−1)·cov — same eigenvectors as MLlib's
+    // covariance PCA
+    for (i <- 0 until 64; j <- 0 until 64) g(i)(j) -= cs(i) * cs(j) / n
+    val dirs = (0 until 4).map { _ =>
+      val (v, lam) = powerIterate(g)
+      var i = 0
+      while (i < 64) {
+        var j = 0
+        while (j < 64) { g(i)(j) -= lam * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      v
+    }
+    Tables.embeddings(s, dir).select(col("vec_id") +:
+        dirs.zipWithIndex.map { case (v, c) =>
+          round(graft.functions.VectorExprs.dot(col("embedding"),
+            array(v.map(lit).toIndexedSeq: _*)), 4).as(s"pc_$c")
+        }: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  private val ml05bSql: String = {
+    // 4 components × 8 unrolled snapped iterations, with a Hotelling
+    // deflation CTE between components — ml08's construction extended
+    // by g{c+1} = g{c} − λ·v·vᵀ (λ = round(|G·v|, 6) from the last
+    // iteration's norm CTE, v = that component's v8).
+    // Every CTE is MATERIALIZED: each w is referenced twice (norm +
+    // normalize) and each deflated g feeds 8 more rounds, so DuckDB's
+    // default inlining would expand the plan (and its parquet scans)
+    // exponentially — the first sf0.01 run died on "too many open
+    // files" before the hint.
+    def comp(c: Int, gSrc: String): String = {
+      val iters = (1 to 8).map { t =>
+        val prev = s"c${c}_v${t - 1}"
+        s"""c${c}_w$t AS MATERIALIZED (
+           |  SELECT g.i, sum(g.gv * p.vval) AS w
+           |  FROM $gSrc g JOIN $prev p ON g.j = p.i GROUP BY 1),
+           |c${c}_n$t AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM c${c}_w$t),
+           |c${c}_v$t AS MATERIALIZED (SELECT i, round(w / nrm, 8) AS vval FROM c${c}_w$t, c${c}_n$t)""".stripMargin
+      }.mkString(",\n")
+      s"""c${c}_v0 AS MATERIALIZED (SELECT unnest(range(1, 65)) AS i, 1.0::DOUBLE AS vval),
+         |$iters,
+         |c${c}_lam AS MATERIALIZED (SELECT round(nrm, 6) AS lam FROM c${c}_n8)""".stripMargin
+    }
+    def deflate(c: Int, gSrc: String): String =
+      s"""g${c + 1} AS MATERIALIZED (
+         |  SELECT g.i, g.j, g.gv - l.lam * a.vval * b.vval AS gv
+         |  FROM $gSrc g JOIN c${c}_v8 a ON g.i = a.i JOIN c${c}_v8 b ON g.j = b.i
+         |  CROSS JOIN c${c}_lam l)""".stripMargin
+    val body = (0 until 4).map { c =>
+      val gSrc = s"g$c"
+      if (c < 3) comp(c, gSrc) + ",\n" + deflate(c, gSrc)
+      else comp(c, gSrc)
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS MATERIALIZED (
+       |  SELECT vec_id, i, v[i] AS xi
+       |  FROM (SELECT vec_id, v, unnest(range(1, 65)) AS i FROM e)),
+       |g AS MATERIALIZED (
+       |  SELECT a.i, b.i AS j, sum(a.xi * b.xi) AS gv
+       |  FROM x a JOIN x b USING (vec_id)
+       |  GROUP BY 1, 2),
+       |sums AS MATERIALIZED (SELECT i, sum(xi) AS si FROM x GROUP BY 1),
+       |nr AS MATERIALIZED (SELECT count(*) AS n FROM e),
+       |g0 AS MATERIALIZED (
+       |  SELECT g.i, g.j, g.gv - sa.si * sb.si / nr.n AS gv
+       |  FROM g JOIN sums sa ON g.i = sa.i JOIN sums sb ON g.j = sb.i
+       |  CROSS JOIN nr),
+       |$body
+       |SELECT x.vec_id,
+       |  round(sum(x.xi * d0.vval), 4) AS pc_0,
+       |  round(sum(x.xi * d1.vval), 4) AS pc_1,
+       |  round(sum(x.xi * d2.vval), 4) AS pc_2,
+       |  round(sum(x.xi * d3.vval), 4) AS pc_3
+       |FROM x
+       |JOIN c0_v8 d0 ON x.i = d0.i
+       |JOIN c1_v8 d1 ON x.i = d1.i
+       |JOIN c2_v8 d2 ON x.i = d2.i
+       |JOIN c3_v8 d3 ON x.i = d3.i
+       |GROUP BY x.vec_id
+       |ORDER BY x.vec_id""".stripMargin
   }
 
   private val ml08Sql: String = {
@@ -252,6 +393,7 @@ object MlQueries {
     Q("ml03_gbt_eval", ml03GbtEval, None),
     Q("ml04_importances", ml04Importances, None),
     Q("ml05_pca", ml05Pca, None),
+    Q("ml05b_power_pca", ml05bPowerPca, Some(ml05bSql)),
     Q("ml06_hash_embed", ml06HashEmbed, None, Some(() => ml06Sql())),
     Q("ml08_power_pc1", ml08PowerPc1, Some(ml08Sql)),
   )

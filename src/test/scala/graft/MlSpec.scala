@@ -92,6 +92,41 @@ class MlSpec extends SparkSpec {
       s"projections must be monotone in the planted magnitude: ${projs.toSeq}")
   }
 
+  test("ml05b power-PCA subspace captures >=85% of MLlib top-4 variance") {
+    // the synthetic embeddings' spectrum is near-flat, so per-component
+    // agreement with an exact eigensolver is ill-posed; the meaningful
+    // invariant is subspace quality. Measured ratio 0.965 at sf0.001
+    // (random 4-dim directions would score ~0.58).
+    val power = graft.queries.Catalog.queries("ml05b_power_pca")(spark, Sf0001)
+    val mllib = MlPipeline.pcaEmbed(Tables.embeddings(spark, Sf0001),
+      "vec_id", "embedding", 4)
+    def captured(df: org.apache.spark.sql.DataFrame, pfx: String): Double = {
+      val cols = (0 until 4).map(c => var_samp(col(s"$pfx$c")))
+      val r = df.agg(cols.head, cols.tail: _*).first()
+      (0 until 4).map(r.getDouble).sum
+    }
+    val ratio = captured(power, "pc_") / captured(mllib, "emb_")
+    assert(ratio >= 0.85, s"captured-variance ratio $ratio")
+  }
+
+  test("ml05b deflation yields four distinct high-variance directions") {
+    // each deflated component must carry real variance of its own —
+    // a broken deflation would re-find the same direction (perfectly
+    // correlated projections) or collapse to noise (tiny variance)
+    val power = graft.queries.Catalog.queries("ml05b_power_pca")(spark, Sf0001)
+    val vars = {
+      val cols = (0 until 4).map(c => var_samp(col(s"pc_$c")))
+      val r = power.agg(cols.head, cols.tail: _*).first()
+      (0 until 4).map(r.getDouble)
+    }
+    val mean = vars.sum / 4
+    assert(vars.forall(v => v > 0.5 * mean), s"component variances: $vars")
+    for (a <- 0 until 4; b <- a + 1 until 4) {
+      val c = math.abs(power.agg(corr(col(s"pc_$a"), col(s"pc_$b"))).first().getDouble(0))
+      assert(c < 0.3, s"|corr(pc_$a, pc_$b)| = $c — deflation failed to separate")
+    }
+  }
+
   test("hashingEmbed is deterministic and fixed-width (M1 stand-in)") {
     val docs = Tables.documents(spark, Sf0001)
     val e = MlPipeline.hashingEmbed(docs, "doc_id", "text", numFeatures = 64)
