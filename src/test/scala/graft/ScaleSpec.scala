@@ -63,6 +63,35 @@ class ScaleSpec extends SparkSpec {
     assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("bucketed fingerprint anti-join runs with zero Exchange (incremental dedup shape)") {
+    // SCALE.md's claim, plan-asserted: bucket corpus and incoming by
+    // the content fingerprint once at write time and the dd07-shaped
+    // incremental anti-join needs no shuffle at read time — both scans
+    // already provide hashpartitioning(fp). Broadcast is disabled so
+    // the assertion proves co-partitioning, not a small-side shortcut.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val withFp = Tables.documents(spark, Sf0001)
+        .select($"doc_id", graft.text.TextStats.fingerprint($"text").as("fp"))
+      val path = java.nio.file.Files.createTempDirectory("graft_bucket_join_").toString
+      Scale.writeBucketed(withFp.filter($"doc_id" < 400), "graft_corpus_fp",
+        "fp", 4, s"$path/corpus")
+      Scale.writeBucketed(withFp.filter($"doc_id" >= 400), "graft_incoming_fp",
+        "fp", 4, s"$path/incoming")
+      val novel = spark.table("graft_incoming_fp")
+        .join(spark.table("graft_corpus_fp"), Seq("fp"), "left_anti")
+      val got = novel.select($"doc_id").collect().map(_.getLong(0)).sorted
+      val plan = novel.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(1000))
+      // and the same join answers correctly (parity with unbucketed)
+      val expected = withFp.filter($"doc_id" >= 400)
+        .join(withFp.filter($"doc_id" < 400), Seq("fp"), "left_anti")
+        .select($"doc_id").collect().map(_.getLong(0)).sorted
+      assert(got === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sortedForPruning yields requested partitioning and sorted output") {
     val df = Scale.sortedForPruning(Tables.orders(spark, Sf0001), Seq("o_orderdate"), 4)
     assert(df.rdd.getNumPartitions === 4)

@@ -231,6 +231,86 @@ class StreamingSpec extends SparkSpec {
     assert(out === Seq((1L, "web"), (4L, "api")))
   }
 
+  test("streaming curation ≡ batch canonical+quality gates on the same drops") {
+    import graft.streaming.DocStream
+    // DocStream's dedup keeps the FIRST-PROCESSED row per fingerprint
+    // and is only deterministic ACROSS batches (DocStream.scala
+    // semantics note), so stage the drops accordingly: drop k carries
+    // each fingerprint's k-th copy in doc_id order — no intra-drop
+    // duplicates, and cross-drop arrival order is doc_id order. In
+    // that regime streaming first-seen IS the batch min-doc_id
+    // canonical rule, and the two pipelines must agree exactly.
+    val docs = Tables.documents(spark, Sf0001).select($"doc_id", $"text", $"source")
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.text.TextStats.fingerprint($"text")).orderBy($"doc_id")
+    val withOcc = docs.withColumn("occ", row_number().over(byFp))
+    val maxOcc = withOcc.agg(max($"occ")).first().getInt(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_eq_").toString
+    val base = ts(0).getTime
+
+    val q = DocStream.curatedDocs(DocStream.readDocs(spark, dir))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("curated_eq").start()
+    for (k <- 1 to maxOcc) {
+      withOcc.filter($"occ" === k)
+        .select($"doc_id", lit(new Timestamp(base + k * 60000L)).as("ingest_ts"),
+          $"text", $"source")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("curated_eq").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+    // the batch twins of the two streaming gates: mx05's canonical
+    // stage (Dedup.exactGroups min-id keep) and its quality stage
+    val canon = graft.dedup.Dedup.exactGroups(docs, "doc_id", "text")
+      .filter($"is_dup" === 0).select($"doc_id")
+    val expected = canon
+      .join(docs.select($"doc_id", graft.text.TextStats.qualityScore($"text").as("q")), "doc_id")
+      .filter($"q" >= 0.5).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed === expected)
+  }
+
+  test("streaming session windows ≡ q62 batch sessionization on static events") {
+    // same 30-minute gap, same events: the built-in session_window
+    // must reproduce q62's lag-based batch sessionization per-user
+    // session multiset. A far-future sentinel event advances the
+    // watermark past every real session's close so Append mode emits
+    // them all.
+    val ev = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+    val maxTs = ev.agg(max($"ts")).first().getTimestamp(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_eq_").toString
+    val mid = new Timestamp(
+      (ev.agg(min($"ts")).first().getTimestamp(0).getTime + maxTs.getTime) / 2)
+
+    val q = EventStream.sessionized(EventStream.readEvents(spark, dir),
+        gap = "30 minutes", watermarkDelay = "10 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_eq").start()
+    // two time-ordered drops (sessions spanning the cut exercise
+    // cross-batch state), then the watermark-advancing sentinel
+    ev.filter($"ts" <= lit(mid)).coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    ev.filter($"ts" > lit(mid)).coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    Seq((-1L, new Timestamp(maxTs.getTime + 7200000L), -1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sess_eq").filter($"user_id" >= 0)
+      .select($"user_id", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batch = queries.Catalog.queries("q62_sessionize")(spark, Sf0001)
+      .select($"user_id", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed === batch)
+  }
+
   test("batch shape of the streaming agg matches q21 on static data") {
     // the same windowed aggregation expressed on the static events
     // table (streaming/batch unification): hour windows over sf0.001
