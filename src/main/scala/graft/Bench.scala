@@ -13,26 +13,43 @@ import org.apache.spark.sql.SparkSession
   * `target/bench_detail.json` for local inspection.
   */
 object Bench {
-  /** Representative subset across query families — keep this list short
-    * enough that the JSON line stays well under ~1500 chars.
+  /** Representative subset, ONE OR TWO members per query family (the
+    * r6 list had grown to 46 entries and was two rounds from the
+    * driver's ~1500-char line buffer). Full per-query timings always
+    * land in target/bench_detail.json — the headline only has to keep
+    * every family's round-over-round trend visible, not every query.
+    * Membership rotates: when adding a family, drop a redundant
+    * sibling elsewhere. `lineBudgetOk` below fails the run loudly if
+    * this list ever grows past the buffer again.
     */
   private val headline = Seq(
-    "q01_pricing_summary", "q04_join_inner", "q07_topk", "q13_trends",
-    "q21_time_bucket", "q22_window_rank", "q26_cube", "q30_sql_entry",
-    "dd02_jaccard_pairs", "dd04_minhash_lsh", "dd07_incremental",
-    "sim01_brute_topk", "sim03_ivf_topk", "tx02_quality", "tx07_curate",
-    "ml03_gbt_eval", "mm01_media_features", "imdb_pipeline_demo",
-    "imdb_pipeline_synth", "dd01_exact_dedup",
-    // round-4 families
-    "q62_sessionize", "q65_tfidf", "tx08_contamination", "mx01_pack",
-    "q74_pagerank", "mx05_curation_pipeline",
-    // round-6 families
-    "tx12_span_dedup", "dd10_passage_overlap", "sim04_quantized_topk",
-    "dd12_semantic_dedup", "dd13_quality_canonical", "tx14_bigram_nll",
-    "tx15_bpe_apply", "q83_key_skew", "dd14_minhash_curated", "sim05_text_search",
-    "ml08_power_pc1", "dd16_incr_minhash", "sim06_pq_topk", "sim07_ivfpq_topk",
-    "sim08_hamming_topk", "sim09_rerank_topk", "dd15_lsh_recall",
-    "tx16_span_novelty", "mx06_curation_funnel", "tx18_source_contamination")
+    // relational / window / sql entry
+    "q01_pricing_summary", "q04_join_inner", "q22_window_rank", "q30_sql_entry",
+    // events / graph / diagnostics
+    "q62_sessionize", "q74_pagerank", "q83_key_skew",
+    // dedup: exact, jaccard, minhash-lsh, incremental, semantic, composed
+    "dd01_exact_dedup", "dd02_jaccard_pairs", "dd04_minhash_lsh",
+    "dd07_incremental", "dd12_semantic_dedup", "dd14_minhash_curated",
+    // similarity: brute, ivf, text, ivf+pq, cascade
+    "sim01_brute_topk", "sim03_ivf_topk", "sim05_text_search",
+    "sim07_ivfpq_topk", "sim09_rerank_topk",
+    // text: curation, contamination, span dedup, bpe, source matrix
+    "tx07_curate", "tx08_contamination", "tx12_span_dedup",
+    "tx15_bpe_apply", "tx18_source_contamination",
+    // mixing / funnels
+    "mx01_pack", "mx05_curation_pipeline", "mx06_curation_funnel",
+    // ml / multimodal / flagship pipelines
+    "ml03_gbt_eval", "ml08_power_pc1", "ml05b_power_pca",
+    "mm01_media_features", "imdb_pipeline_demo", "imdb_pipeline_synth",
+    // round-7 scale-safe twins
+    "q38b_kmv_sketch", "q45b_dist_cdf")
+
+  /** Worst-case printed-line estimate: fixed frame + per-entry
+    * name+quotes+colon+comma+8 digit chars. Keeps the list honest at
+    * build time instead of discovering a truncated BENCH_r{N}.json.
+    */
+  private def lineBudgetOk: Boolean =
+    180 + headline.map(_.length + 12).sum < 1500
 
   private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
 
@@ -41,6 +58,8 @@ object Bench {
     // catalog — a renamed query must not silently vanish from the JSON.
     val missing = headline.filterNot(SparkEntry.queries.contains)
     require(missing.isEmpty, s"headline names not in catalog: ${missing.mkString(",")}")
+    require(lineBudgetOk,
+      s"headline list too long: worst-case JSON line exceeds the driver's ~1500-char buffer")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
