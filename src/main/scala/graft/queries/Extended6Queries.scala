@@ -153,8 +153,154 @@ object Extended6Queries {
       |FROM exact e JOIN kmv k USING (l_returnflag) JOIN quant q USING (l_returnflag)
       |ORDER BY e.l_returnflag""".stripMargin
 
+  /** q44's value-range mean without the global window: p_size has a
+    * bounded domain (~50 values), so aggregate per size once, join the
+    * tiny histogram to itself on |Δsize| ≤ 5, and broadcast the
+    * per-size result back. Same numbers as q44 (the RANGE frame is a
+    * pure function of the value), Exchange-free aggregation instead of
+    * a single-partition sort — Extended6Spec pins the equality.
+    */
+  private def q44bRangeHist(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+    val hist = part.groupBy(col("p_size"))
+      .agg(sum(col("p_retailprice")).as("sp"), count(lit(1)).as("np"))
+    val nearby = hist.as("a").join(hist.as("b"),
+        col("b.p_size").between(col("a.p_size") - 5, col("a.p_size") + 5))
+      .groupBy(col("a.p_size").as("p_size"))
+      .agg((sum(col("b.sp")) / sum(col("b.np"))).as("avg_raw"))
+    part.join(broadcast(nearby), "p_size")
+      .select(col("p_partkey"), col("p_size"),
+        round(col("avg_raw"), 2).as("nearby_avg"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q44bSql =
+    """WITH hist AS (
+      |  SELECT p_size, sum(p_retailprice) AS sp, count(*) AS np
+      |  FROM part GROUP BY 1),
+      |nearby AS (
+      |  SELECT a.p_size, sum(b.sp) / sum(b.np) AS avg_raw
+      |  FROM hist a JOIN hist b ON b.p_size BETWEEN a.p_size - 5 AND a.p_size + 5
+      |  GROUP BY 1)
+      |SELECT p.p_partkey, p.p_size, round(n.avg_raw, 2) AS nearby_avg
+      |FROM part p JOIN nearby n USING (p_size)
+      |ORDER BY p.p_partkey""".stripMargin
+
+  /** Hard-negative mining (contrastive-training batch construction):
+    * for each of the first 10 vectors, the 3 nearest neighbors whose
+    * label differs — [[graft.similarity.Ann.hardNegatives]].
+    */
+  private def q87HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.similarity.Ann.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neg_label"), round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q87Sql =
+    """SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, neg_label,
+      |  round(cosine, 4) AS cosine
+      |FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    c.label AS neg_label,
+      |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+      |    row_number() OVER (
+      |      PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+      |               c.vec_id) AS rank
+      |  FROM embeddings q JOIN embeddings c
+      |    ON q.vec_id != c.vec_id AND q.label != c.label
+      |  WHERE q.vec_id < 10
+      |)
+      |WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Token-budget curation: keep the highest-quality documents until
+    * half the corpus's tokens are spent — the "best data under a
+    * fixed compute budget" selection every pretraining run makes.
+    * NO global quality sort: the cumulative spend comes from the
+    * rounded-quality histogram (bounded buckets, tx17 shape); full
+    * buckets above the cut are taken wholesale, and only the single
+    * boundary bucket orders its own members (doc_id asc) to spend the
+    * remainder. Deterministic: integer token counts, 4-dp quality.
+    */
+  private def mx08TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        round(graft.text.TextStats.qualityScore(col("text")), 4).as("quality"),
+        graft.text.TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val total = docs.agg(floor(sum(col("n_tokens")) / 2).cast("long").as("budget"))
+    val hist = docs.groupBy(col("quality")).agg(sum(col("n_tokens")).as("bt"))
+    // cumulative spend from the highest-quality bucket down (window
+    // over the bounded histogram, not the data)
+    val wq = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("bt")).over(wq))
+      .withColumn("cum_above", col("cum") - col("bt"))
+      .select(col("quality"), col("cum"), col("cum_above"))
+    val flagged = docs.join(broadcast(cum), "quality").crossJoin(broadcast(total))
+    val fullBuckets = flagged.filter(col("cum") <= col("budget"))
+    // exactly one bucket straddles the budget line; its members fill
+    // the remainder in doc_id order
+    val wb = Window.partitionBy(col("quality")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundary = flagged
+      .filter(col("cum") > col("budget") && col("cum_above") < col("budget"))
+      .withColumn("dcum", sum(col("n_tokens")).over(wb))
+      .filter(col("dcum") <= col("budget") - col("cum_above"))
+    fullBuckets.select(col("doc_id"), col("quality"), col("n_tokens"))
+      .union(boundary.select(col("doc_id"), col("quality"), col("n_tokens")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mx08Sql =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id,
+      |    round(0.4 * least(len(toks) / 50.0, 1.0)
+      |        + 0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+      |        + 0.2 * least(5.0 * (len(list_filter(toks, x -> list_contains(
+      |            ['the','a','an','and','or','of','to','in','is','it'], x)))
+      |          / CAST(len(toks) AS DOUBLE)), 1.0), 4) AS quality,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens
+      |  FROM t WHERE len(toks) > 0),
+      |total AS (SELECT CAST(floor(sum(n_tokens) / 2) AS BIGINT) AS budget FROM d),
+      |hist AS (SELECT quality, sum(n_tokens) AS bt FROM d GROUP BY 1),
+      |cum AS (
+      |  SELECT quality,
+      |    sum(bt) OVER (ORDER BY quality DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(bt) OVER (ORDER BY quality DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bt AS cum_above
+      |  FROM hist),
+      |flagged AS (
+      |  SELECT d.doc_id, d.quality, d.n_tokens, c.cum, c.cum_above, t.budget
+      |  FROM d JOIN cum c USING (quality) CROSS JOIN total t),
+      |full_b AS (
+      |  SELECT doc_id, quality, n_tokens FROM flagged WHERE cum <= budget),
+      |boundary AS (
+      |  SELECT doc_id, quality, n_tokens
+      |  FROM (
+      |    SELECT doc_id, quality, n_tokens, budget, cum_above,
+      |      sum(n_tokens) OVER (PARTITION BY quality ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcum
+      |    FROM flagged WHERE cum > budget AND cum_above < budget)
+      |  WHERE dcum <= budget - cum_above)
+      |SELECT doc_id, quality, n_tokens FROM full_b
+      |UNION ALL SELECT doc_id, quality, n_tokens FROM boundary
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q45b_dist_cdf", q45bDistCdf, Some(q45bSql)),
     Q("q38b_kmv_sketch", q38bKmvSketch, Some(q38bSql)),
+    Q("q44b_range_hist", q44bRangeHist, Some(q44bSql)),
+    Q("q87_hard_negatives", q87HardNegatives, Some(q87Sql)),
+    Q("mx08_token_budget", mx08TokenBudget, Some(mx08Sql)),
   )
 }

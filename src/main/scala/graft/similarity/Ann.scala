@@ -218,6 +218,34 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("qdot"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * nearest neighbors whose label DIFFERS from the query's — the
+    * batch-construction step of embedding-model training data (the
+    * same-label nearest neighbors are the positives; the closest
+    * OTHER-label vectors are the hardest negatives). Same shape and
+    * cost as [[bruteForceTopK]]: queries broadcast, the label
+    * inequality rides the join condition so non-candidates never
+    * reach the window. At corpus scale, compose with [[ivfTopKFixed]]
+    * cells or [[signLshTopK]] buckets exactly like plain top-k.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("neg_label")).withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("q_label")).withColumn("qn", norm(col("qv")))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("q_label") =!= col("neg_label"))
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neg_label"), col("cosine"))
+  }
+
   /** LSH-bucketed top-k: score only same-signature pairs. Recall < 1 by
     * construction (tested against [[bruteForceTopK]] in AnnSpec);
     * raising nBits shrinks buckets, lowering it raises recall.

@@ -18,6 +18,32 @@ class AnnSpec extends SparkSpec {
     assert(got.toSeq === Seq((1, 2L), (2, 3L))) // nearest 2, then orthogonal 3
   }
 
+  test("hardNegatives: only other-label neighbors, ranked like the label-blind top-k") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val queries = emb.filter($"vec_id" < 5)
+    val qLabels = queries.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hn = Ann.hardNegatives(emb, queries, "vec_id", "embedding", "label", 3).collect()
+    assert(hn.length == 15)
+    val labels = emb.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    hn.foreach { r =>
+      val (q, n, negLabel) = (r.getLong(0), r.getLong(2), r.getInt(3))
+      assert(negLabel != qLabels(q), s"query $q got a same-label 'negative' $n")
+      assert(labels(n) == negLabel)
+    }
+    // the hard negatives are exactly the label-blind neighbors minus
+    // same-label entries: filtering brute-force top-k down to k=3 per
+    // query over other-label rows must agree
+    val blind = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 50)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expected = blind.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy(_._2).filter(t => labels(t._3) != qLabels(q)).take(3)
+        .map(t => (q, t._3)).toSeq
+    }.toSet
+    assert(hn.map(r => (r.getLong(0), r.getLong(2))).toSet == expected)
+  }
+
   test("sign-LSH recall@5 vs brute force is reasonable at sf0.001") {
     val emb = Tables.embeddings(spark, Sf0001)
     val queries = emb.filter($"vec_id" < 20)

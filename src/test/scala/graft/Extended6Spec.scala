@@ -27,6 +27,46 @@ class Extended6Spec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("q44b histogram range-mean equals q44's RANGE-frame window exactly") {
+    // the ±5-size mean is a pure function of p_size, so the bounded-
+    // histogram formulation must reproduce the global-window numbers
+    val q44 = queries.Catalog.queries("q44_range_frame")(spark, Sf0001)
+      .select(col("p_partkey"), col("nearby_avg").as("win"))
+    val q44b = queries.Catalog.queries("q44b_range_hist")(spark, Sf0001)
+      .select(col("p_partkey"), col("nearby_avg").as("hist"))
+    val mismatches = q44.join(q44b, "p_partkey")
+      .filter(abs(col("win") - col("hist")) > 1e-9).count()
+    assert(mismatches == 0)
+    assert(q44.count() == q44b.count())
+  }
+
+  test("mx08 spends at most the token budget and keeps the best quality first") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        round(graft.text.TextStats.qualityScore(col("text")), 4).as("q"),
+        graft.text.TextStats.tokenCount(col("text")).cast("long").as("nt"))
+      .filter(col("nt") > 0)
+    val budget = docs.agg(floor(sum(col("nt")) / 2).cast("long")).first().getLong(0)
+    val sel = queries.Catalog.queries("mx08_token_budget")(spark, Sf0001)
+    val spent = sel.agg(sum(col("n_tokens"))).first().getLong(0)
+    assert(spent <= budget, s"spent $spent > budget $budget")
+    // greedy by quality: every unselected doc's quality is <= every
+    // selected doc's quality EXCEPT inside the single boundary bucket
+    val minSel = sel.agg(min(col("quality"))).first().getDouble(0)
+    val violated = docs.join(sel.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .filter(col("q") > minSel).count()
+    assert(violated == 0, s"$violated unselected docs above the selection floor")
+    // boundary-bucket selection is a doc_id-order PREFIX (running sum
+    // is monotone in n_tokens > 0): the first unselected floor-quality
+    // doc must out-number every selected floor-quality doc's id
+    val selFloorMax = sel.filter(col("quality") === minSel)
+      .agg(max(col("doc_id"))).first()
+    val unselFloorMin = docs.join(sel.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .filter(col("q") === minSel).agg(min(col("doc_id"))).first()
+    if (!selFloorMax.isNullAt(0) && !unselFloorMin.isNullAt(0))
+      assert(unselFloorMin.getLong(0) > selFloorMax.getLong(0))
+  }
+
   test("q45b plan windows over the histogram, not the customer table") {
     val plan = queries.Catalog.queries("q45b_dist_cdf")(spark, Sf0001)
       .queryExecution.executedPlan.toString
