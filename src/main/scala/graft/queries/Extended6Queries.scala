@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.text.{SpanDedup, TextStats}
 
 /** Round-7 widening: scale-safe twins for the two operator families the
   * round-6 audit flagged as weak-at-scale — global distribution windows
@@ -296,11 +297,118 @@ object Extended6Queries {
       |UNION ALL SELECT doc_id, quality, n_tokens FROM boundary
       |ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination by span excision (tx08's surgical
+    * variant): docs 0–24 are the benchmark; corpus docs ≥ 25 lose only
+    * the 8-token spans a shared 5-gram touches. The reassembly
+    * fingerprint proves CONTENT of the excision cross-engine, not just
+    * counts — [[graft.text.SpanDedup.decontaminateSpans]].
+    */
+  private def tx19SpanDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    SpanDedup.decontaminateSpans(docs.filter(col("doc_id") >= 25),
+        docs.filter(col("doc_id") < 25), window = 8, n = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  private val tx19Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM documents),
+      |bsh AS (
+      |  SELECT DISTINCT ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+      |  FROM (SELECT unnest(list_transform(range(1, len(toks) - 3),
+      |                i -> array_to_string(toks[i:i+4], ' '))) AS s
+      |        FROM toks WHERE doc_id < 25 AND len(toks) >= 5)),
+      |hits AS (
+      |  SELECT DISTINCT doc_id, unnest([CAST((p - 1) // 8 AS INTEGER),
+      |                                  CAST((p + 3) // 8 AS INTEGER)]) AS span_idx
+      |  FROM (SELECT doc_id, p,
+      |          ('0x' || substr(md5(array_to_string(toks[p:p+4], ' ')), 1, 12))::BIGINT AS h
+      |        FROM (SELECT doc_id, unnest(range(1, len(toks) - 3)) AS p, toks
+      |              FROM toks WHERE doc_id >= 25 AND len(toks) >= 5))
+      |  WHERE h IN (SELECT h FROM bsh)),
+      |spans AS (
+      |  SELECT doc_id, CAST((st - 1) // 8 AS INTEGER) AS span_idx,
+      |    array_to_string(toks[st:st+7], ' ') AS span_text
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 8)) AS st
+      |        FROM toks WHERE doc_id >= 25 AND len(toks) > 0)),
+      |kept AS (
+      |  SELECT s.* FROM spans s
+      |  WHERE NOT EXISTS (SELECT 1 FROM hits h
+      |                    WHERE h.doc_id = s.doc_id AND h.span_idx = s.span_idx)),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+      |    md5(string_agg(span_text, ' ' ORDER BY span_idx)) AS cleaned_fp
+      |  FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans
+      |        FROM spans GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_spans, coalesce(a.n_kept, 0) AS n_kept,
+      |  coalesce(a.cleaned_fp, md5('')) AS cleaned_fp
+      |FROM tot t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** Per-source diversity profile — the dataset-card statistics a
+    * mixture designer reads before weighting sources: document and
+    * token counts, type-token ratio, and distinct-trigram ratio
+    * (self-repetition across a source lowers both). Three hash
+    * aggregates, no joins wider than the source list.
+    */
+  private def q88SourceDiversity(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val base = toks.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(size(col("toks"))).as("n_tokens"))
+    val words = toks.select(col("source"), explode(col("toks")).as("w"))
+      .groupBy(col("source"))
+      .agg((countDistinct(col("w")) / count(lit(1))).as("ttr_raw"))
+    val tris = toks.filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+        .as("t3s"))
+      .select(col("source"), graft.dedup.Dedup.md5Hash48(col("t3s")).as("t3"))
+      .groupBy(col("source"))
+      .agg((countDistinct(col("t3")) / count(lit(1))).as("tri_raw"))
+    base.join(words, "source").join(tris, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("ttr_raw"), 4).as("ttr"),
+        round(col("tri_raw"), 4).as("tri_ratio"))
+      .orderBy(col("source"))
+  }
+
+  private val q88Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM documents),
+      |nz AS (SELECT * FROM toks WHERE len(toks) > 0),
+      |base AS (
+      |  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+      |  FROM nz GROUP BY 1),
+      |words AS (
+      |  SELECT source, count(DISTINCT w) / CAST(count(*) AS DOUBLE) AS ttr_raw
+      |  FROM (SELECT source, unnest(toks) AS w FROM nz) GROUP BY 1),
+      |tris AS (
+      |  SELECT source, count(DISTINCT t3) / CAST(count(*) AS DOUBLE) AS tri_raw
+      |  FROM (SELECT source, ('0x' || substr(md5(t3s), 1, 12))::BIGINT AS t3
+      |        FROM (SELECT source,
+      |                unnest(list_transform(range(1, len(toks) - 1),
+      |                  i -> array_to_string(toks[i:i+2], ' '))) AS t3s
+      |              FROM nz WHERE len(toks) >= 3))
+      |  GROUP BY 1)
+      |SELECT b.source, b.n_docs, b.n_tokens,
+      |  round(w.ttr_raw, 4) AS ttr, round(t.tri_raw, 4) AS tri_ratio
+      |FROM base b JOIN words w USING (source) JOIN tris t USING (source)
+      |ORDER BY b.source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q45b_dist_cdf", q45bDistCdf, Some(q45bSql)),
     Q("q38b_kmv_sketch", q38bKmvSketch, Some(q38bSql)),
     Q("q44b_range_hist", q44bRangeHist, Some(q44bSql)),
     Q("q87_hard_negatives", q87HardNegatives, Some(q87Sql)),
     Q("mx08_token_budget", mx08TokenBudget, Some(mx08Sql)),
+    Q("tx19_span_decontaminate", tx19SpanDecontaminate, Some(tx19Sql)),
+    Q("q88_source_diversity", q88SourceDiversity, Some(q88Sql)),
   )
 }

@@ -139,6 +139,68 @@ object SpanDedup {
         round(col("n_shared").cast("double") / col("n_fps").cast("double"), 4))
   }
 
+  /** Benchmark decontamination by SPAN EXCISION: instead of dropping a
+    * whole document that shares an n-gram with the benchmark (tx08's
+    * policy), cut out only the `window`-token spans the contaminated
+    * n-gram touches and keep the rest — the surgical variant that
+    * preserves data at 100 TB where doc-level dropping is wasteful.
+    *
+    * Detection is EXACT at span boundaries: benchmark n-grams are
+    * matched at every token position of the document (not within the
+    * span tiling), and a hit at position p (1-based) marks every span
+    * overlapping tokens [p, p+n−1] — so an n-gram straddling two spans
+    * excises both.
+    *
+    * Output per document: total spans, spans kept, and the fingerprint
+    * of the order-preserving reassembly (same contract as
+    * [[dedupSpans]]; a fully-contaminated doc keeps md5("")).
+    *
+    * Scale shape: the benchmark shingle set reduces to DISTINCT 48-bit
+    * longs and broadcasts; the corpus side is one explode (narrow) +
+    * a scan-side hash probe; only (doc_id, span_idx) hit pairs — a
+    * tiny set — shuffle into the anti-join.
+    */
+  def decontaminateSpans(corpus: DataFrame, bench: DataFrame, window: Int,
+      n: Int = 5): DataFrame = {
+    import graft.dedup.Dedup
+    val bsh = bench
+      .select(TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
+        .as("s"))
+      .select(Dedup.md5Hash48(col("s")).as("h"))
+      .distinct()
+    val hits = corpus
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"p -> struct(p AS p, concat_ws(' ', slice(toks, p, $n)) AS s))"))
+        .as("g"))
+      .select(col("doc_id"), col("g.p").as("p"), Dedup.md5Hash48(col("g.s")).as("h"))
+      .join(broadcast(bsh), Seq("h"), "left_semi")
+      // the n-gram at p covers tokens [p, p+n-1]; excise every span it
+      // overlaps (span_idx is 0-based over window-token tiles)
+      .select(col("doc_id"), explode(expr(
+        s"sequence(CAST((p - 1) DIV $window AS INT), CAST((p + ${n - 2}) DIV $window AS INT))"))
+        .as("span_idx"))
+      .distinct()
+    val sp = spans(corpus, window)
+    val kept = sp.join(hits, Seq("doc_id", "span_idx"), "left_anti")
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_kept"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(span_idx, span_text))), x -> x.span_text)")))
+          .as("cleaned_fp"))
+    sp.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n_spans"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("cleaned_fp"), md5(lit(""))).as("cleaned_fp"))
+  }
+
   /** The winnowed fingerprint stream itself: DISTINCT (doc_id, win_fp)
     * where win_fp is the minimum k-gram md5 of some full w-window —
     * the selection [[passageOverlap]] and passage-level clustering

@@ -67,6 +67,32 @@ class Extended6Spec extends SparkSpec {
       assert(unselFloorMin.getLong(0) > selFloorMax.getLong(0))
   }
 
+  test("decontaminateSpans excises BOTH spans when a benchmark 5-gram straddles the tile boundary") {
+    import spark.implicits._
+    import graft.text.SpanDedup
+    // 16 tokens = two 8-token spans; the benchmark 5-gram sits at
+    // positions 7..11, overlapping span 0 (tokens 1-8) and span 1
+    // (tokens 9-16) — naive within-span matching would miss it entirely
+    val w = (1 to 16).map(i => s"w$i")
+    val contaminated = w.take(6) ++ Seq("alpha", "beta", "gamma", "delta", "epsilon") ++ w.drop(11)
+    val corpus = Seq(
+      (100L, contaminated.mkString(" ")),
+      (101L, w.mkString(" "))). // clean: all 16 tokens survive
+      toDF("doc_id", "text")
+    val bench = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val r = SpanDedup.decontaminateSpans(corpus, bench, window = 8, n = 5)
+      .orderBy($"doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getInt(1), x.getInt(2))).toSeq ===
+      Seq((100L, 2, 0), (101L, 2, 2)))
+    // the clean doc's reassembly is its own text's fingerprint; the
+    // fully-excised doc keeps md5("")
+    val cleanFp = r(1).getString(3)
+    val expectedClean = spark.sql(s"SELECT md5('${w.mkString(" ")}')").first().getString(0)
+    assert(cleanFp === expectedClean)
+    assert(r(0).getString(3) ===
+      spark.sql("SELECT md5('')").first().getString(0))
+  }
+
   test("q45b plan windows over the histogram, not the customer table") {
     val plan = queries.Catalog.queries("q45b_dist_cdf")(spark, Sf0001)
       .queryExecution.executedPlan.toString
