@@ -311,6 +311,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("incremental near-dup ingest: store grows across batches, dd16 semantics per batch") {
+    import graft.streaming.DocStream
+    import graft.streaming.DocStream.Doc
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
+    val (in, corpusDir, outDir, ckpt) =
+      (s"$base/in", s"$base/corpus", s"$base/out", s"$base/ckpt")
+    def doc(words: Seq[String]) = words.mkString(" ")
+    // 12-token docs; near-dup = one word changed (Jaccard on 3-shingles
+    // well above 0.5), novel = disjoint vocabulary
+    val seedW = (1 to 12).map(i => s"s$i")
+    val aW = (1 to 12).map(i => s"a$i")
+    val bW = (1 to 12).map(i => s"b$i")
+    Seq((0L, doc(seedW))).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$corpusDir/batch=seed")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+
+    val q = DocStream.incrementalNearDupIngest(
+      DocStream.readDocs(spark, in), corpusDir, outDir, ckpt)
+    // drop 1: a near-dup of the seed (dropped), novel doc A (kept),
+    // and an intra-batch near-dup of A (within-batch canonical keep)
+    Seq(
+      Doc(10L, ts(0), doc(seedW.updated(3, "changed")), "web"),
+      Doc(11L, ts(0), doc(aW), "web"),
+      Doc(12L, ts(0), doc(aW.updated(7, "tweak")), "web"),
+    ).toDF().coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    // drop 2: a near-dup of A — only dropped if batch 1's survivors
+    // actually entered the store — and novel doc B
+    Seq(
+      Doc(20L, ts(1), doc(aW.updated(2, "other")), "api"),
+      Doc(21L, ts(1), doc(bW), "api"),
+    ).toDF().coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.read.parquet(outDir).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L, 21L))
+    // the store now serves batch consumers: seed + the two survivors
+    val store = spark.read.parquet(corpusDir).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(store === Set(0L, 11L, 21L))
+  }
+
   test("batch shape of the streaming agg matches q21 on static data") {
     // the same windowed aggregation expressed on the static events
     // table (streaming/batch unification): hour windows over sf0.001
