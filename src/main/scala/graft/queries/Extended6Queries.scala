@@ -402,6 +402,88 @@ object Extended6Queries {
       |FROM base b JOIN words w USING (source) JOIN tris t USING (source)
       |ORDER BY b.source""".stripMargin
 
+  /** Time-series densification (gap-fill): hourly event counts per
+    * user with ZERO-filled gaps across each user's own active span —
+    * the sparse→dense resampling step before any temporal feature
+    * window or regular-interval model input. Per-key sequence explode
+    * (output linear in keys × span length), one hash join back; no
+    * global time axis is ever materialized.
+    */
+  private def q89GapFill(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id") < 50)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+    val counts = e.groupBy(col("user_id"), col("h")).agg(count(lit(1)).as("n"))
+    val spans = e.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    spans.select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      .join(counts, Seq("user_id", "h"), "left")
+      .select(col("user_id"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  private val q89Sql =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h FROM events WHERE user_id < 50),
+      |counts AS (SELECT user_id, h, count(*) AS n FROM e GROUP BY 1, 2),
+      |spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1),
+      |dense AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM spans)
+      |SELECT d.user_id, strftime(d.h, '%Y-%m-%d %H:%M:%S') AS hour,
+      |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      |FROM dense d LEFT JOIN counts c USING (user_id, h)
+      |ORDER BY d.user_id, hour""".stripMargin
+
+  /** Quantile feature binning (the discretization step of feature
+    * engineering): per returnflag, price quartile-bins assigned by the
+    * value-histogram CDF — the q45b technique applied per group, with
+    * the per-bin summary (count, bucket range) as the gate output.
+    * Row-level assignment is the same join the summary uses (join
+    * `bins` back on (flag, bucket)); every op is histogram-level.
+    */
+  private def ml09QuantileBins(s: SparkSession, dir: String): DataFrame = {
+    val pr = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice")).cast("long").as("b"))
+    val hist = pr.groupBy(col("flag"), col("b")).agg(count(lit(1)).as("nb"))
+    val wc = Window.partitionBy(col("flag")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("nb")).over(wc))
+    val tot = pr.groupBy(col("flag")).agg(count(lit(1)).as("n"))
+    cum.join(tot, "flag")
+      .select(col("flag"), col("b"), col("nb"),
+        ceil(col("cum") * 4 / col("n")).cast("int").as("bin"))
+      .groupBy(col("flag"), col("bin"))
+      .agg(sum(col("nb")).as("n"), min(col("b")).as("lo"), max(col("b")).as("hi"))
+      .select(col("flag").as("l_returnflag"), col("bin"), col("n"),
+        col("lo"), col("hi"))
+      .orderBy(col("l_returnflag"), col("bin"))
+  }
+
+  private val ml09Sql =
+    """WITH pr AS (
+      |  SELECT l_returnflag AS flag, CAST(floor(l_extendedprice) AS BIGINT) AS b
+      |  FROM lineitem),
+      |hist AS (SELECT flag, b, count(*) AS nb FROM pr GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT flag, b, nb,
+      |    sum(nb) OVER (PARTITION BY flag ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM hist),
+      |tot AS (SELECT flag, count(*) AS n FROM pr GROUP BY 1),
+      |binned AS (
+      |  SELECT c.flag, c.b, c.nb,
+      |    CAST(ceil(c.cum * 4 / CAST(t.n AS DOUBLE)) AS INTEGER) AS bin
+      |  FROM cum c JOIN tot t USING (flag))
+      |SELECT flag AS l_returnflag, bin, CAST(sum(nb) AS BIGINT) AS n,
+      |  min(b) AS lo, max(b) AS hi
+      |FROM binned
+      |GROUP BY 1, 2
+      |ORDER BY l_returnflag, bin""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q45b_dist_cdf", q45bDistCdf, Some(q45bSql)),
     Q("q38b_kmv_sketch", q38bKmvSketch, Some(q38bSql)),
@@ -410,5 +492,7 @@ object Extended6Queries {
     Q("mx08_token_budget", mx08TokenBudget, Some(mx08Sql)),
     Q("tx19_span_decontaminate", tx19SpanDecontaminate, Some(tx19Sql)),
     Q("q88_source_diversity", q88SourceDiversity, Some(q88Sql)),
+    Q("q89_gap_fill", q89GapFill, Some(q89Sql)),
+    Q("ml09_quantile_bins", ml09QuantileBins, Some(ml09Sql)),
   )
 }
