@@ -93,6 +93,50 @@ class Extended6Spec extends SparkSpec {
       spark.sql("SELECT md5('')").first().getString(0))
   }
 
+  test("decontaminateSpans with an empty benchmark is the identity") {
+    import spark.implicits._
+    import graft.text.SpanDedup
+    val corpus = Seq((1L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = SpanDedup.decontaminateSpans(corpus, bench, window = 8, n = 5).collect()(0)
+    assert((r.getInt(1), r.getInt(2)) === (2, 2))
+    // reassembly of untouched spans is the whitespace-normalized text
+    val expected = spark.sql(
+      "SELECT md5('one two three four five six seven eight nine ten')")
+      .first().getString(0)
+    assert(r.getString(3) === expected)
+  }
+
+  test("q89 gap-fill conserves event counts and fills gaps with zeros") {
+    val dense = queries.Catalog.queries("q89_gap_fill")(spark, Sf0001)
+    val perUser = dense.groupBy(col("user_id"))
+      .agg(sum(col("n")).as("dense_total"), count(lit(1)).as("n_hours"))
+    val raw = Tables.events(spark, Sf0001).filter(col("user_id") < 50)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("raw_total"))
+    val bad = perUser.join(raw, "user_id")
+      .filter(col("dense_total") =!= col("raw_total")).count()
+    assert(bad == 0, "densification must conserve per-user event counts")
+    // gaps exist in real data and are zero-filled (otherwise the query
+    // tests nothing)
+    assert(dense.filter(col("n") === 0).count() > 0)
+  }
+
+  test("ml09 bins partition each group exactly and cover the full count") {
+    val bins = queries.Catalog.queries("ml09_quantile_bins")(spark, Sf0001).collect()
+    val total = Tables.lineitem(spark, Sf0001).count()
+    assert(bins.map(_.getLong(2)).sum == total)
+    bins.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4))
+      // bin bucket ranges are disjoint and ordered
+      val sorted = rows.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getLong(4) < b.getLong(3),
+          s"bins overlap: ${a.getLong(4)} >= ${b.getLong(3)}")
+      }
+    }
+  }
+
   test("q45b plan windows over the histogram, not the customer table") {
     val plan = queries.Catalog.queries("q45b_dist_cdf")(spark, Sf0001)
       .queryExecution.executedPlan.toString
