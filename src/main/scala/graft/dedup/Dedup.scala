@@ -24,10 +24,16 @@ object Dedup {
 
   /** First 12 hex chars of md5 as a 48-bit non-negative long — a
     * deterministic, cross-engine-reproducible string hash (Spark's
-    * hash()/xxhash64 seeds differ from other engines').
+    * hash()/xxhash64 seeds differ from other engines'). Implemented as
+    * the native codegen'd [[graft.functions.Md5Hash48]] expression
+    * (digest bytes → long, no 32-char hex intermediate); value-
+    * identical to `conv(substring(md5(c), 1, 12), 16, 10)::long`,
+    * which every DuckDB oracle mirrors.
     */
-  def md5Hash48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+  def md5Hash48(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.functions.Md5Hash48(expression(c)))
+  }
 
   /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
     * array column (an attribute, not an inline expression). Passing
@@ -75,8 +81,7 @@ object Dedup {
       .filter(size(col("__toks")) >= n)
       .select(col(idCol).as("doc"),
         transform(col("__toks"), t =>
-          pmod(conv(substring(md5(t), 1, 12), 16, 10).cast("long"),
-            lit(MersennePrime31))).as("th"))
+          pmod(md5Hash48(t), lit(MersennePrime31))).as("th"))
     tokHash
       .select(col("doc"), col("th"),
         posexplode(sequence(lit(1), size(col("th")) - (n - 1))))

@@ -76,8 +76,8 @@ object MlPipeline {
     */
   def deterministicSplit(df: DataFrame, keyCol: String,
       testFraction: Double = 0.2): (DataFrame, DataFrame) = {
-    val bucket = pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
-      .cast("long"), lit(10000))
+    val bucket = pmod(graft.dedup.Dedup.md5Hash48(col(keyCol).cast("string")),
+      lit(10000))
     val th = math.round(10000.0 * (1.0 - testFraction))
     (df.filter(bucket < th), df.filter(bucket >= th))
   }

@@ -26,8 +26,8 @@ object CountMin {
     * 12-hex-char prefix fits a long with no sign issues).
     */
   private def bucket(seedCol: String, itemCol: String, w: Int) =
-    pmod(conv(substring(md5(concat_ws(":", col(seedCol), col(itemCol))), 1, 12), 16, 10)
-      .cast("long"), lit(w))
+    pmod(graft.dedup.Dedup.md5Hash48(
+      concat_ws(":", col(seedCol), col(itemCol))), lit(w))
 
   /** The sketch: one row per (seed, bucket) with its count. `items`
     * must have an `item` string column; multiplicity counts.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, ZOrder2}
+import graft.functions.{DotProduct, Md5Hash48, ZOrder2}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * expressions in the SQL function registry so `spark.sql` users get
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.zOrderDescriptor)
+    ext.injectFunction(GraftExtensions.md5Hash48Descriptor)
     ext.injectPlannerStrategy(_ => new AsofStrategy)
     ext.injectOptimizerRule(_ => new AsofLimitPushDown)
   }
@@ -43,11 +44,20 @@ object GraftExtensions {
       ZOrder2(children.head, children(1))
     })
 
+  val md5Hash48Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_md5h48"),
+    new ExpressionInfo(classOf[Md5Hash48].getName, "graft_md5h48"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_md5h48(s) takes exactly one string argument")
+      Md5Hash48(children.head)
+    })
+
   /** Register on an existing session (tests / REPL convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(dotProductDescriptor, zOrderDescriptor).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-    }
+    Seq(dotProductDescriptor, zOrderDescriptor, md5Hash48Descriptor)
+      .foreach { case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      }
     registerStrategy(spark)
   }
 

@@ -22,8 +22,7 @@ object Extended3Queries {
   private def q58HashSample(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .withColumn("bucket",
-        pmod(conv(substring(md5(col("o_orderkey").cast("string")), 1, 12), 16, 10)
-          .cast("long"), lit(100)))
+        pmod(graft.dedup.Dedup.md5Hash48(col("o_orderkey").cast("string")), lit(100)))
       .filter(col("bucket") < 10)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("bucket").cast("int").as("bucket"))

@@ -439,8 +439,7 @@ object Extended4Queries {
       .withColumn("th", round(lit(10000) * col("min_n") / col("n_total")).cast("long"))
     val kept = docs
       .withColumn("bucket",
-        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
-          .cast("long"), lit(10000)))
+        pmod(graft.dedup.Dedup.md5Hash48(col("doc_id").cast("string")), lit(10000)))
       .join(broadcast(rates.select(col("source"), col("th"))), "source")
       .filter(col("bucket") < col("th"))
       .groupBy("source").agg(count(lit(1)).as("n_kept"))
@@ -691,8 +690,8 @@ object Extended4Queries {
     val scored = Tables.documents(s, dir)
       .filter(TextStats.tokenCount(col("text")) > 0)
       .select(col("doc_id"), TextStats.qualityScore(col("text")).as("w"),
-        ((pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
-          .cast("long"), lit(10000)) + 1) / lit(10001.0)).as("u"))
+        ((pmod(graft.dedup.Dedup.md5Hash48(col("doc_id").cast("string")),
+          lit(10000)) + 1) / lit(10001.0)).as("u"))
       .withColumn("skey", -log(col("u")) / col("w"))
     scored.orderBy(col("skey"), col("doc_id")).limit(100)
       .select(col("doc_id"), round(col("w"), 4).as("weight"),
@@ -817,7 +816,7 @@ object Extended4Queries {
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), explode(col("toks")).as("t"))
       .withColumn("h",
-        pmod(conv(substring(md5(col("t")), 1, 12), 16, 10).cast("long"), lit(1048576)))
+        pmod(graft.dedup.Dedup.md5Hash48(col("t")), lit(1048576)))
     terms
       .select(col("doc_id"), (col("h") % 64).cast("int").as("dim"),
         (((col("h") / 64).cast("long") % 2) * 2 - 1).as("sign"))

@@ -94,8 +94,8 @@ object Extended6Queries {
       .select(col("l_returnflag").as("flag"), col("l_partkey"),
         col("l_extendedprice"))
     def h(seed: Int) =
-      conv(substring(md5(concat_ws(":", lit(seed),
-        col("l_partkey").cast("string"))), 1, 12), 16, 10).cast("long")
+      graft.dedup.Dedup.md5Hash48(
+        concat_ws(":", lit(seed), col("l_partkey").cast("string")))
     val mins = li.groupBy(col("flag"))
       .agg(countDistinct(col("l_partkey")).as("exact_parts"),
         (0 until k).map(s => min(h(s)).as(s"m$s")): _*)

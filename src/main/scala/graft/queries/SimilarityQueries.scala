@@ -156,7 +156,7 @@ object SimilarityQueries {
     val terms = docs
       .select(col("doc_id"), explode(graft.text.TextStats.tokens(col("text"))).as("t"))
       .withColumn("h",
-        pmod(conv(substring(md5(col("t")), 1, 12), 16, 10).cast("long"), lit(1048576)))
+        pmod(graft.dedup.Dedup.md5Hash48(col("t")), lit(1048576)))
     val w = terms
       .select(col("doc_id"), (col("h") % 16).cast("int").as("dim"),
         (((col("h") / 16).cast("long") % 2) * 2 - 1).as("sgn"))

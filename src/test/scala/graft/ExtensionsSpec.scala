@@ -20,6 +20,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(sqlVals === colVals)
   }
 
+  test("graft_md5h48 equals the conv/substring/md5 formula on real text, incl. codegen") {
+    GraftExtensions.register(spark)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = Tables.documents(spark, Sf0001)
+        .select(explode(graft.text.TextStats.tokens($"text")).as("t"))
+      val mismatches = docs.select(
+          graft.dedup.Dedup.md5Hash48($"t").as("native"),
+          expr("CAST(conv(substring(md5(t), 1, 12), 16, 10) AS BIGINT)").as("composed"))
+        .filter($"native" =!= $"composed").count()
+      assert(mismatches == 0)
+      // SQL registration path too
+      docs.createOrReplaceTempView("v_toks")
+      val viaSql = spark.sql(
+        "SELECT count(*) FROM v_toks WHERE graft_md5h48(t) != CAST(conv(substring(md5(t), 1, 12), 16, 10) AS BIGINT)")
+        .first().getLong(0)
+      assert(viaSql == 0)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("graft_md5h48 is null-safe and rejects non-string input") {
+    GraftExtensions.register(spark)
+    val r = Seq(Some("x"), None).toDF("s")
+      .select(graft.dedup.Dedup.md5Hash48($"s").as("h")).collect()
+    assert(!r(0).isNullAt(0) && r(1).isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("n").select(graft.dedup.Dedup.md5Hash48($"n")).collect()
+    }
+  }
+
   test("graft_dot compiles under forced codegen (fallback disabled)") {
     GraftExtensions.register(spark)
     // with fallback off, a broken doGenCode would throw instead of
