@@ -154,6 +154,50 @@ object MlPipeline {
   /** Global feature-importance ranking (the public-API analogue of the
     * reference's SHAP summary, SURVEY.md §2.9 M8).
     */
+  /** Exhaustive decision-stump search — the single tree-split
+    * primitive GBT's internals apply recursively, done with exact
+    * histogram arithmetic so it IS cross-engine verifiable (the
+    * hash-green counterpart to the rows-only ml03/ml04 ensemble
+    * gates). Per feature: every distinct value is a candidate
+    * threshold; cumulative (count, positives) over the value
+    * histogram give both orientations' training accuracies in one
+    * pass; the best (accuracy desc, threshold asc) row survives.
+    *
+    * Scale shape: one groupBy per feature on its DOMAIN-BOUNDED value
+    * histogram, a running sum over that tiny table, and a broadcast
+    * totals row — the q45b/tx17 pattern applied to split search.
+    * Features with unbounded domains should be bucketed first
+    * (ml09's quantile bins are the natural feeder).
+    */
+  def stumpSplits(df: DataFrame, labelCol: String,
+      features: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = df.agg(count(lit(1)).as("nn"),
+      sum(col(labelCol).cast("long")).as("pp"))
+    val perFeature = features.map { f =>
+      val hist = df.groupBy(col(f).as("v"))
+        .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("npos"))
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+      hist
+        .withColumn("cn", sum(col("n")).over(w))
+        .withColumn("cp", sum(col("npos")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(lit(f).as("feature"), col("v").as("threshold"),
+          // orientation 1: predict positive when value > threshold
+          // (TP = pp − cp, TN = cn − cp); orientation 2 is its complement
+          round(greatest(
+            (col("pp") - col("cp") + col("cn") - col("cp")) / col("nn"),
+            (col("cp") + col("nn") - col("pp") - col("cn") + col("cp")) / col("nn")),
+            6).as("acc"))
+    }
+    val all = perFeature.reduce(_ unionAll _)
+    val rk = Window.partitionBy(col("feature"))
+      .orderBy(col("acc").desc, col("threshold"))
+    all.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") === 1)
+      .select(col("feature"), col("threshold"), col("acc"))
+  }
+
   def featureImportances(model: GBTClassificationModel,
       featureCols: Seq[String], spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._

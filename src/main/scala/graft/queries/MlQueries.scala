@@ -387,6 +387,51 @@ object MlQueries {
        |ORDER BY x.vec_id""".stripMargin
   }
 
+  /** Decision-stump split search over the order features — the
+    * hash-green tree-split primitive (MlPipeline.stumpSplits) next to
+    * the rows-only MLlib ensemble gates. Bounded-domain features only;
+    * custkey would go through ml09-style binning first.
+    */
+  private def ml10StumpSplits(s: SparkSession, dir: String): DataFrame =
+    MlPipeline.stumpSplits(
+        MlPipeline.orderFeatures(Tables.orders(s, dir)), "label",
+        Seq("order_year", "order_month", "prio_urgent", "status_f"))
+      .orderBy(col("feature"))
+
+  private val ml10Sql: String = {
+    val feature = Map(
+      "order_year" -> "CAST(year(o_orderdate) AS DOUBLE)",
+      "order_month" -> "CAST(month(o_orderdate) AS DOUBLE)",
+      "prio_urgent" -> "CAST(o_orderpriority = '1-URGENT' AS DOUBLE)",
+      "status_f" -> "CAST(o_orderstatus = 'F' AS DOUBLE)")
+    val branches = feature.toSeq.sortBy(_._1).map { case (name, expr) =>
+      s"""  SELECT '$name' AS feature, v AS threshold,
+         |    round(greatest(
+         |      (t.pp - c.cp + c.cn - c.cp) / CAST(t.nn AS DOUBLE),
+         |      (c.cp + t.nn - t.pp - c.cn + c.cp) / CAST(t.nn AS DOUBLE)), 6) AS acc
+         |  FROM (
+         |    SELECT v, sum(n) OVER w AS cn, sum(npos) OVER w AS cp
+         |    FROM (SELECT $expr AS v, count(*) AS n,
+         |            sum(CASE WHEN o_totalprice >= 100000.0 THEN 1 ELSE 0 END) AS npos
+         |          FROM orders GROUP BY 1)
+         |    WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |  ) c CROSS JOIN tot t""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH tot AS (
+       |  SELECT count(*) AS nn,
+       |    sum(CASE WHEN o_totalprice >= 100000.0 THEN 1 ELSE 0 END) AS pp
+       |  FROM orders),
+       |cand AS (
+       |$branches),
+       |ranked AS (
+       |  SELECT feature, threshold, acc,
+       |    row_number() OVER (PARTITION BY feature
+       |      ORDER BY acc DESC, threshold) AS rk
+       |  FROM cand)
+       |SELECT feature, threshold, acc FROM ranked WHERE rk = 1
+       |ORDER BY feature""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("ml01_features", ml01Features, Some(ml01Sql)),
     Q("ml02_split_counts", ml02SplitCounts, Some(ml02Sql)),
@@ -396,5 +441,6 @@ object MlQueries {
     Q("ml05b_power_pca", ml05bPowerPca, Some(ml05bSql)),
     Q("ml06_hash_embed", ml06HashEmbed, None, Some(() => ml06Sql())),
     Q("ml08_power_pc1", ml08PowerPc1, Some(ml08Sql)),
+    Q("ml10_stump_splits", ml10StumpSplits, Some(ml10Sql)),
   )
 }

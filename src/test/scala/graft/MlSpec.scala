@@ -127,6 +127,29 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("stumpSplits finds the planted perfect split and the exact accuracy") {
+    import org.apache.spark.sql.functions.col
+    // label == (x > 3): threshold 3 with the ">" orientation is a
+    // perfect separator; feature y is pure noise with a known best
+    val df = Seq(
+      (0.0, 1.0, 9.0), (0.0, 2.0, 8.0), (0.0, 3.0, 9.0),
+      (1.0, 4.0, 8.0), (1.0, 5.0, 9.0), (1.0, 6.0, 8.0),
+    ).toDF("label", "x", "y")
+    val r = MlPipeline.stumpSplits(df, "label", Seq("x", "y"))
+      .collect().map(row => row.getString(0) ->
+        (row.getDouble(1), row.getDouble(2))).toMap
+    assert(r("x") === ((3.0, 1.0)))
+    // y: every threshold yields 3/6 or 4/6 right at best — brute-force
+    // check the reported accuracy is the true maximum
+    val rows = df.select(col("label"), col("y")).collect()
+      .map(x => (x.getDouble(0), x.getDouble(1)))
+    val best = rows.map(_._2).distinct.flatMap { t =>
+      val above = rows.count { case (l, v) => (v > t) == (l == 1.0) } / 6.0
+      Seq(above, 1.0 - above)
+    }.max
+    assert(r("y")._2 === math.round(best * 1e6) / 1e6) // query rounds acc to 6dp
+  }
+
   test("hashingEmbed is deterministic and fixed-width (M1 stand-in)") {
     val docs = Tables.documents(spark, Sf0001)
     val e = MlPipeline.hashingEmbed(docs, "doc_id", "text", numFeatures = 64)
