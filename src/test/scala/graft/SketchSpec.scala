@@ -53,6 +53,22 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("KMV minima are mergeable: min of shard minima equals the global sketch") {
+    // the property that makes the q38b estimator distributable — any
+    // partitioning of the data yields the same sketch after a min-merge
+    val li = Tables.lineitem(spark, Sf0001)
+      .select($"l_partkey", ($"l_orderkey" % 2 === 0).as("shard"))
+    def h(seed: Int) = graft.dedup.Dedup.md5Hash48(
+      concat_ws(":", lit(seed), $"l_partkey".cast("string")))
+    val mins = (0 until 8).map(s => min(h(s)).as(s"m$s"))
+    val global = li.agg(mins.head, mins.tail: _*).first()
+    val shards = li.groupBy($"shard").agg(mins.head, mins.tail: _*).collect()
+    for (s <- 0 until 8) {
+      val merged = shards.map(_.getLong(s + 1)).min
+      assert(merged == global.getLong(s), s"seed $s")
+    }
+  }
+
   test("q38b histogram-CDF bucket equals the exact rank-based percentile's bucket") {
     // first bucket with cum ≥ q·n IS the bucket holding the ⌈q·n⌉-th
     // smallest value — verify against a brute-force sorted lookup
