@@ -30,7 +30,8 @@ object Catalog {
   lazy val all: Seq[Q] =
     RelationalQueries.all ++ ExtendedQueries.all ++ Extended2Queries.all ++
       Extended3Queries.all ++ Extended4Queries.all ++ Extended5Queries.all ++
-      Extended6Queries.all ++ Extended7Queries.all ++ FunctionQueries.all ++
+      Extended6Queries.all ++ Extended7Queries.all ++ Extended8Queries.all ++
+      FunctionQueries.all ++
       JoinQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MlQueries.all ++
       ImdbQueries.all ++ MultimodalQueries.all
