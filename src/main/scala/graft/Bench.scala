@@ -42,7 +42,10 @@ object Bench {
     "ml03_gbt_eval", "ml08_power_pc1", "ml05b_power_pca",
     "mm01_media_features", "imdb_pipeline_demo", "imdb_pipeline_synth",
     // round-7 scale-safe twins
-    "q38b_kmv_sketch", "q45b_dist_cdf")
+    "q38b_kmv_sketch", "q45b_dist_cdf",
+    // round-7 wave 2+: verified trainers, CDC chunking, runtime filter,
+    // time-series band join
+    "ml11_logreg", "tx20_cdc_chunks", "q91_bloom_filter", "q92_ewma")
 
   /** Worst-case printed-line estimate: fixed frame + per-entry
     * name+quotes+colon+comma+8 digit chars. Keeps the list honest at
