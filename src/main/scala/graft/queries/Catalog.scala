@@ -31,7 +31,8 @@ object Catalog {
     RelationalQueries.all ++ ExtendedQueries.all ++ Extended2Queries.all ++
       Extended3Queries.all ++ Extended4Queries.all ++ Extended5Queries.all ++
       Extended6Queries.all ++ Extended7Queries.all ++ Extended8Queries.all ++
-      Extended9Queries.all ++ Extended10Queries.all ++ Extended11Queries.all ++ FunctionQueries.all ++
+      Extended9Queries.all ++ Extended10Queries.all ++ Extended11Queries.all ++
+      Extended12Queries.all ++ FunctionQueries.all ++
       JoinQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MlQueries.all ++
       ImdbQueries.all ++ MultimodalQueries.all
