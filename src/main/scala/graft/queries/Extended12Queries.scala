@@ -42,7 +42,10 @@ object Extended12Queries {
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wd = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("tok"))
-    val ranked = toks.join(broadcast(freq), "tok")
+    // NO broadcast hint on freq: the shingle-frequency table scales
+    // with corpus vocabulary — at 100 TB it shuffle-joins on tok
+    // (both sides already hash by tok for the index join anyway)
+    val ranked = toks.join(freq, "tok")
       .withColumn("pos", row_number().over(wd))
       .join(sizes, "doc_id")
       // prefix length: |s| − ⌈t·|s|⌉ + 1 rarest tokens
@@ -52,10 +55,16 @@ object Extended12Queries {
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verification on candidates only
+    // exact verification on candidates only — and only on candidate
+    // DOCUMENTS' shingles: the semi-join cuts the two intersection
+    // joins from the full shingle table to the (few) docs that appear
+    // in any candidate pair
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b"))).distinct()
+    val candToks = toks.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val inter = cands
-      .join(toks.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
-      .join(toks.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "tok"))
+      .join(candToks.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(candToks.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "tok"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-7 tenth wave: ridge regression — the regularized counterpart
+  * to ml13's closed-form OLS. Identical distributed moment
+  * accumulation; the solve adds λ to the non-intercept diagonal of
+  * XᵀX (standard practice: the intercept is not penalized), so the
+  * same exact-integer-sums + in-plan-Cramer machinery verifies the
+  * regularization path, and the known-answer target makes shrinkage
+  * itself checkable: λ=0 recovers β exactly; λ>0 shrinks |β| and
+  * leaves R² just under 1.
+  */
+object Extended14Queries {
+
+  /** Two solves in one output row pair: λ = 0 (must equal ml13) and
+    * λ = 1e6 (visible shrinkage against the ~1e9-scale moment
+    * diagonal). One aggregate scan total — the sums feed both solves.
+    */
+  private def ml15Ridge(s: SparkSession, dir: String): DataFrame = {
+    val f = Tables.lineitem(s, dir)
+      .select(round(col("l_extendedprice"), 0).cast("long").as("q"),
+        round(col("l_discount") * 100, 0).cast("long").as("d100"))
+      .select(col("q"), (col("q") * col("d100")).as("d"))
+      .select(col("q"), col("d"), (col("q") * 100 - col("d")).as("y"))
+    val sums = f.agg(
+      count(lit(1)).as("n"), sum(col("q")).as("sq"), sum(col("d")).as("sd"),
+      sum(col("q") * col("q")).as("sqq"), sum(col("q") * col("d")).as("sqd"),
+      sum(col("d") * col("d")).as("sdd"), sum(col("y")).as("sy"),
+      sum(col("q") * col("y")).as("sqy"), sum(col("d") * col("y")).as("sdy"),
+      sum(col("y").cast("double") * col("y").cast("double")).as("syy"))
+    val base = sums.selectExpr(
+      "CAST(n AS DOUBLE) AS nd", "CAST(sq AS DOUBLE) AS a12",
+      "CAST(sd AS DOUBLE) AS a13", "CAST(sqq AS DOUBLE) AS a22",
+      "CAST(sqd AS DOUBLE) AS a23", "CAST(sdd AS DOUBLE) AS a33",
+      "CAST(sy AS DOUBLE) AS r1", "CAST(sqy AS DOUBLE) AS r2",
+      "CAST(sdy AS DOUBLE) AS r3", "syy")
+    def solve(lam: Double, tag: String): DataFrame = base
+      .selectExpr("*", s"a22 + $lam AS b22", s"a33 + $lam AS b33")
+      .selectExpr("*",
+        "nd*(b22*b33 - a23*a23) - a12*(a12*b33 - a23*a13) + a13*(a12*a23 - b22*a13) AS det")
+      .selectExpr("*",
+        "(r1*(b22*b33 - a23*a23) - a12*(r2*b33 - a23*r3) + a13*(r2*a23 - b22*r3)) / det AS b0",
+        "(nd*(r2*b33 - a23*r3) - r1*(a12*b33 - a23*a13) + a13*(a12*r3 - r2*a13)) / det AS b1",
+        "(nd*(b22*r3 - r2*a23) - a12*(a12*r3 - r2*a13) + r1*(a12*a23 - b22*a13)) / det AS b2")
+      .selectExpr(s"'$tag' AS lam",
+        "floor(b0 * 1e6 + 0.5) / 1e6 AS beta0",
+        "floor(b1 * 1e6 + 0.5) / 1e6 AS beta_x1",
+        "floor(b2 * 1e6 + 0.5) / 1e6 AS beta_x2",
+        "floor((1.0 - (syy - (b0*r1 + b1*r2 + b2*r3)) / (syy - r1*r1/nd)) * 1e6 + 0.5) / 1e6 AS r2")
+    solve(0.0, "0").union(solve(1e6, "1e6")).orderBy(col("lam"))
+  }
+
+  private val ml15Sql = {
+    def solve(lam: String, tag: String) =
+      s"""SELECT '$tag' AS lam,
+         |  floor(b0 * 1e6 + 0.5) / 1e6 AS beta0,
+         |  floor(b1 * 1e6 + 0.5) / 1e6 AS beta_x1,
+         |  floor(b2 * 1e6 + 0.5) / 1e6 AS beta_x2,
+         |  floor((1.0 - (syy - (b0*r1 + b1*r2 + b2*r3)) / (syy - r1*r1/nd)) * 1e6 + 0.5) / 1e6 AS r2
+         |FROM (
+         |  SELECT *,
+         |    (r1*(b22*b33 - a23*a23) - a12*(r2*b33 - a23*r3) + a13*(r2*a23 - b22*r3)) / det AS b0,
+         |    (nd*(r2*b33 - a23*r3) - r1*(a12*b33 - a23*a13) + a13*(a12*r3 - r2*a13)) / det AS b1,
+         |    (nd*(b22*r3 - r2*a23) - a12*(a12*r3 - r2*a13) + r1*(a12*a23 - b22*a13)) / det AS b2
+         |  FROM (
+         |    SELECT *,
+         |      nd*(b22*b33 - a23*a23) - a12*(a12*b33 - a23*a13) + a13*(a12*a23 - b22*a13) AS det
+         |    FROM (SELECT *, a22 + $lam AS b22, a33 + $lam AS b33 FROM c) c1) c2)""".stripMargin
+    """WITH f0 AS (
+      |  SELECT CAST(round(l_extendedprice, 0) AS BIGINT) AS q,
+      |    CAST(round(l_discount * 100, 0) AS BIGINT) AS d100
+      |  FROM lineitem),
+      |f AS (SELECT q, q * d100 AS d, q * 100 - q * d100 AS y FROM f0),
+      |sums AS (
+      |  SELECT count(*) AS n, sum(q) AS sq, sum(d) AS sd,
+      |    sum(q * q) AS sqq, sum(q * d) AS sqd, sum(d * d) AS sdd,
+      |    sum(y) AS sy, sum(q * y) AS sqy, sum(d * y) AS sdy,
+      |    sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS syy
+      |  FROM f),
+      |c AS (
+      |  SELECT CAST(n AS DOUBLE) AS nd, CAST(sq AS DOUBLE) AS a12,
+      |    CAST(sd AS DOUBLE) AS a13, CAST(sqq AS DOUBLE) AS a22,
+      |    CAST(sqd AS DOUBLE) AS a23, CAST(sdd AS DOUBLE) AS a33,
+      |    CAST(sy AS DOUBLE) AS r1, CAST(sqy AS DOUBLE) AS r2,
+      |    CAST(sdy AS DOUBLE) AS r3, syy
+      |  FROM sums)
+      |""".stripMargin +
+      solve("0.0", "0") + "\nUNION ALL\n" + solve("1000000.0", "1e6") +
+      "\nORDER BY lam"
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("ml15_ridge", ml15Ridge, Some(ml15Sql)),
+  )
+}
