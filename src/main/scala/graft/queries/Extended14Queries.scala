@@ -37,20 +37,25 @@ object Extended14Queries {
       "CAST(sqd AS DOUBLE) AS a23", "CAST(sdd AS DOUBLE) AS a33",
       "CAST(sy AS DOUBLE) AS r1", "CAST(sqy AS DOUBLE) AS r2",
       "CAST(sdy AS DOUBLE) AS r3", "syy")
-    def solve(lam: Double, tag: String): DataFrame = base
-      .selectExpr("*", s"a22 + $lam AS b22", s"a33 + $lam AS b33")
+    // both λs ride ONE scan: cross join the 1-row moments with the
+    // 2-row λ table instead of unioning two copies of the aggregate
+    // subtree (which would scan lineitem twice — Plan2Spec pins this)
+    import s.implicits._
+    val lams = Seq(("0", 0.0), ("1e6", 1e6)).toDF("lam", "lam_v")
+    base.crossJoin(broadcast(lams))
+      .selectExpr("*", "a22 + lam_v AS b22", "a33 + lam_v AS b33")
       .selectExpr("*",
         "nd*(b22*b33 - a23*a23) - a12*(a12*b33 - a23*a13) + a13*(a12*a23 - b22*a13) AS det")
       .selectExpr("*",
         "(r1*(b22*b33 - a23*a23) - a12*(r2*b33 - a23*r3) + a13*(r2*a23 - b22*r3)) / det AS b0",
         "(nd*(r2*b33 - a23*r3) - r1*(a12*b33 - a23*a13) + a13*(a12*r3 - r2*a13)) / det AS b1",
         "(nd*(b22*r3 - r2*a23) - a12*(a12*r3 - r2*a13) + r1*(a12*a23 - b22*a13)) / det AS b2")
-      .selectExpr(s"'$tag' AS lam",
+      .selectExpr("lam",
         "floor(b0 * 1e6 + 0.5) / 1e6 AS beta0",
         "floor(b1 * 1e6 + 0.5) / 1e6 AS beta_x1",
         "floor(b2 * 1e6 + 0.5) / 1e6 AS beta_x2",
         "floor((1.0 - (syy - (b0*r1 + b1*r2 + b2*r3)) / (syy - r1*r1/nd)) * 1e6 + 0.5) / 1e6 AS r2")
-    solve(0.0, "0").union(solve(1e6, "1e6")).orderBy(col("lam"))
+      .orderBy(col("lam"))
   }
 
   private val ml15Sql = {
