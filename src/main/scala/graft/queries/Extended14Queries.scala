@@ -97,7 +97,48 @@ object Extended14Queries {
       "\nORDER BY lam"
   }
 
+  // ---------------------------------------------------------------- ml16
+
+  /** Calibration (reliability) table for ml11's logistic model — the
+    * third leg of the evaluation family (ml03/ml14 confusion, q94
+    * lift, ml16 calibration): per predicted-probability decile bin,
+    * average predicted probability vs observed positive rate and
+    * their gap. Scores the IDENTICAL trained model (shared
+    * [[Extended7Queries.logregWeights]] 5-step snapped GD), so the
+    * oracle replays the same CTE chain ml11 verified and bins from
+    * w5. One extra aggregate pass over the feature frame.
+    */
+  private def ml16Calibration(s: SparkSession, dir: String): DataFrame = {
+    val f = Extended7Queries.logregFeatures(s, dir).persist()
+    try {
+      val w = Extended7Queries.logregWeights(f)
+      val z = lit(w(0)) + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      f.select(col("y"), p.as("p"))
+        .select(col("y"), col("p"),
+          least(floor(col("p") * 10), lit(9)).cast("int").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), round(avg(col("p")), 4).as("avg_pred"),
+          round(avg(col("y")), 4).as("obs_rate"))
+        .withColumn("gap", round(abs(col("avg_pred") - col("obs_rate")), 4))
+        .orderBy(col("bin"))
+    } finally f.unpersist()
+  }
+
+  private val ml16Sql =
+    Extended7Queries.logregPrefixSql + """,
+      |scored AS (
+      |  SELECT f.y,
+      |    1.0 / (1.0 + exp(-(w.w0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3))) AS p
+      |  FROM f CROSS JOIN w5 w)
+      |SELECT CAST(least(floor(p * 10), 9) AS INTEGER) AS bin, count(*) AS n,
+      |  round(avg(p), 4) AS avg_pred, round(avg(y), 4) AS obs_rate,
+      |  round(abs(round(avg(p), 4) - round(avg(y), 4)), 4) AS gap
+      |FROM scored GROUP BY 1 ORDER BY bin""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("ml15_ridge", ml15Ridge, Some(ml15Sql)),
+    Q("ml16_calibration", ml16Calibration, Some(ml16Sql)),
   )
 }

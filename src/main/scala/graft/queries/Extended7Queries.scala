@@ -43,23 +43,35 @@ object Extended7Queries {
     * + metrics). No per-row state, no global sort, nothing driver-side
     * beyond the weight vector itself.
     */
-  private def ml11Logreg(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val f = Tables.lineitem(s, dir).select(
+  /** The ml11 feature frame — shared with ml16's calibration gate. */
+  private[queries] def logregFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
       when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"),
       (col("l_quantity") / 50.0).as("x1"),
       (col("l_discount") * 10.0).as("x2"),
-      (col("l_tax") * 10.0).as("x3")).persist()
+      (col("l_tax") * 10.0).as("x3"))
+
+  /** The 5 snapped GD steps over an (already persisted) feature frame —
+    * shared with ml16 so calibration scores the identical model.
+    */
+  private[queries] def logregWeights(f: DataFrame): Array[Double] = {
     var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to 5) {
+      val z = lit(w(0)) + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+      val e = lit(1.0) / (lit(1.0) + exp(-z)) - col("y")
+      val g = f.agg(avg(e).as("g0"), avg(e * col("x1")).as("g1"),
+        avg(e * col("x2")).as("g2"), avg(e * col("x3")).as("g3")).first()
+      w = Array.tabulate(4)(j => snap8(w(j) - g.getDouble(j)))
+    }
+    w
+  }
+
+  private def ml11Logreg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = logregFeatures(s, dir).persist()
     try {
-      for (_ <- 1 to 5) {
-        val z = lit(w(0)) + lit(w(1)) * col("x1") +
-          lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
-        val e = lit(1.0) / (lit(1.0) + exp(-z)) - col("y")
-        val g = f.agg(avg(e).as("g0"), avg(e * col("x1")).as("g1"),
-          avg(e * col("x2")).as("g2"), avg(e * col("x3")).as("g3")).first()
-        w = Array.tabulate(4)(j => snap8(w(j) - g.getDouble(j)))
-      }
+      val w = logregWeights(f)
       // final-model quality metrics: p>=0.5 ⟺ z>=0 (no float sigmoid in
       // the decision), log-loss clamped away from 0/1 by the sigmoid
       // itself (|z| is small); rounded 4 dp — partial-agg order drift
@@ -79,7 +91,10 @@ object Extended7Queries {
     } finally f.unpersist()
   }
 
-  private val ml11Sql = {
+  /** WITH-prefix shared by ml11's and ml16's oracles: the feature CTE
+    * plus the 5 GD-step CTEs ending at w5.
+    */
+  private[queries] val logregPrefixSql: String = {
     // one CTE per GD step; MATERIALIZED so DuckDB doesn't inline the
     // recurrence exponentially (the ml05b lesson)
     def step(k: Int) =
@@ -98,7 +113,11 @@ object Extended7Queries {
       |    l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2, l_tax * 10.0 AS x3
       |  FROM lineitem),
       |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
-      |""".stripMargin + steps + """,
+      |""".stripMargin + steps
+  }
+
+  private val ml11Sql = {
+    logregPrefixSql + """,
       |m AS (
       |  SELECT
       |    round(avg(CASE WHEN (z >= 0) = (y = 1.0) THEN 1.0 ELSE 0.0 END), 4) AS acc,

@@ -24,4 +24,23 @@ class Extended14Spec extends SparkSpec {
     assert(sr2 <= r2 && sr2 > 0.9, s"ridge r2 $sr2 vs ols $r2")
     assert(s0 != 0.0 || b0 == 0.0) // intercept unpenalized, stays free
   }
+
+  test("ml16 calibration bins partition the data and reconcile with the prior") {
+    val out = queries.Catalog.queries("ml16_calibration")(spark, Sf0001)
+      .collect()
+    val li = Tables.lineitem(spark, Sf0001)
+    val total = out.map(_.getLong(1)).sum
+    assert(total == li.count())
+    // weighted observed rate across bins is exactly the class prior
+    val prior = li.filter(col("l_returnflag") === "R").count().toDouble / total
+    val wObs = out.map(r => r.getDouble(3) * r.getLong(1)).sum / total
+    assert(math.abs(wObs - prior) < 1e-3, s"weighted obs $wObs vs prior $prior")
+    out.foreach { r =>
+      val (bin, avgPred, gap) = (r.getInt(0), r.getDouble(2), r.getDouble(4))
+      assert(bin >= 0 && bin <= 9)
+      // predictions in a bin average inside that bin's range
+      assert(avgPred >= bin / 10.0 - 1e-9 && avgPred <= (bin + 1) / 10.0 + 1e-9)
+      assert(gap >= 0.0 && gap <= 1.0)
+    }
+  }
 }
