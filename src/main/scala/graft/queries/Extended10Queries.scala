@@ -28,7 +28,11 @@ object Extended10Queries {
     * tokens; score = test tokens × |classes| joined to the broadcast
     * (vocab × class) table — linear fan-out, no all-pairs anything.
     */
-  private def ml14NaiveBayes(s: SparkSession, dir: String): DataFrame = {
+  /** The trained-and-scored per-doc predictions (doc_id, actual, pred)
+    * — shared by ml14's confusion matrix and ml18's per-class PRF so
+    * both gates evaluate the identical model.
+    */
+  private[queries] def nbPreds(s: SparkSession, dir: String): DataFrame = {
     // md5-bucket split (the ml02 technique): doc_id and source are
     // CORRELATED in the synthetic corpus (doc_id ≡ source mod 20), so a
     // modulus split would put four sources entirely in test with zero
@@ -76,15 +80,18 @@ object Extended10Queries {
         round(col("lprior") + col("sum_ll"), 6).as("score"))
     val wr = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("cls"))
-    val preds = scored.withColumn("rk", row_number().over(wr))
+    scored.withColumn("rk", row_number().over(wr))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("source").as("actual"), col("cls").as("pred"))
-    preds.groupBy(col("actual"), col("pred"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("actual"), col("pred"))
   }
 
-  private val ml14Sql =
+  private def ml14NaiveBayes(s: SparkSession, dir: String): DataFrame =
+    nbPreds(s, dir).groupBy(col("actual"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("actual"), col("pred"))
+
+  /** WITH-prefix through the preds CTE — shared with ml18's oracle. */
+  private[queries] val nbPredsSqlPrefix: String =
     """WITH docs AS (
       |  SELECT doc_id, source,
       |    list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
@@ -128,7 +135,9 @@ object Extended10Queries {
       |    SELECT *, row_number() OVER (
       |      PARTITION BY doc_id ORDER BY score DESC, cls) AS rk
       |    FROM scored)
-      |  WHERE rk = 1)
+      |  WHERE rk = 1)""".stripMargin
+
+  private val ml14Sql = nbPredsSqlPrefix + """
       |SELECT actual, pred, count(*) AS n
       |FROM preds GROUP BY 1, 2
       |ORDER BY actual, pred""".stripMargin

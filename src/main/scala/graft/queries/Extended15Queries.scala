@@ -142,8 +142,68 @@ object Extended15Queries {
       |WHERE vr = 1
       |ORDER BY query_id""".stripMargin
 
+  // ---------------------------------------------------------------- ml18
+
+  /** Per-class precision/recall/F1 for the Naive Bayes classifier —
+    * derived from the SAME predictions ml14's confusion matrix
+    * aggregates ([[Extended10Queries.nbPreds]]), so the two gates are
+    * two views of one verified model. A class never predicted gets
+    * precision 0 by convention (not NULL — the report is a metric
+    * table, not a join artifact); F1 is 0 when P+R = 0.
+    */
+  private def ml18NbPrf(s: SparkSession, dir: String): DataFrame = {
+    val conf = Extended10Queries.nbPreds(s, dir)
+      .groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val byActual = conf.groupBy(col("actual").as("cls"))
+      .agg(sum(col("n")).as("na"),
+        sum(when(col("pred") === col("actual"), col("n")).otherwise(0L)).as("tp"))
+    val byPred = conf.groupBy(col("pred").as("cls"))
+      .agg(sum(col("n")).as("np"))
+    byActual.join(byPred, Seq("cls"), "left")
+      .select(col("cls"), col("tp"), col("na"),
+        coalesce(col("np"), lit(0L)).as("np"))
+      .withColumn("precision",
+        round(when(col("np") === 0, 0.0)
+          .otherwise(col("tp") / col("np").cast("double")), 4))
+      .withColumn("recall", round(col("tp") / col("na").cast("double"), 4))
+      .withColumn("f1",
+        round(when(col("precision") + col("recall") === 0.0, 0.0)
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))), 4))
+      .select(col("cls"), col("tp"), col("na"), col("np"),
+        col("precision"), col("recall"), col("f1"))
+      .orderBy(col("cls"))
+  }
+
+  private val ml18Sql =
+    Extended10Queries.nbPredsSqlPrefix + """,
+      |conf AS (
+      |  SELECT actual, pred, count(*) AS n FROM preds GROUP BY 1, 2),
+      |by_actual AS (
+      |  SELECT actual AS cls, sum(n) AS na,
+      |    sum(CASE WHEN pred = actual THEN n ELSE 0 END) AS tp
+      |  FROM conf GROUP BY 1),
+      |by_pred AS (SELECT pred AS cls, sum(n) AS np FROM conf GROUP BY 1),
+      |j AS (
+      |  SELECT a.cls, CAST(a.tp AS BIGINT) AS tp, CAST(a.na AS BIGINT) AS na,
+      |    CAST(coalesce(p.np, 0) AS BIGINT) AS np
+      |  FROM by_actual a LEFT JOIN by_pred p USING (cls)),
+      |m AS (
+      |  SELECT cls, tp, na, np,
+      |    round(CASE WHEN np = 0 THEN 0.0 ELSE tp / CAST(np AS DOUBLE) END, 4)
+      |      AS precision,
+      |    round(tp / CAST(na AS DOUBLE), 4) AS recall
+      |  FROM j)
+      |SELECT cls, tp, na, np, precision, recall,
+      |  round(CASE WHEN precision + recall = 0.0 THEN 0.0
+      |    ELSE 2 * precision * recall / (precision + recall) END, 4) AS f1
+      |FROM m
+      |ORDER BY cls""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dd19_containment", dd19Containment, Some(dd19Sql)),
     Q("ml17_knn", ml17Knn, Some(ml17Sql)),
+    Q("ml18_nb_prf", ml18NbPrf, Some(ml18Sql)),
   )
 }

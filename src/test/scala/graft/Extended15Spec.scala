@@ -56,4 +56,28 @@ class Extended15Spec extends SparkSpec {
     val again = queries.Catalog.queries("ml17_knn")(spark, Sf0001).collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("ml18 PRF reconciles with ml14's confusion matrix") {
+    val prf = queries.Catalog.queries("ml18_nb_prf")(spark, Sf0001).collect()
+    val conf = queries.Catalog.queries("ml14_naive_bayes")(spark, Sf0001)
+      .collect()
+    val confTotal = conf.map(_.getLong(2)).sum
+    val confDiag = conf.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getLong(2)).sum
+    // Σtp over classes is the confusion diagonal; Σna is the test size
+    assert(prf.map(_.getLong(1)).sum == confDiag)
+    assert(prf.map(_.getLong(2)).sum == confTotal)
+    prf.foreach { r =>
+      val (tp, na, np, p, rec, f1) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(tp <= math.min(na, np))
+      assert(p >= 0 && p <= 1 && rec >= 0 && rec <= 1)
+      // a never-predicted class reports precision 0 by convention
+      if (np == 0) assert(p == 0.0)
+      // F1 is the harmonic mean of the ROUNDED P/R (both engines agree)
+      val expF1 = if (p + rec == 0) 0.0
+        else math.round(2 * p * rec / (p + rec) * 1e4) / 1e4
+      assert(math.abs(f1 - expF1) < 1e-9)
+    }
+  }
 }
