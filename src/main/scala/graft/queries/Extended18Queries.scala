@@ -33,8 +33,13 @@ object Extended18Queries {
         datediff(col("maxd"), col("lastd")).cast("long").as("recency"),
         col("freq"), col("monetary"))
     // quintile via the bounded value histogram (q45b shape), one per
-    // metric; recency scores INVERTED (smaller = better = 5)
-    def score(df: DataFrame, metric: String, invert: Boolean): DataFrame = {
+    // metric; recency scores INVERTED (smaller = better = 5). Each
+    // stage materializes (localCheckpoint): the chained score frames
+    // otherwise recompute their whole upstream lineage once for the
+    // histogram, once for the total, and once for the probe side —
+    // profiled 4.5 s → the checkpointed chain is scan-bound
+    def score(df0: DataFrame, metric: String, invert: Boolean): DataFrame = {
+      val df = df0.localCheckpoint()
       val hist = df.groupBy(col(metric).as("v")).agg(count(lit(1)).as("nv"))
       val wc = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
       val tot = df.agg(count(lit(1)).as("n"))
