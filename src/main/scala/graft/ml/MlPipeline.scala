@@ -198,6 +198,97 @@ object MlPipeline {
       .select(col("feature"), col("threshold"), col("acc"))
   }
 
+  /** Boosted-stump training record: one row per boosting round. */
+  final case class BoostRound(rnd: Int, feature: String, threshold: Double,
+      lo: Long, hi: Long)
+
+  /** Additive L2 boosting over the exact histogram stump search
+    * (stumpSplits' cumulative-histogram primitive) — the hash-green
+    * counterpart to ml03's rows-only MLlib GBT (reference
+    * model_train_explain.py:86-111). Each round fits one stump to the
+    * CURRENT residuals (label − F) by maximizing the SSE-reduction
+    * surrogate S_l²/n_l + S_r²/n_r over every (feature, threshold)
+    * candidate, then adds ν·mean(residual) per leaf with ν = 0.5.
+    *
+    * Determinism contract: all per-row state is FIXED-POINT LONGS
+    * (1e-8 units — label ∈ {0, 10^8}, leaf weights floor-snapped to
+    * integer units). Long sums are exactly associative, so Spark's
+    * partial aggregation and DuckDB's single-pass sums agree
+    * bit-for-bit with NO intermediate rounding; the gain doubles are
+    * then computed from exact integers by the same IEEE expression on
+    * both sides, making even the argmax tie-break reproducible.
+    *
+    * Scale shape: per round, one groupBy per feature over its
+    * domain-bounded value histogram + a broadcast totals row — the
+    * ml10 shape iterated; driver state is the model itself (5 numbers
+    * per round). No per-row state materialization: F rides as a
+    * codegen'd literal CASE expression over the persisted feature
+    * frame.
+    */
+  def boostedStumps(df: DataFrame, labelCol: String,
+      features: Seq[String], rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val Fp = 100000000L // 1e8: fixed-point unit
+    val f = df.select((col(labelCol).cast("long") * lit(Fp)).as("_bs_y") +:
+        features.map(col): _*).persist()
+    try {
+      val t0 = f.agg(count(lit(1)).as("nn"), sum(col("_bs_y")).as("sy")).first()
+      val nn = t0.getLong(0)
+      val f0 = math.floor(t0.getLong(1).toDouble / nn.toDouble + 0.5).toLong
+      var model = Vector.empty[BoostRound]
+      // F as a literal expression — longs end to end
+      def fExpr: Column = model.foldLeft(lit(f0)) { (acc, st) =>
+        acc + when(col(st.feature) <= st.threshold, lit(st.lo)).otherwise(lit(st.hi))
+      }
+      // train accuracy of sign(F − 1/2) vs label; exact 0/1 sums
+      def accNow(): Double = {
+        val a = f.agg(avg(when((fExpr * 2 >= lit(Fp)) === (col("_bs_y") > 0), 1.0)
+          .otherwise(0.0))).first().getDouble(0)
+        math.round(a * 1e6) / 1e6
+      }
+      val out = scala.collection.mutable.ArrayBuffer[
+        (Int, String, Double, Double, Double, Double)]()
+      out += ((0, "_base", -1.0, f0.toDouble / 1e8, f0.toDouble / 1e8, accNow()))
+      for (m <- 1 to rounds) {
+        val rdf = f.withColumn("_bs_r", col("_bs_y") - fExpr)
+        val tot = rdf.agg(count(lit(1)).as("nn2"), sum(col("_bs_r")).as("st"))
+        val cands = features.map { ft =>
+          val hist = rdf.groupBy(col(ft).as("v"))
+            .agg(count(lit(1)).as("n"), sum(col("_bs_r")).as("sr"))
+          // bounded frame: one row per distinct feature value
+          val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+          hist
+            .withColumn("nl", sum(col("n")).over(w))
+            .withColumn("sl", sum(col("sr")).over(w))
+            .crossJoin(broadcast(tot))
+            .filter(col("nn2") - col("nl") > 0)
+            .select(lit(ft).as("feature"), col("v"), col("sl"), col("nl"),
+              (col("st") - col("sl")).as("sr2"),
+              (col("nn2") - col("nl")).as("nr"),
+              // same IEEE op order as the oracle: (sl·sl)/nl + (sr·sr)/nr
+              (col("sl").cast("double") * col("sl").cast("double") /
+                col("nl").cast("double") +
+                (col("st") - col("sl")).cast("double") *
+                  (col("st") - col("sl")).cast("double") /
+                  (col("nn2") - col("nl")).cast("double")).as("gain"))
+        }.reduce(_ unionAll _)
+        val best = cands
+          .orderBy(col("gain").desc, col("feature"), col("v")).limit(1).first()
+        val (sl, nl) = (best.getLong(2), best.getLong(3))
+        val (sr2, nr) = (best.getLong(4), best.getLong(5))
+        val lo = math.floor(0.5 * sl / nl + 0.5).toLong
+        val hi = math.floor(0.5 * sr2 / nr + 0.5).toLong
+        model = model :+ BoostRound(m, best.getString(0), best.getDouble(1), lo, hi)
+        out += ((m, best.getString(0), best.getDouble(1),
+          lo.toDouble / 1e8, hi.toDouble / 1e8, accNow()))
+      }
+      out.toSeq.toDF("rnd", "feature", "threshold", "leaf_lo", "leaf_hi", "acc")
+        .orderBy(col("rnd"))
+    } finally f.unpersist()
+  }
+
   def featureImportances(model: GBTClassificationModel,
       featureCols: Seq[String], spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._

@@ -432,6 +432,93 @@ object MlQueries {
        |ORDER BY feature""".stripMargin
   }
 
+  /** Additive L2 boosting over ml10's exact stump search — the
+    * hash-green GBT-family gate (MlPipeline.boostedStumps has the
+    * determinism contract: fixed-point long state, exactly-associative
+    * sums, floor-snapped leaf weights). 3 rounds over the bounded-
+    * domain order features; output = the model itself (one stump per
+    * round) plus per-round train accuracy, so the hash covers every
+    * split decision AND every per-row prediction flip.
+    */
+  private def ml19BoostedStumps(s: SparkSession, dir: String): DataFrame =
+    MlPipeline.boostedStumps(
+      MlPipeline.orderFeatures(Tables.orders(s, dir)), "label",
+      Seq("order_year", "order_month", "prio_urgent", "status_f"), 3)
+
+  private val ml19Sql: String = {
+    // Fully-unrolled 3-round boosting recurrence: per round, a residual
+    // CTE, per-feature cumulative histograms (the ml10 window shape),
+    // the argmax stump, and the updated per-row score. All state is
+    // fixed-point BIGINT (1e-8 units) so every sum is exactly
+    // associative; gains are computed from those exact integers by the
+    // SAME IEEE expression as the Spark side, making the argmax
+    // reproducible bit-for-bit. MATERIALIZED per the ml05b lesson.
+    val feats = Seq(
+      "order_year" -> "CAST(year(o_orderdate) AS DOUBLE)",
+      "order_month" -> "CAST(month(o_orderdate) AS DOUBLE)",
+      "prio_urgent" -> "CAST(o_orderpriority = '1-URGENT' AS DOUBLE)",
+      "status_f" -> "CAST(o_orderstatus = 'F' AS DOUBLE)")
+    def rnd(m: Int): String = {
+      val branches = feats.map { case (name, _) =>
+        s"""    SELECT '$name' AS feature, $name AS v, count(*) AS n, sum(r) AS sr
+           |    FROM r$m GROUP BY 2""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""r$m AS MATERIALIZED (SELECT *, y - fi AS r FROM p${m - 1}),
+         |h$m AS MATERIALIZED (
+         |  SELECT feature, v, sum(n) OVER w AS nl, sum(sr) OVER w AS sl
+         |  FROM (
+         |$branches)
+         |  WINDOW w AS (PARTITION BY feature ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |g$m AS MATERIALIZED (
+         |  SELECT h.feature, h.v, h.sl, h.nl,
+         |    rt.st - h.sl AS sr2, rt.nn - h.nl AS nr,
+         |    CAST(h.sl AS DOUBLE) * CAST(h.sl AS DOUBLE) / CAST(h.nl AS DOUBLE)
+         |      + CAST(rt.st - h.sl AS DOUBLE) * CAST(rt.st - h.sl AS DOUBLE)
+         |        / CAST(rt.nn - h.nl AS DOUBLE) AS gain
+         |  FROM h$m h CROSS JOIN (SELECT count(*) AS nn, sum(r) AS st FROM r$m) rt
+         |  WHERE rt.nn - h.nl > 0),
+         |b$m AS MATERIALIZED (
+         |  SELECT feature, v AS thr,
+         |    CAST(floor(0.5 * sl / nl + 0.5) AS BIGINT) AS lo,
+         |    CAST(floor(0.5 * sr2 / nr + 0.5) AS BIGINT) AS hi
+         |  FROM g$m ORDER BY gain DESC, feature, v LIMIT 1),
+         |p$m AS MATERIALIZED (
+         |  SELECT r.k, r.y, r.order_year, r.order_month, r.prio_urgent, r.status_f,
+         |    r.fi + CASE WHEN (CASE b.feature
+         |        WHEN 'order_year' THEN r.order_year
+         |        WHEN 'order_month' THEN r.order_month
+         |        WHEN 'prio_urgent' THEN r.prio_urgent
+         |        ELSE r.status_f END) <= b.thr THEN b.lo ELSE b.hi END AS fi
+         |  FROM r$m r CROSS JOIN b$m b),
+         |a$m AS (SELECT round(avg(CASE WHEN (2 * fi >= 100000000) = (y > 0)
+         |  THEN 1.0 ELSE 0.0 END), 6) AS acc FROM p$m)""".stripMargin
+    }
+    val rounds = (1 to 3).map(rnd).mkString(",\n")
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT o_orderkey AS k,
+       |    CAST(CASE WHEN o_totalprice >= 100000.0 THEN 100000000 ELSE 0 END AS BIGINT) AS y,
+       |    ${feats.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")}
+       |  FROM orders),
+       |t AS (SELECT count(*) AS nn, sum(y) AS sy FROM f),
+       |b0 AS (SELECT CAST(floor(sy / nn + 0.5) AS BIGINT) AS f0 FROM t),
+       |p0 AS MATERIALIZED (SELECT f.*, b0.f0 AS fi FROM f CROSS JOIN b0),
+       |a0 AS (SELECT round(avg(CASE WHEN (2 * fi >= 100000000) = (y > 0)
+       |  THEN 1.0 ELSE 0.0 END), 6) AS acc FROM p0),
+       |$rounds
+       |SELECT * FROM (
+       |  SELECT 0 AS rnd, '_base' AS feature, -1.0 AS threshold,
+       |    b0.f0 / 100000000.0 AS leaf_lo, b0.f0 / 100000000.0 AS leaf_hi,
+       |    a0.acc FROM b0 CROSS JOIN a0
+       |  UNION ALL SELECT 1, b1.feature, b1.thr, b1.lo / 100000000.0,
+       |    b1.hi / 100000000.0, a1.acc FROM b1 CROSS JOIN a1
+       |  UNION ALL SELECT 2, b2.feature, b2.thr, b2.lo / 100000000.0,
+       |    b2.hi / 100000000.0, a2.acc FROM b2 CROSS JOIN a2
+       |  UNION ALL SELECT 3, b3.feature, b3.thr, b3.lo / 100000000.0,
+       |    b3.hi / 100000000.0, a3.acc FROM b3 CROSS JOIN a3)
+       |ORDER BY rnd""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("ml01_features", ml01Features, Some(ml01Sql)),
     Q("ml02_split_counts", ml02SplitCounts, Some(ml02Sql)),
@@ -442,5 +529,6 @@ object MlQueries {
     Q("ml06_hash_embed", ml06HashEmbed, None, Some(() => ml06Sql())),
     Q("ml08_power_pc1", ml08PowerPc1, Some(ml08Sql)),
     Q("ml10_stump_splits", ml10StumpSplits, Some(ml10Sql)),
+    Q("ml19_boosted_stumps", ml19BoostedStumps, Some(ml19Sql)),
   )
 }

@@ -150,6 +150,31 @@ class MlSpec extends SparkSpec {
     assert(r("y")._2 === math.round(best * 1e6) / 1e6) // query rounds acc to 6dp
   }
 
+  test("boostedStumps nails a planted split in round 1 and is run-deterministic") {
+    import org.apache.spark.sql.functions.col
+    // label == (x > 3): round 1 must pick (x, 3.0); with F0 = 0.5 the
+    // ν = 0.5 leaves are exactly ∓0.25, and accuracy is 1.0 from round
+    // 1 onward (boosting never un-learns a perfect separator here)
+    val df = Seq(
+      (0.0, 1.0, 9.0), (0.0, 2.0, 8.0), (0.0, 3.0, 9.0),
+      (1.0, 4.0, 8.0), (1.0, 5.0, 9.0), (1.0, 6.0, 8.0),
+    ).toDF("label", "x", "y")
+    val out = MlPipeline.boostedStumps(df, "label", Seq("x", "y"), 3).collect()
+    assert(out.length === 4)
+    val r1 = out(1)
+    assert(r1.getString(1) === "x" && r1.getDouble(2) === 3.0)
+    assert(r1.getDouble(3) === -0.25 && r1.getDouble(4) === 0.25)
+    assert(out.drop(1).forall(_.getDouble(5) === 1.0), "acc from round 1 on")
+    assert(out(0).getDouble(5) === 0.5, "base rate classifier accuracy")
+    // leaf weights are exact multiples of the 1e-8 fixed-point unit
+    for (r <- out; i <- Seq(3, 4)) {
+      val v = r.getDouble(i) * 1e8
+      assert(v === math.rint(v), s"non-fixed-point leaf $v")
+    }
+    val again = MlPipeline.boostedStumps(df, "label", Seq("x", "y"), 3).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("hashingEmbed is deterministic and fixed-width (M1 stand-in)") {
     val docs = Tables.documents(spark, Sf0001)
     val e = MlPipeline.hashingEmbed(docs, "doc_id", "text", numFeatures = 64)
