@@ -37,40 +37,66 @@ object Extended12Queries {
         "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
         .as("t3"))
       .select(col("doc_id"), graft.dedup.Dedup.md5Hash48(col("t3")).as("tok"))
-      .distinct().localCheckpoint()
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val wd = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df"), col("tok"))
-    // NO broadcast hint on freq: the shingle-frequency table scales
-    // with corpus vocabulary — at 100 TB it shuffle-joins on tok
-    // (both sides already hash by tok for the index join anyway)
-    val ranked = toks.join(freq, "tok")
-      .withColumn("pos", row_number().over(wd))
-      .join(sizes, "doc_id")
-      // prefix length: |s| − ⌈t·|s|⌉ + 1 rarest tokens
+      .distinct()
+    // df, |s|, and the rarity rank all ride as WINDOWS over the one
+    // postings frame instead of separate groupBy aggregates re-joined
+    // back (r7 verdict item 3: this plan is DAG-depth-bound, not
+    // data-bound). The df window exchanges by tok — the same hash the
+    // candidate self-join needs anyway; the sz and pos windows share
+    // one exchange by doc_id. No broadcast anywhere: shingle frequency
+    // scales with corpus vocabulary at 100 TB.
+    val base = toks
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      // every consumer (prefix postings ×2, sizes, verify tail ×2)
+      // reads this one materialization — the q103 chained-stage lesson
+      .localCheckpoint()
+    // prefix length: |s| − ⌈t·|s|⌉ + 1 rarest tokens; keep pos and sz
+    // so the candidate join can apply PPJoin's other two filters
+    val ranked = base
       .filter(col("pos") <= col("sz") - ceil(col("sz") * t) + 1)
-      .select(col("doc_id"), col("tok"))
+      .select(col("doc_id"), col("tok"), col("pos"), col("sz"))
+    // Candidate join = prefix match + LENGTH filter (J ≥ t forces
+    // min(|a|,|b|) ≥ t·max(|a|,|b|)) + POSITIONAL filter (a match at
+    // prefix positions (pa, pb) bounds the overlap by 1 + min(|a|−pa,
+    // |b|−pb); a true pair's FIRST common prefix token always passes,
+    // so no true pair is lost — Xiao et al.'s ppjoin pruning). These
+    // cut the profiled candidate volume ~400k → the filtered few
+    // thousand that verification then touches, which is what makes the
+    // verify tail cheap at any scale.
+    val alpha = ceil((col("a.sz") + col("b.sz")) * lit(t) / lit(1 + t))
     val cands = ranked.as("a").join(ranked.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.sz"), col("b.sz")) >=
+          lit(t) * greatest(col("a.sz"), col("b.sz")) &&
+        lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))
+          >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verification on candidates only — and only on candidate
-    // DOCUMENTS' shingles: the semi-join cuts the two intersection
-    // joins from the full shingle table to the (few) docs that appear
-    // in any candidate pair
+      // consumed three times (pair probe, candDocs, inter) — tiny
+      .localCheckpoint()
+    // exact verification on candidates only, and IN-ROW: fold each
+    // candidate document's shingle set into one array (bounded by doc
+    // length, so rows stay small), equi-join the pair list to the two
+    // arrays, and compute |a∩b| with codegen'd array_intersect. This
+    // replaces the old pairs×shingles expansion (profiled 6.5M-row
+    // two-join verify, ~2 s steady) with two joins of |cands| rows and
+    // a per-row set intersection — the verify cost now scales with the
+    // CANDIDATE count, not candidates × doc length.
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b"))).distinct()
-    val candToks = toks.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    val inter = cands
-      .join(candToks.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
-      .join(candToks.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "tok"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("sz", "sz_b"), "doc_b")
+    val docSets = base.groupBy(col("doc_id"))
+      .agg(collect_list(col("tok")).as("ts"), first(col("sz")).as("sz"))
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    cands
+      .join(docSets.select(col("doc_id").as("doc_a"),
+        col("ts").as("ts_a"), col("sz").as("sz_a")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"),
+        col("ts").as("ts_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
       .withColumn("jaccard", round(col("inter") /
         (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= t)

@@ -97,7 +97,11 @@ object Extended15Queries {
     val corpus = emb.filter(col("vec_id") >= 20)
     import graft.functions.VectorExprs.dot
     def norm(c: org.apache.spark.sql.Column) = sqrt(dot(c, c))
-    val pairs = test.as("q").crossJoin(corpus.as("c"))
+    // the bounded side is ALWAYS the test set (20 rows) — broadcast it
+    // explicitly rather than trusting the planner's size estimate;
+    // the corpus side must never be broadcast (it scales with data).
+    // Plan2Spec pins both directions.
+    val pairs = broadcast(test.as("q")).crossJoin(corpus.as("c"))
       .select(col("q.vec_id").as("query_id"), col("q.label").as("actual"),
         col("c.vec_id").as("neighbor_id"), col("c.label").as("vote"),
         round(dot(col("q.embedding"), col("c.embedding")) /

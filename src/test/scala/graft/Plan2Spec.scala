@@ -29,6 +29,22 @@ class Plan2Spec extends SparkSpec {
       "candidate generation must stay an equi-join on the shingle key")
   }
 
+  test("ml17 kNN: the 20-row test side broadcasts; the corpus never does") {
+    val df = Catalog.queries("ml17_knn")(spark, Sf0001)
+    val plan = formatted(df)
+    // the crossJoin must plan as a broadcast nested loop with the
+    // BOUNDED side (test, vec_id < 20) built — never the corpus, which
+    // scales with the data
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "test×corpus scoring should broadcast the bounded test side")
+    assert(!plan.contains("CartesianProduct"),
+      "an unhinted crossJoin at scale would shuffle the corpus")
+    // the hinted test side is the LEFT input — the build side must be
+    // left, i.e. the corpus (right) is streamed, never collected
+    assert(plan.contains("BuildLeft"),
+      "the broadcast build side must be the bounded test set")
+  }
+
   test("ml13/ml15 closed-form solvers are single-aggregate plans (no join of the data)") {
     Seq("ml13_ols", "ml15_ridge").foreach { q =>
       val plan = formatted(Catalog.queries(q)(spark, Sf0001))
