@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Catalog, Extended20Queries}
+
+/** Round-8 wave: the mega-pipeline funnel and the deterministic
+  * sharding contract. */
+class Extended20Spec extends SparkSpec {
+
+  test("mx09: funnel is monotone per source through every gate, and packing conserves tokens") {
+    val rows = Catalog.queries("mx09_megapipeline")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getString(2))
+    bySource.foreach { case (src, rs) =>
+      val byStage = rs.map(r => r.getInt(0) -> (r.getLong(3), r.getLong(4))).toMap
+      // stages 1-6 filter docs: counts and token mass both non-increasing
+      (1 until 6).foreach { i =>
+        for ((d1, t1) <- byStage.get(i); (d2, t2) <- byStage.get(i + 1)) {
+          assert(d2 <= d1, s"$src: stage ${i + 1} docs grew ($d2 > $d1)")
+          assert(t2 <= t1, s"$src: stage ${i + 1} tokens grew")
+        }
+      }
+      // mixing downsamples the curated corpus
+      for ((d6, t6) <- byStage.get(6); (d7, t7) <- byStage.get(7)) {
+        assert(d7 <= d6 && t7 <= t6, s"$src: mixing must not add docs")
+      }
+      // packing regroups the mixed corpus: token mass conserved exactly,
+      // pack count bounded by doc count and by the 512-token budget
+      for ((d7, t7) <- byStage.get(7); (d8, t8) <- byStage.get(8)) {
+        assert(t8 == t7, s"$src: packing must conserve tokens ($t8 != $t7)")
+        assert(d8 >= 1 && d8 <= d7, s"$src: pack count $d8 outside [1, $d7]")
+        assert(d8 <= t7 / 512 + 1, s"$src: more packs than the budget allows")
+      }
+    }
+    // mixing equalizes: every source's mixed count is within rounding
+    // (10000-bucket quantization) of the smallest curated source
+    val mixedCounts = rows.filter(_.getInt(0) == 7).map(_.getLong(3))
+    val minCurated = rows.filter(_.getInt(0) == 6).map(_.getLong(3)).min
+    mixedCounts.foreach { m =>
+      assert(m <= minCurated * 2 + 10, s"mixed count $m far above target $minCurated")
+    }
+  }
+
+  test("mx10: manifest reconciles with the gated corpus; ids dense in [0, 8)") {
+    val docs = Tables.documents(spark, Sf0001)
+    val out = Extended20Queries.shardManifest(docs).collect()
+    assert(out.nonEmpty && out.length <= 8)
+    val ids = out.map(_.getLong(0))
+    assert(ids.min == 0 && ids.max == ids.length - 1, "shard ids must be dense from 0")
+    val gated = docs
+      .select(col("doc_id"), graft.text.TextStats.qualityScore(col("text")).as("q"),
+        graft.text.TextStats.tokenCount(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0 && col("q") >= 0.5)
+    val (nDocs, nTokens) = {
+      val r = gated.agg(count(lit(1)), sum(col("n"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(out.map(_.getLong(1)).sum == nDocs, "manifest must cover every gated doc")
+    assert(out.map(_.getLong(2)).sum == nTokens, "manifest must cover every gated token")
+    // size-bounded: no shard exceeds budget + the largest straddling doc
+    val budget = (nTokens + 7) / 8
+    val maxDoc = gated.agg(max(col("n"))).head.getLong(0)
+    out.foreach { r =>
+      assert(r.getLong(2) < budget + maxDoc,
+        s"shard ${r.getLong(0)} holds ${r.getLong(2)} tokens > bound ${budget + maxDoc}")
+    }
+  }
+
+  test("mx10: manifest is invariant to input partitioning and row order") {
+    val docs = Tables.documents(spark, Sf0001)
+    val base = Extended20Queries.shardManifest(docs).collect().toSeq
+    val repart = Extended20Queries.shardManifest(docs.repartition(7)).collect().toSeq
+    val shuffled = Extended20Queries
+      .shardManifest(docs.orderBy(col("text"))).collect().toSeq
+    assert(base == repart, "repartitioned input must yield an identical manifest")
+    assert(base == shuffled, "row order must not change the manifest")
+  }
+}
