@@ -36,10 +36,11 @@ object Bench {
     // text: curation, contamination, span dedup, bpe, source matrix
     "tx07_curate", "tx08_contamination", "tx12_span_dedup",
     "tx15_bpe_apply", "tx18_source_contamination",
-    // mixing / funnels
-    "mx01_pack", "mx05_curation_pipeline", "mx06_curation_funnel",
-    // ml / multimodal / flagship pipelines
-    "ml03_gbt_eval", "ml08_power_pc1", "ml05b_power_pca",
+    // mixing / funnels (mx09 = the composed mega-pipeline, round 8)
+    "mx01_pack", "mx05_curation_pipeline", "mx09_megapipeline",
+    // ml / multimodal / flagship pipelines (ml20 rotated in for ml08:
+    // same power-iteration family as ml05b, tree family was uncovered)
+    "ml03_gbt_eval", "ml20_depth2_tree", "ml05b_power_pca",
     "mm01_media_features", "imdb_pipeline_demo", "imdb_pipeline_synth",
     // round-7 scale-safe twins
     "q38b_kmv_sketch", "q45b_dist_cdf",

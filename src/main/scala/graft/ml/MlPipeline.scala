@@ -289,6 +289,80 @@ object MlPipeline {
     } finally f.unpersist()
   }
 
+  /** Exact depth-2 classification tree over the ml10 histogram split
+    * primitive — the recursive member of the hash-verified tree
+    * family (ml10 one stump, ml19 boosted stumps, this a real tree).
+    * The split criterion is PURELY INTEGER: a candidate (feature,
+    * threshold) scores the number of training rows its two children
+    * classify correctly under majority voting, greatest(cp, cn−cp) +
+    * greatest(pp−cp, (nn−cn)−(pp−cp)); argmax ties break by (feature
+    * asc, threshold asc). Integer scores mean the argmax is exactly
+    * reproducible in any engine — no snapping needed. Each split
+    * search is per-feature bounded histograms + windows; the chosen
+    * (feature, threshold) pairs are the only driver-collected state
+    * (3 rows), and the 7-node stat table comes from ONE conditional
+    * aggregate over the data. Splitting never decreases the majority-
+    * correct count (max(a1,b1)+max(a2,b2) ≥ max(a1+a2,b1+b2)), so the
+    * tree's training accuracy dominates the best stump's — spec-
+    * pinned. Requires ≥2 distinct values per branch (holds for the
+    * order features at every test SF).
+    */
+  def depth2Tree(df: DataFrame, labelCol: String,
+      features: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = df.select(col(labelCol).cast("long").as("_y") +: features.map(col): _*)
+      .persist()
+    try {
+      def bestSplit(node: DataFrame): (String, Double) = {
+        val tot = node.agg(count(lit(1)).as("nn"), sum(col("_y")).as("pp"))
+        val cands = features.map { f =>
+          val hist = node.groupBy(col(f).as("v"))
+            .agg(count(lit(1)).as("n"), sum(col("_y")).as("npos"))
+          val w = Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          hist
+            .withColumn("cn", sum(col("n")).over(w))
+            .withColumn("cp", sum(col("npos")).over(w))
+            .crossJoin(broadcast(tot))
+            .filter(col("cn") < col("nn")) // right child must be non-empty
+            .select(lit(f).as("feature"), col("v"),
+              (greatest(col("cp"), col("cn") - col("cp")) +
+                greatest(col("pp") - col("cp"),
+                  col("nn") - col("cn") - (col("pp") - col("cp")))).as("correct"))
+        }.reduce(_ unionAll _)
+        val best = cands.orderBy(col("correct").desc, col("feature"), col("v"))
+          .limit(1).first()
+        (best.getString(0), best.getDouble(1))
+      }
+      val (f0, t0) = bestSplit(d)
+      val (fl, tl) = bestSplit(d.filter(col(f0) <= t0))
+      val (fr, tr) = bestSplit(d.filter(col(f0) > t0))
+      // every node's (n, npos) in one conditional aggregate
+      val left = col(f0) <= t0
+      val lL = left && (col(fl) <= tl)
+      val rL = !left && (col(fr) <= tr)
+      def pair(c: Column, tag: String) = Seq(
+        sum(when(c, 1L).otherwise(0L)).as(s"n_$tag"),
+        sum(when(c, col("_y")).otherwise(0L)).as(s"p_$tag"))
+      val aggs = Seq(count(lit(1)).as("n_root"), sum(col("_y")).as("p_root")) ++
+        pair(left, "L") ++ pair(!left, "R") ++ pair(lL, "LL") ++
+        pair(left && !(col(fl) <= tl), "LR") ++ pair(rL, "RL") ++
+        pair(!left && !(col(fr) <= tr), "RR")
+      val st = d.agg(aggs.head, aggs.tail: _*).first()
+      def node(name: String, feat: String, th: Double) = {
+        val n = st.getAs[Long](s"n_$name"); val p = st.getAs[Long](s"p_$name")
+        (name, feat, th, n, p, if (2 * p > n) 1 else 0)
+      }
+      Seq(node("root", f0, t0), node("L", fl, tl), node("R", fr, tr),
+        node("LL", "", -1.0), node("LR", "", -1.0),
+        node("RL", "", -1.0), node("RR", "", -1.0))
+        .toDF("node", "feature", "threshold", "n", "npos", "pred")
+        .orderBy(col("node"))
+    } finally d.unpersist()
+  }
+
   def featureImportances(model: GBTClassificationModel,
       featureCols: Seq[String], spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._

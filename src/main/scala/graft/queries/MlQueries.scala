@@ -519,6 +519,83 @@ object MlQueries {
        |ORDER BY rnd""".stripMargin
   }
 
+  private def ml20Depth2Tree(s: SparkSession, dir: String): DataFrame =
+    MlPipeline.depth2Tree(
+      MlPipeline.orderFeatures(Tables.orders(s, dir)), "label",
+      Seq("order_year", "order_month", "prio_urgent", "status_f"))
+
+  private val ml20Sql: String = {
+    // The depth-2 recursion unrolled: root argmax over per-feature
+    // cumulative histograms, branch data filtered through the chosen
+    // (feature, threshold) via a CASE dispatch, the same argmax per
+    // branch, and a 7-node stat table. The split score is an INTEGER
+    // (majority-correct count), so the argmax — ORDER BY correct
+    // DESC, feature, v — is reproducible exactly, no snapping.
+    val feats = Seq(
+      "order_month" -> "CAST(month(o_orderdate) AS DOUBLE)",
+      "order_year" -> "CAST(year(o_orderdate) AS DOUBLE)",
+      "prio_urgent" -> "CAST(o_orderpriority = '1-URGENT' AS DOUBLE)",
+      "status_f" -> "CAST(o_orderstatus = 'F' AS DOUBLE)")
+    def dispatch(alias: String, src: String) =
+      s"""(CASE $alias.feature WHEN 'order_month' THEN $src.order_month
+         |    WHEN 'order_year' THEN $src.order_year
+         |    WHEN 'prio_urgent' THEN $src.prio_urgent
+         |    ELSE $src.status_f END)""".stripMargin
+    def search(node: String, out: String): String = {
+      val branches = feats.map { case (name, _) =>
+        s"""    SELECT '$name' AS feature, $name AS v, count(*) AS n, sum(y) AS npos
+           |    FROM $node GROUP BY 2""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""h_$out AS MATERIALIZED (
+         |  SELECT feature, v, sum(n) OVER w AS cn, sum(npos) OVER w AS cp
+         |  FROM (
+         |$branches)
+         |  WINDOW w AS (PARTITION BY feature ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t_$out AS (SELECT count(*) AS nn, sum(y) AS pp FROM $node),
+         |$out AS MATERIALIZED (
+         |  SELECT feature, v AS threshold
+         |  FROM h_$out CROSS JOIN t_$out
+         |  WHERE cn < nn
+         |  ORDER BY greatest(cp, cn - cp)
+         |    + greatest(pp - cp, (nn - cn) - (pp - cp)) DESC, feature, v
+         |  LIMIT 1)""".stripMargin
+    }
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT CASE WHEN o_totalprice >= 100000.0 THEN 1 ELSE 0 END AS y,
+       |    ${feats.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")}
+       |  FROM orders),
+       |${search("d", "s_root")},
+       |dl AS MATERIALIZED (
+       |  SELECT d.* FROM d CROSS JOIN s_root r
+       |  WHERE ${dispatch("r", "d")} <= r.threshold),
+       |dr AS MATERIALIZED (
+       |  SELECT d.* FROM d CROSS JOIN s_root r
+       |  WHERE ${dispatch("r", "d")} > r.threshold),
+       |${search("dl", "s_l")},
+       |${search("dr", "s_r")},
+       |stats AS (
+       |  SELECT 'root' AS node, (SELECT feature FROM s_root) AS feature,
+       |    (SELECT threshold FROM s_root) AS threshold, count(*) AS n, sum(y) AS npos FROM d
+       |  UNION ALL SELECT 'L', (SELECT feature FROM s_l),
+       |    (SELECT threshold FROM s_l), count(*), sum(y) FROM dl
+       |  UNION ALL SELECT 'R', (SELECT feature FROM s_r),
+       |    (SELECT threshold FROM s_r), count(*), sum(y) FROM dr
+       |  UNION ALL SELECT 'LL', '', -1.0, count(*), sum(y)
+       |    FROM dl CROSS JOIN s_l b WHERE ${dispatch("b", "dl")} <= b.threshold
+       |  UNION ALL SELECT 'LR', '', -1.0, count(*), sum(y)
+       |    FROM dl CROSS JOIN s_l b WHERE ${dispatch("b", "dl")} > b.threshold
+       |  UNION ALL SELECT 'RL', '', -1.0, count(*), sum(y)
+       |    FROM dr CROSS JOIN s_r b WHERE ${dispatch("b", "dr")} <= b.threshold
+       |  UNION ALL SELECT 'RR', '', -1.0, count(*), sum(y)
+       |    FROM dr CROSS JOIN s_r b WHERE ${dispatch("b", "dr")} > b.threshold)
+       |SELECT node, feature, threshold, CAST(n AS BIGINT) AS n,
+       |  CAST(npos AS BIGINT) AS npos,
+       |  CAST(CASE WHEN 2 * npos > n THEN 1 ELSE 0 END AS INTEGER) AS pred
+       |FROM stats
+       |ORDER BY node""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("ml01_features", ml01Features, Some(ml01Sql)),
     Q("ml02_split_counts", ml02SplitCounts, Some(ml02Sql)),
@@ -530,5 +607,6 @@ object MlQueries {
     Q("ml08_power_pc1", ml08PowerPc1, Some(ml08Sql)),
     Q("ml10_stump_splits", ml10StumpSplits, Some(ml10Sql)),
     Q("ml19_boosted_stumps", ml19BoostedStumps, Some(ml19Sql)),
+    Q("ml20_depth2_tree", ml20Depth2Tree, Some(ml20Sql)),
   )
 }

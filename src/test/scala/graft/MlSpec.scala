@@ -175,6 +175,44 @@ class MlSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("depth2Tree: XOR needs depth 2, counts reconcile, tree dominates the stump") {
+    import org.apache.spark.sql.functions.col
+    // label = XOR(x > 1, y > 1): NO single stump separates it, but the
+    // depth-2 tree is perfect — root on either feature, children on
+    // the other
+    val df = Seq(
+      (0.0, 1.0, 1.0), (0.0, 1.0, 1.0), (1.0, 1.0, 2.0), (1.0, 1.0, 2.0),
+      (1.0, 2.0, 1.0), (1.0, 2.0, 1.0), (0.0, 2.0, 2.0), (0.0, 2.0, 2.0),
+    ).toDF("label", "x", "y")
+    val t = MlPipeline.depth2Tree(df, "label", Seq("x", "y")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getInt(5))))
+      .toMap
+    assert(t.keySet === Set("root", "L", "R", "LL", "LR", "RL", "RR"))
+    assert(t("root")._3 === 8L)
+    // parent/child reconciliation on both counts
+    for ((p, l, r) <- Seq(("root", "L", "R"), ("L", "LL", "LR"), ("R", "RL", "RR"))) {
+      assert(t(l)._3 + t(r)._3 === t(p)._3, s"$p docs split")
+      assert(t(l)._4 + t(r)._4 === t(p)._4, s"$p positives split")
+    }
+    // XOR: every leaf is PURE and the leaf predictions alternate
+    val leafCorrect = Seq("LL", "LR", "RL", "RR").map { n =>
+      val (_, _, cnt, pos, pred) = t(n)
+      assert(pos === 0L || pos === cnt, s"$n impure: $pos of $cnt")
+      assert(pred === (if (2 * pos > cnt) 1 else 0))
+      math.max(pos, cnt - pos)
+    }.sum
+    assert(leafCorrect === 8L, "depth-2 tree classifies XOR perfectly")
+    // while the best stump gets at most 6/8 (XOR is not linearly cut)
+    val stumpBest = MlPipeline.stumpSplits(df, "label", Seq("x", "y"))
+      .collect().map(_.getDouble(2)).max
+    assert(stumpBest <= 0.75 + 1e-9)
+    // determinism
+    val again = MlPipeline.depth2Tree(df, "label", Seq("x", "y")).collect()
+    assert(again.map(_.toString).sorted ===
+      MlPipeline.depth2Tree(df, "label", Seq("x", "y")).collect().map(_.toString).sorted)
+  }
+
   test("hashingEmbed is deterministic and fixed-width (M1 stand-in)") {
     val docs = Tables.documents(spark, Sf0001)
     val e = MlPipeline.hashingEmbed(docs, "doc_id", "text", numFeatures = 64)
