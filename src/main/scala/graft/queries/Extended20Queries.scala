@@ -281,37 +281,82 @@ object Extended20Queries {
   private def mx10ShardManifest(s: SparkSession, dir: String): DataFrame =
     shardManifest(Tables.documents(s, dir))
 
+  /** The mx10 CTE chain with suffixed names and a doc predicate, so
+    * mx11 can instantiate it once per delivery epoch. */
+  private def shardChainSql(sfx: String, pred: String): String =
+    s"""t$sfx AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), z -> z != '') AS toks
+       |  FROM documents WHERE $pred),
+       |m$sfx AS (
+       |  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+       |    len(list_filter(toks, x -> list_contains(
+       |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS nstop
+       |  FROM t$sfx WHERE len(toks) > 0),
+       |d$sfx AS (
+       |  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+       |  FROM m$sfx
+       |  WHERE 0.4 * least(n / 50.0, 1.0) + 0.4 * (nd / CAST(n AS DOUBLE))
+       |      + 0.2 * least(5.0 * (nstop / CAST(n AS DOUBLE)), 1.0) >= 0.5),
+       |tot$sfx AS (SELECT (sum(n_tokens) + 7) // 8 AS budget FROM d$sfx),
+       |pos$sfx AS (
+       |  SELECT doc_id, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY h % 1024, h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+       |  FROM d$sfx),
+       |sh$sfx AS (
+       |  SELECT start_off // budget AS shard_id, doc_id, n_tokens,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)), 1, 12))::BIGINT AS fp
+       |  FROM pos$sfx CROSS JOIN tot$sfx),
+       |man$sfx AS (
+       |  SELECT CAST(shard_id AS BIGINT) AS shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens, CAST(sum(fp) AS BIGINT) AS content_fp
+       |  FROM sh$sfx GROUP BY shard_id)""".stripMargin
+
   private val mx10Sql =
-    """WITH t AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
-      |  FROM documents),
-      |m AS (
-      |  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
-      |    len(list_filter(toks, x -> list_contains(
-      |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS nstop
-      |  FROM t WHERE len(toks) > 0),
-      |d AS (
-      |  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
-      |  FROM m
-      |  WHERE 0.4 * least(n / 50.0, 1.0) + 0.4 * (nd / CAST(n AS DOUBLE))
-      |      + 0.2 * least(5.0 * (nstop / CAST(n AS DOUBLE)), 1.0) >= 0.5),
-      |tot AS (SELECT (sum(n_tokens) + 7) // 8 AS budget FROM d),
-      |pos AS (
-      |  SELECT doc_id, n_tokens,
-      |    sum(n_tokens) OVER (ORDER BY h % 1024, h, doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
-      |  FROM d),
-      |sh AS (
-      |  SELECT start_off // budget AS shard_id, doc_id, n_tokens,
-      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)), 1, 12))::BIGINT AS fp
-      |  FROM pos CROSS JOIN tot)
-      |SELECT CAST(shard_id AS BIGINT) AS shard_id, CAST(count(*) AS BIGINT) AS n_docs,
-      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens, CAST(sum(fp) AS BIGINT) AS content_fp
-      |FROM sh GROUP BY shard_id
-      |ORDER BY shard_id""".stripMargin
+    s"""WITH ${shardChainSql("", "TRUE")}
+       |SELECT shard_id, n_docs, n_tokens, content_fp FROM man
+       |ORDER BY shard_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // mx11: incremental delivery. A new batch NEVER relays out shipped
+  // data: epoch-0 shards are laid out from the base corpus (doc_id <
+  // 400, mx10's exact rule) and stay byte-identical forever; the
+  // epoch-1 batch is laid out independently by the same rule and its
+  // shard ids continue from the epoch-0 maximum. The append is pure —
+  // a function of (batch content, prior max id) only — so re-running
+  // a delivery is idempotent and the combined manifest is still
+  // deterministic. Spec pins epoch-0 immutability against standalone
+  // mx10 output on the same subset.
+  // ---------------------------------------------------------------
+  private def mx11IncrementalShards(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = shardManifest(docs.filter(col("doc_id") < 400))
+    val off = base.agg((max(col("shard_id")) + 1).as("off"))
+    val batch = shardManifest(docs.filter(col("doc_id") >= 400))
+      .crossJoin(broadcast(off))
+      .select((col("shard_id") + col("off")).as("shard_id"),
+        col("n_docs"), col("n_tokens"), col("content_fp"))
+    base.select(lit(0).as("epoch"), col("shard_id"), col("n_docs"),
+        col("n_tokens"), col("content_fp"))
+      .union(batch.select(lit(1).as("epoch"), col("shard_id"), col("n_docs"),
+        col("n_tokens"), col("content_fp")))
+      .orderBy(col("epoch"), col("shard_id"))
+  }
+
+  private val mx11Sql =
+    s"""WITH ${shardChainSql("_a", "doc_id < 400")},
+       |${shardChainSql("_b", "doc_id >= 400")}
+       |SELECT epoch, shard_id, n_docs, n_tokens, content_fp FROM (
+       |  SELECT 0 AS epoch, shard_id, n_docs, n_tokens, content_fp FROM man_a
+       |  UNION ALL
+       |  SELECT 1, shard_id + (SELECT max(shard_id) + 1 FROM man_a),
+       |    n_docs, n_tokens, content_fp
+       |  FROM man_b)
+       |ORDER BY epoch, shard_id""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("mx09_megapipeline", mx09MegaPipeline, Some(mx09Sql)),
-    Q("mx10_shard_manifest", mx10ShardManifest, Some(mx10Sql)))
+    Q("mx10_shard_manifest", mx10ShardManifest, Some(mx10Sql)),
+    Q("mx11_incremental_shards", mx11IncrementalShards, Some(mx11Sql)))
 }

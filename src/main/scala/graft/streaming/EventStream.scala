@@ -163,6 +163,25 @@ object EventStream {
         col("trigger_ts"), col("convert_ts"), col("value"))
   }
 
+  /** Streaming daily-active-users: the stream twin of q107's DAU
+    * column. Distinct-per-day is the (user, day) dedup — state bounded
+    * by the watermark, NOT an unbounded distinct aggregate — followed
+    * by a 1-day tumbling-window count of the deduped survivors. Append
+    * mode emits each day exactly once when the watermark passes its
+    * close; at 100 TB/day the dedup state holds one row per active
+    * (user, day) inside the watermark horizon, the same cardinality
+    * the batch query shuffles.
+    */
+  def dailyActiveUsers(events: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("window.start").as("day"), col("dau"))
+
   /** Streaming exactly-once dedup by event_id bounded by the watermark:
     * duplicates arriving within the watermark window are dropped, state
     * for ids older than the watermark is evicted (unbounded dedup state

@@ -66,6 +66,24 @@ class Extended20Spec extends SparkSpec {
     }
   }
 
+  test("mx11: appending a batch never touches shipped shards; ids continue densely") {
+    val rows = Catalog.queries("mx11_incremental_shards")(spark, Sf0001).collect()
+    val (e0, e1) = rows.partition(_.getInt(0) == 0)
+    assert(e0.nonEmpty && e1.nonEmpty)
+    // epoch-0 rows are byte-identical to a standalone mx10 layout of
+    // the base corpus — shipped shards are immutable under append
+    val docs = Tables.documents(spark, Sf0001)
+    val standalone = Extended20Queries
+      .shardManifest(docs.filter(col("doc_id") < 400)).collect()
+    assert(e0.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
+      standalone.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq,
+      "epoch-0 manifest must not change when a batch is appended")
+    // shard ids: dense in epoch 0, continuing without overlap in epoch 1
+    val ids0 = e0.map(_.getLong(1)); val ids1 = e1.map(_.getLong(1))
+    assert(ids0.max + 1 == ids1.min, "batch shards continue from the shipped max")
+    assert((ids0 ++ ids1).distinct.length == rows.length, "no shard id reuse")
+  }
+
   test("mx10: manifest is invariant to input partitioning and row order") {
     val docs = Tables.documents(spark, Sf0001)
     val base = Extended20Queries.shardManifest(docs).collect().toSeq

@@ -311,6 +311,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming daily active users ≡ q107's batch DAU on static events") {
+    // the (user, day) watermark-bounded dedup + tumbling count must
+    // reproduce the batch distinct exactly once every day's window
+    // closes; two time-ordered drops exercise cross-batch dedup state,
+    // the sentinel advances the watermark past the last day
+    val ev = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+    val maxTs = ev.agg(max($"ts")).first().getTimestamp(0)
+    val mid = new Timestamp(
+      (ev.agg(min($"ts")).first().getTimestamp(0).getTime + maxTs.getTime) / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dau_eq_").toString
+
+    val q = EventStream.dailyActiveUsers(EventStream.readEvents(spark, dir),
+        watermarkDelay = "1 hour")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dau_eq").start()
+    ev.filter($"ts" <= lit(mid)).coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    ev.filter($"ts" > lit(mid)).coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    Seq((-1L, new Timestamp(maxTs.getTime + 172800000L), -1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("dau_eq")
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"dau")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._1 < "2100-01-01") // drop the sentinel's own window
+      .sorted.toSeq
+    val batch = queries.Catalog.queries("q107_rolling_wau")(spark, Sf0001)
+      .select($"day", $"dau").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(streamed === batch,
+      s"streaming DAU ${streamed.take(3)}… must equal batch ${batch.take(3)}…")
+  }
+
   test("incremental near-dup ingest: store grows across batches, dd16 semantics per batch") {
     import graft.streaming.DocStream
     import graft.streaming.DocStream.Doc
