@@ -298,10 +298,13 @@ object MlPipeline {
     * greatest(pp−cp, (nn−cn)−(pp−cp)); argmax ties break by (feature
     * asc, threshold asc). Integer scores mean the argmax is exactly
     * reproducible in any engine — no snapping needed. Each split
-    * search is per-feature bounded histograms + windows; the chosen
-    * (feature, threshold) pairs are the only driver-collected state
-    * (3 rows), and the 7-node stat table comes from ONE conditional
-    * aggregate over the data. Splitting never decreases the majority-
+    * search is per-feature bounded histograms + windows, and the two
+    * child searches share ONE level-wise pass (histograms keyed by
+    * (side, feature, value) — the PLANET-style layout that searches a
+    * whole tree level per scan); the chosen (feature, threshold)
+    * pairs are the only driver-collected state (3 rows), and the
+    * 7-node stat table comes from ONE conditional aggregate over the
+    * data. Splitting never decreases the majority-
     * correct count (max(a1,b1)+max(a2,b2) ≥ max(a1+a2,b1+b2)), so the
     * tree's training accuracy dominates the best stump's — spec-
     * pinned. Requires ≥2 distinct values per branch (holds for the
@@ -337,8 +340,36 @@ object MlPipeline {
         (best.getString(0), best.getDouble(1))
       }
       val (f0, t0) = bestSplit(d)
-      val (fl, tl) = bestSplit(d.filter(col(f0) <= t0))
-      val (fr, tr) = bestSplit(d.filter(col(f0) > t0))
+      // level-wise growth (the PLANET/XGBoost insight): BOTH children's
+      // split searches ride in ONE pass — histograms keyed by (side,
+      // feature, value), windows partitioned by side, one rank per
+      // side. Depth k would search all 2^k frontier nodes per pass;
+      // here it halves the level-2 scans vs per-child recursion.
+      val sided = d.withColumn("_side", when(col(f0) <= t0, "L").otherwise("R"))
+      val sideTot = sided.groupBy(col("_side"))
+        .agg(count(lit(1)).as("nn"), sum(col("_y")).as("pp"))
+      val cands2 = features.map { f =>
+        val hist = sided.groupBy(col("_side"), col(f).as("v"))
+          .agg(count(lit(1)).as("n"), sum(col("_y")).as("npos"))
+        val w = Window.partitionBy(col("_side")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist
+          .withColumn("cn", sum(col("n")).over(w))
+          .withColumn("cp", sum(col("npos")).over(w))
+          .join(broadcast(sideTot), "_side")
+          .filter(col("cn") < col("nn"))
+          .select(col("_side"), lit(f).as("feature"), col("v"),
+            (greatest(col("cp"), col("cn") - col("cp")) +
+              greatest(col("pp") - col("cp"),
+                col("nn") - col("cn") - (col("pp") - col("cp")))).as("correct"))
+      }.reduce(_ unionAll _)
+      val rk = Window.partitionBy(col("_side"))
+        .orderBy(col("correct").desc, col("feature"), col("v"))
+      val bests = cands2.withColumn("rk", row_number().over(rk))
+        .filter(col("rk") === 1).collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+      val (fl, tl) = bests("L")
+      val (fr, tr) = bests("R")
       // every node's (n, npos) in one conditional aggregate
       val left = col(f0) <= t0
       val lL = left && (col(fl) <= tl)

@@ -41,7 +41,10 @@ object Extended20Queries {
   // shape is unchanged — every stage is the same scale-safe
   // formulation its standalone gate uses.
   // ---------------------------------------------------------------
-  private def mx09MegaPipeline(s: SparkSession, dir: String): DataFrame = {
+  /** The shared pipeline frames: the per-doc gate flags and the
+    * curated+mixed corpus. mx09 reports the funnel over them; mx09b
+    * hash-verifies the final pack assignment doc-by-doc. */
+  private def pipelineFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.dedup.Dedup
     val docs = Tables.documents(s, dir)
     val canon = Dedup.exactGroups(docs, "doc_id", "text")
@@ -81,6 +84,28 @@ object Extended20Queries {
         coalesce(col("rep_ok"), lit(false)).as("rep_ok"),
         coalesce(col("contam"), lit(false)).as("contam"))
       .localCheckpoint()
+    val curated = flags
+      .filter(col("eligible") && col("canon") && col("q_ok") && col("rep_ok")
+        && !col("contam"))
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+    // mx02's mixing rule, re-derived on the curated per-source counts:
+    // keep md5-bucket < round(10000 · min_n / n_s)
+    val counts = curated.groupBy(col("source")).agg(count(lit(1)).as("n_c"))
+    val minN = counts.agg(min(col("n_c")).as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("th", round(lit(10000) * col("min_n") / col("n_c")).cast("long"))
+      .select(col("source"), col("th"))
+    val mixed = curated
+      .withColumn("bucket",
+        pmod(Dedup.md5Hash48(col("doc_id").cast("string")), lit(10000)))
+      .join(broadcast(rates), "source")
+      .filter(col("bucket") < col("th"))
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+    (flags, mixed)
+  }
+
+  private def mx09MegaPipeline(s: SparkSession, dir: String): DataFrame = {
+    val (flags, mixed) = pipelineFrames(s, dir)
     def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
     def tok(c: Column) = sum(when(c, col("n_tokens")).otherwise(0L))
     val g2 = col("eligible")
@@ -98,20 +123,6 @@ object Extended20Queries {
       .select(col("source"), expr(
         "stack(6, 1,d1,t1, 2,d2,t2, 3,d3,t3, 4,d4,t4, 5,d5,t5, 6,d6,t6)" +
           " AS (stage_idx, n_docs, n_tokens)"))
-    val curated = flags.filter(g6).select(col("source"), col("doc_id"), col("n_tokens"))
-    // mx02's mixing rule, re-derived on the curated per-source counts:
-    // keep md5-bucket < round(10000 · min_n / n_s)
-    val counts = curated.groupBy(col("source")).agg(count(lit(1)).as("n_c"))
-    val minN = counts.agg(min(col("n_c")).as("min_n"))
-    val rates = counts.crossJoin(broadcast(minN))
-      .withColumn("th", round(lit(10000) * col("min_n") / col("n_c")).cast("long"))
-      .select(col("source"), col("th"))
-    val mixed = curated
-      .withColumn("bucket",
-        pmod(Dedup.md5Hash48(col("doc_id").cast("string")), lit(10000)))
-      .join(broadcast(rates), "source")
-      .filter(col("bucket") < col("th"))
-      .select(col("source"), col("doc_id"), col("n_tokens"))
     val s7 = mixed.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .select(lit(7).as("stage_idx"), col("n_docs"), col("n_tokens"), col("source"))
@@ -134,7 +145,10 @@ object Extended20Queries {
       .orderBy(col("stage_idx"), col("source"))
   }
 
-  private val mx09Sql =
+  /** Shared oracle CTE chain for mx09/mx09b: document gates → curated
+    * corpus → mixed corpus → pack assignment. Unreferenced CTEs in a
+    * given final query are not evaluated by DuckDB. */
+  private val pipelineSqlCtes =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
       |  FROM documents),
@@ -211,10 +225,13 @@ object Extended20Queries {
       |  FROM curated c JOIN rates USING (source)
       |  WHERE ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 < th),
       |packs AS (
-      |  SELECT source, n_tokens,
+      |  SELECT source, doc_id, n_tokens,
       |    floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS pack_id
-      |  FROM mixed),
+      |  FROM mixed)""".stripMargin
+
+  private val mx09Sql =
+    s"""$pipelineSqlCtes,
       |funnel AS (
       |  SELECT 1 AS stage_idx, source, d1 AS n_docs, t1 AS n_tokens FROM f16
       |  UNION ALL SELECT 2, source, d2, t2 FROM f16
@@ -230,6 +247,28 @@ object Extended20Queries {
       |  source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
       |FROM funnel
       |ORDER BY stage_idx, source""".stripMargin
+
+  /** mx09's funnel verifies the pipeline in AGGREGATE; this gate
+    * hash-verifies the final artifact doc-by-doc — every (source,
+    * doc_id, tokens, pack) row of the curated+mixed+packed corpus.
+    * Together they pin both the telemetry and the delivered data. */
+  private def mx09bPackDetail(s: SparkSession, dir: String): DataFrame = {
+    val (_, mixed) = pipelineFrames(s, dir)
+    val wp = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mixed
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(wp) - col("n_tokens")) / lit(512)))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("pack_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val mx09bSql =
+    s"""$pipelineSqlCtes
+       |SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(pack_id AS BIGINT) AS pack_id
+       |FROM packs
+       |ORDER BY source, doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // mx10: deterministic output sharding. Quality-gated docs are laid
@@ -357,6 +396,7 @@ object Extended20Queries {
 
   val all: Seq[Q] = Seq(
     Q("mx09_megapipeline", mx09MegaPipeline, Some(mx09Sql)),
+    Q("mx09b_pack_detail", mx09bPackDetail, Some(mx09bSql)),
     Q("mx10_shard_manifest", mx10ShardManifest, Some(mx10Sql)),
     Q("mx11_incremental_shards", mx11IncrementalShards, Some(mx11Sql)))
 }

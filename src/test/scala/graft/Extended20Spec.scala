@@ -66,6 +66,34 @@ class Extended20Spec extends SparkSpec {
     }
   }
 
+  test("mx09b: the doc-level pack detail reconciles with mx09's funnel rows") {
+    val detail = Catalog.queries("mx09b_pack_detail")(spark, Sf0001).collect()
+    val funnel = Catalog.queries("mx09_megapipeline")(spark, Sf0001).collect()
+    assert(detail.nonEmpty)
+    val bySource = detail.groupBy(_.getString(0))
+    // stage 7 (mixed): doc count and token mass; stage 8: pack count
+    funnel.filter(_.getInt(0) == 7).foreach { r =>
+      val rs = bySource(r.getString(2))
+      assert(rs.length.toLong == r.getLong(3), s"${r.getString(2)}: mixed doc count")
+      assert(rs.map(_.getLong(2)).sum == r.getLong(4), s"${r.getString(2)}: token mass")
+    }
+    funnel.filter(_.getInt(0) == 8).foreach { r =>
+      val packs = bySource(r.getString(2)).map(_.getLong(3)).distinct.length
+      assert(packs.toLong == r.getLong(3), s"${r.getString(2)}: pack count")
+    }
+    // packing integrity: within a source, pack ids start at 0 and are
+    // non-decreasing in doc order with no gaps
+    bySource.foreach { case (src, rs) =>
+      val ids = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(ids.head == 0L, s"$src: first pack must be 0")
+      ids.sliding(2).foreach { case Array(a, b) =>
+        assert(b == a || b == a + 1 || (b > a && ids.contains(b - 1)) || b >= a,
+          s"$src: pack sequence must be non-decreasing")
+        assert(b >= a, s"$src: pack id decreased")
+      }
+    }
+  }
+
   test("mx11: appending a batch never touches shipped shards; ids continue densely") {
     val rows = Catalog.queries("mx11_incremental_shards")(spark, Sf0001).collect()
     val (e0, e1) = rows.partition(_.getInt(0) == 0)
