@@ -524,43 +524,60 @@ object MlQueries {
       MlPipeline.orderFeatures(Tables.orders(s, dir)), "label",
       Seq("order_year", "order_month", "prio_urgent", "status_f"))
 
+  // The depth-2 recursion unrolled: root argmax over per-feature
+  // cumulative histograms, branch data filtered through the chosen
+  // (feature, threshold) via a CASE dispatch, the same argmax per
+  // branch, and a 7-node stat table. The split score is an INTEGER
+  // (majority-correct count), so the argmax — ORDER BY correct
+  // DESC, feature, v — is reproducible exactly, no snapping.
+  private val ml20Feats = Seq(
+    "order_month" -> "CAST(month(o_orderdate) AS DOUBLE)",
+    "order_year" -> "CAST(year(o_orderdate) AS DOUBLE)",
+    "prio_urgent" -> "CAST(o_orderpriority = '1-URGENT' AS DOUBLE)",
+    "status_f" -> "CAST(o_orderstatus = 'F' AS DOUBLE)")
+
+  private def ml20Dispatch(alias: String, src: String) =
+    s"""(CASE $alias.feature WHEN 'order_month' THEN $src.order_month
+       |    WHEN 'order_year' THEN $src.order_year
+       |    WHEN 'prio_urgent' THEN $src.prio_urgent
+       |    ELSE $src.status_f END)""".stripMargin
+
+  private def ml20Search(node: String, out: String): String = {
+    val branches = ml20Feats.map { case (name, _) =>
+      s"""    SELECT '$name' AS feature, $name AS v, count(*) AS n, sum(y) AS npos
+         |    FROM $node GROUP BY 2""".stripMargin
+    }.mkString("\n    UNION ALL\n")
+    s"""h_$out AS MATERIALIZED (
+       |  SELECT feature, v, sum(n) OVER w AS cn, sum(npos) OVER w AS cp
+       |  FROM (
+       |$branches)
+       |  WINDOW w AS (PARTITION BY feature ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |t_$out AS (SELECT count(*) AS nn, sum(y) AS pp FROM $node),
+       |$out AS MATERIALIZED (
+       |  SELECT feature, v AS threshold
+       |  FROM h_$out CROSS JOIN t_$out
+       |  WHERE cn < nn
+       |  ORDER BY greatest(cp, cn - cp)
+       |    + greatest(pp - cp, (nn - cn) - (pp - cp)) DESC, feature, v
+       |  LIMIT 1)""".stripMargin
+  }
+
   private val ml20Sql: String = {
-    // The depth-2 recursion unrolled: root argmax over per-feature
-    // cumulative histograms, branch data filtered through the chosen
-    // (feature, threshold) via a CASE dispatch, the same argmax per
-    // branch, and a 7-node stat table. The split score is an INTEGER
-    // (majority-correct count), so the argmax — ORDER BY correct
-    // DESC, feature, v — is reproducible exactly, no snapping.
-    val feats = Seq(
-      "order_month" -> "CAST(month(o_orderdate) AS DOUBLE)",
-      "order_year" -> "CAST(year(o_orderdate) AS DOUBLE)",
-      "prio_urgent" -> "CAST(o_orderpriority = '1-URGENT' AS DOUBLE)",
-      "status_f" -> "CAST(o_orderstatus = 'F' AS DOUBLE)")
-    def dispatch(alias: String, src: String) =
-      s"""(CASE $alias.feature WHEN 'order_month' THEN $src.order_month
-         |    WHEN 'order_year' THEN $src.order_year
-         |    WHEN 'prio_urgent' THEN $src.prio_urgent
-         |    ELSE $src.status_f END)""".stripMargin
-    def search(node: String, out: String): String = {
-      val branches = feats.map { case (name, _) =>
-        s"""    SELECT '$name' AS feature, $name AS v, count(*) AS n, sum(y) AS npos
-           |    FROM $node GROUP BY 2""".stripMargin
-      }.mkString("\n    UNION ALL\n")
-      s"""h_$out AS MATERIALIZED (
-         |  SELECT feature, v, sum(n) OVER w AS cn, sum(npos) OVER w AS cp
-         |  FROM (
-         |$branches)
-         |  WINDOW w AS (PARTITION BY feature ORDER BY v
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |t_$out AS (SELECT count(*) AS nn, sum(y) AS pp FROM $node),
-         |$out AS MATERIALIZED (
-         |  SELECT feature, v AS threshold
-         |  FROM h_$out CROSS JOIN t_$out
-         |  WHERE cn < nn
-         |  ORDER BY greatest(cp, cn - cp)
-         |    + greatest(pp - cp, (nn - cn) - (pp - cp)) DESC, feature, v
-         |  LIMIT 1)""".stripMargin
-    }
+    ml20Ctes(ml20Feats, ml20Dispatch, ml20Search) +
+      s"""
+       |SELECT node, feature, threshold, CAST(n AS BIGINT) AS n,
+       |  CAST(npos AS BIGINT) AS npos,
+       |  CAST(CASE WHEN 2 * npos > n THEN 1 ELSE 0 END AS INTEGER) AS pred
+       |FROM stats
+       |ORDER BY node""".stripMargin
+  }
+
+  /** The shared ml20 oracle chain (data → root/child argmaxes → the
+    * 7-node stats CTE), reused by ml21's importance arithmetic. */
+  private def ml20Ctes(feats: Seq[(String, String)],
+      dispatch: (String, String) => String,
+      search: (String, String) => String): String =
     s"""WITH d AS MATERIALIZED (
        |  SELECT CASE WHEN o_totalprice >= 100000.0 THEN 1 ELSE 0 END AS y,
        |    ${feats.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")}
@@ -588,13 +605,61 @@ object MlQueries {
        |  UNION ALL SELECT 'RL', '', -1.0, count(*), sum(y)
        |    FROM dr CROSS JOIN s_r b WHERE ${dispatch("b", "dr")} <= b.threshold
        |  UNION ALL SELECT 'RR', '', -1.0, count(*), sum(y)
-       |    FROM dr CROSS JOIN s_r b WHERE ${dispatch("b", "dr")} > b.threshold)
-       |SELECT node, feature, threshold, CAST(n AS BIGINT) AS n,
-       |  CAST(npos AS BIGINT) AS npos,
-       |  CAST(CASE WHEN 2 * npos > n THEN 1 ELSE 0 END AS INTEGER) AS pred
-       |FROM stats
-       |ORDER BY node""".stripMargin
+       |    FROM dr CROSS JOIN s_r b WHERE ${dispatch("b", "dr")} > b.threshold)""".stripMargin
+
+  /** Hash-verified feature importances — the ml04 twin: majority-
+    * correct GAIN per internal node of ml20's tree, summed per
+    * feature and normalized. gain(node) = corr(L) + corr(R) −
+    * corr(node) with corr = max(npos, n − npos): pure INTEGER
+    * arithmetic over the 7-row node table, so the only double is the
+    * final normalized share. ml04 stays the MLlib-wrapper gate
+    * (rows-only by contract); this verifies the importance math next
+    * door, the same posture as ml19 for GBT training.
+    */
+  private def ml21TreeImportances(s: SparkSession, dir: String): DataFrame = {
+    val t = MlPipeline.depth2Tree(
+      MlPipeline.orderFeatures(Tables.orders(s, dir)), "label",
+      Seq("order_year", "order_month", "prio_urgent", "status_f"))
+    val maj = t.select(col("node"), col("feature"),
+      greatest(col("npos"), col("n") - col("npos")).as("corr"))
+    val spark = s
+    import spark.implicits._
+    val edges = Seq(("root", "L", "R"), ("L", "LL", "LR"), ("R", "RL", "RR"))
+      .toDF("parent", "cl", "cr")
+    val gains = edges
+      .join(maj.toDF("parent", "feature", "p_corr"), "parent")
+      .join(maj.select(col("node").as("cl"), col("corr").as("l_corr")), "cl")
+      .join(maj.select(col("node").as("cr"), col("corr").as("r_corr")), "cr")
+      .groupBy(col("feature"))
+      .agg(sum(col("l_corr") + col("r_corr") - col("p_corr")).as("gain"))
+    val tot = gains.agg(sum(col("gain")).as("tg"))
+    gains.crossJoin(broadcast(tot))
+      .select(col("feature"), col("gain"),
+        when(col("tg") === 0, lit(0.0))
+          .otherwise(round(col("gain") / col("tg"), 6)).as("importance"))
+      .orderBy(col("feature"))
   }
+
+  private val ml21Sql: String =
+    ml20Ctes(ml20Feats, ml20Dispatch, ml20Search) +
+      s""",
+       |maj AS (
+       |  SELECT node, feature, greatest(npos, n - npos) AS corr FROM stats),
+       |edges(parent, cl, cr) AS (
+       |  VALUES ('root', 'L', 'R'), ('L', 'LL', 'LR'), ('R', 'RL', 'RR')),
+       |gains AS (
+       |  SELECT p.feature, sum(l.corr + r.corr - p.corr) AS gain
+       |  FROM edges e
+       |  JOIN maj p ON p.node = e.parent
+       |  JOIN maj l ON l.node = e.cl
+       |  JOIN maj r ON r.node = e.cr
+       |  GROUP BY 1),
+       |tot AS (SELECT sum(gain) AS tg FROM gains)
+       |SELECT feature, CAST(gain AS BIGINT) AS gain,
+       |  CASE WHEN tg = 0 THEN 0.0
+       |       ELSE round(gain / CAST(tg AS DOUBLE), 6) END AS importance
+       |FROM gains CROSS JOIN tot
+       |ORDER BY feature""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("ml01_features", ml01Features, Some(ml01Sql)),
@@ -608,5 +673,6 @@ object MlQueries {
     Q("ml10_stump_splits", ml10StumpSplits, Some(ml10Sql)),
     Q("ml19_boosted_stumps", ml19BoostedStumps, Some(ml19Sql)),
     Q("ml20_depth2_tree", ml20Depth2Tree, Some(ml20Sql)),
+    Q("ml21_tree_importances", ml21TreeImportances, Some(ml21Sql)),
   )
 }

@@ -213,6 +213,19 @@ class MlSpec extends SparkSpec {
       MlPipeline.depth2Tree(df, "label", Seq("x", "y")).collect().map(_.toString).sorted)
   }
 
+  test("ml21 tree importances: a distribution over the used features, gains non-negative") {
+    val rows = queries.Catalog.queries("ml21_tree_importances")(spark, Sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    val allowed = Set("order_year", "order_month", "prio_urgent", "status_f")
+    rows.foreach { r =>
+      assert(allowed.contains(r.getString(0)))
+      assert(r.getLong(1) >= 0, "greedy splitting never loses majority-correct count")
+    }
+    val total = rows.map(_.getDouble(2)).sum
+    assert(math.abs(total - 1.0) < 1e-4 || rows.forall(_.getDouble(2) == 0.0),
+      s"importances sum to $total")
+  }
+
   test("hashingEmbed is deterministic and fixed-width (M1 stand-in)") {
     val docs = Tables.documents(spark, Sf0001)
     val e = MlPipeline.hashingEmbed(docs, "doc_id", "text", numFeatures = 64)
