@@ -144,10 +144,52 @@ object Extended3Queries {
         sum(col("n")).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** q61's hash-green twin: EXACT distinct counting via mergeable
+    * bitmaps — the production alternative to HLL when the key domain
+    * is modest (user ids here). Per (type, 32-bit word) bitmaps are
+    * one map-side-combined bit_or aggregate; the '_all' row is
+    * derived from the SKETCHES ALONE (bit_or across types per word,
+    * popcount) with no second data scan — the same
+    * shard→sketch→merge shape q61 demonstrates with HLL, but
+    * bit-for-bit reproducible in any engine. At 100 TB the bitmap is
+    * |domain|/8 bytes per group — exact where HLL would approximate,
+    * and the same partial-aggregation friendliness.
+    */
+  private def q61bBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    val bits = Tables.events(s, dir)
+      .select(col("event_type"), expr("user_id DIV 32").as("w"),
+        expr("shiftleft(1L, CAST(user_id % 32 AS INT))").as("bit"))
+      .groupBy(col("event_type"), col("w"))
+      .agg(expr("bit_or(bit)").as("bm"))
+      .localCheckpoint() // tiny (types × words); feeds counts AND merge
+    val perType = bits.groupBy(col("event_type"))
+      .agg(sum(expr("bit_count(bm)")).as("n_users"))
+    val merged = bits.groupBy(col("w")).agg(expr("bit_or(bm)").as("u"))
+      .agg(sum(expr("bit_count(u)")).as("n_users"))
+      .select(lit("_all").as("event_type"), col("n_users"))
+    perType.union(merged).orderBy(col("event_type"))
+  }
+
+  private val q61bSql =
+    """WITH bits AS (
+      |  SELECT event_type, user_id // 32 AS w,
+      |    bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS bm
+      |  FROM events GROUP BY 1, 2),
+      |per_type AS (
+      |  SELECT event_type, CAST(sum(bit_count(bm)) AS BIGINT) AS n_users
+      |  FROM bits GROUP BY 1),
+      |merged AS (
+      |  SELECT '_all' AS event_type, CAST(sum(bit_count(u)) AS BIGINT) AS n_users
+      |  FROM (SELECT w, bit_or(bm) AS u FROM bits GROUP BY 1))
+      |SELECT event_type, n_users FROM per_type
+      |UNION ALL SELECT event_type, n_users FROM merged
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q58_hash_sample", q58HashSample, Some(q58Sql)),
     Q("q59_tpch_q5", q59TpchQ5, Some(q59Sql)),
     Q("q60_gapfill", q60GapFill, Some(q60Sql)),
     Q("q61_hll_sketch", q61HllSketch, None),
+    Q("q61b_bitmap_distinct", q61bBitmapDistinct, Some(q61bSql)),
   )
 }

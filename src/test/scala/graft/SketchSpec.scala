@@ -83,4 +83,21 @@ class SketchSpec extends SparkSpec {
       assert(r.getAs[Long]("p90_bucket") == rankBucket(0.9), s"flag=${r.getString(0)}")
     }
   }
+
+  test("q61b bitmap distinct is EXACT per type and the '_all' merge matches the global distinct") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Catalog.queries("q61b_bitmap_distinct")(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e = Tables.events(spark, Sf0001)
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(rows(t) == n, s"$t: bitmap ${rows(t)} != exact $n — bitmaps must be exact")
+    }
+    val global = e.select(col("user_id")).distinct().count()
+    assert(rows("_all") == global,
+      s"merged sketch ${rows("_all")} != global distinct $global — " +
+        "the union-without-rescan must lose nothing")
+  }
 }
