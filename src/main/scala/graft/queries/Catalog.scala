@@ -32,7 +32,7 @@ object Catalog {
       Extended3Queries.all ++ Extended4Queries.all ++ Extended5Queries.all ++
       Extended6Queries.all ++ Extended7Queries.all ++ Extended8Queries.all ++
       Extended9Queries.all ++ Extended10Queries.all ++ Extended11Queries.all ++
-      Extended12Queries.all ++ Extended13Queries.all ++ Extended14Queries.all ++ Extended15Queries.all ++ Extended16Queries.all ++ Extended17Queries.all ++ Extended18Queries.all ++ Extended19Queries.all ++ Extended20Queries.all ++ Extended21Queries.all ++ Extended22Queries.all ++ FunctionQueries.all ++
+      Extended12Queries.all ++ Extended13Queries.all ++ Extended14Queries.all ++ Extended15Queries.all ++ Extended16Queries.all ++ Extended17Queries.all ++ Extended18Queries.all ++ Extended19Queries.all ++ Extended20Queries.all ++ Extended21Queries.all ++ Extended22Queries.all ++ Extended23Queries.all ++ FunctionQueries.all ++
       JoinQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MlQueries.all ++
       ImdbQueries.all ++ MultimodalQueries.all
