@@ -21,14 +21,31 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail fast (with a named table) if the testdata schema drifted —
+    // the r8 events.ts regeneration killed 28 queries invisibly.
+    SchemaProbe.assertAll(spark, sfDir)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val selected = SparkEntry.queries.filter(kv => keep(kv._1))
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Leave a durable record: a query that throws writes no parquet
+        // and would otherwise silently vanish from the driver's
+        // correctness report (the r8 failure mode — 28 queries gone
+        // with no red anywhere).
+        val fdir = Paths.get(s"$outDir/_failed"); Files.createDirectories(fdir)
+        Files.writeString(fdir.resolve(s"$name.txt"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
+    if (failed.nonEmpty) {
+      println(s"[verify] ${failed.size} FAILED: ${failed.toSeq.sorted.mkString(", ")}")
+      System.err.println(s"[verify] ${failed.size} FAILED: ${failed.toSeq.sorted.mkString(", ")}")
+    } else println(s"[verify] all ${selected.size} queries written OK")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -154,6 +154,51 @@ object Extended6Queries {
       |FROM exact e JOIN kmv k USING (l_returnflag) JOIN quant q USING (l_returnflag)
       |ORDER BY e.l_returnflag""".stripMargin
 
+  /** The round-9 completion of the q38 family: a FULL-oracle gate on the
+    * engine-internal sketches themselves (HLL++ distinct counts, KLL
+    * percentiles). The sketch estimates can't be reproduced
+    * cross-engine, but their ERROR BOUND can be hash-verified: compute
+    * exact and approximate side by side in one pass, emit the exact
+    * values plus a boolean per estimator asserting the estimate landed
+    * within its contract (5% for HLL at rsd=0.01 — 5σ; 2% relative for
+    * percentile_approx at accuracy 10000). Both engines agree on the
+    * exact values; the oracle pins the booleans at TRUE, so a drifting
+    * sketch implementation hash-mismatches. Sketches are deterministic
+    * for fixed data (pure functions of the hashes), so this is a stable
+    * gate, not a flaky one.
+    */
+  private def q38cHllErrorGate(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("hll_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("hll_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("ap90"),
+        expr("percentile(l_extendedprice, 0.5)").as("ep50"),
+        expr("percentile(l_extendedprice, 0.9)").as("ep90"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (abs(col("hll_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).as("hll_parts_ok"),
+        (abs(col("hll_orders") - col("exact_orders")) <=
+          col("exact_orders") * 0.05).as("hll_orders_ok"),
+        (abs(col("ap50") - col("ep50")) <= abs(col("ep50")) * 0.02).as("kll_p50_ok"),
+        (abs(col("ap90") - col("ep90")) <= abs(col("ep90")) * 0.02).as("kll_p90_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q38cSql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS hll_parts_ok, TRUE AS hll_orders_ok,
+      |  TRUE AS kll_p50_ok, TRUE AS kll_p90_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** q44's value-range mean without the global window: p_size has a
     * bounded domain (~50 values), so aggregate per size once, join the
     * tiny histogram to itself on |Δsize| ≤ 5, and broadcast the
@@ -487,6 +532,7 @@ object Extended6Queries {
   val all: Seq[Q] = Seq(
     Q("q45b_dist_cdf", q45bDistCdf, Some(q45bSql)),
     Q("q38b_kmv_sketch", q38bKmvSketch, Some(q38bSql)),
+    Q("q38c_hll_error_gate", q38cHllErrorGate, Some(q38cSql)),
     Q("q44b_range_hist", q44bRangeHist, Some(q44bSql)),
     Q("q87_hard_negatives", q87HardNegatives, Some(q87Sql)),
     Q("mx08_token_budget", mx08TokenBudget, Some(mx08Sql)),
