@@ -147,4 +147,19 @@ class Extended6Spec extends SparkSpec {
     assert(plan.substring(windowIdx).contains("HashAggregate"),
       "Window must sit above the value histogram aggregate")
   }
+
+  test("q38c sketch estimates land inside their oracle-pinned error bounds") {
+    // the driver gate runs at sf0.01; pin the same TRUE booleans at
+    // sf0.001 so a sketch-accuracy drift fails locally before it
+    // hash-mismatches in the round report
+    import spark.implicits._
+    val out = queries.Catalog.queries("q38c_hll_error_gate")(spark, Sf0001)
+    val rows = out.select($"hll_parts_ok", $"hll_orders_ok",
+      $"kll_p50_ok", $"kll_p90_ok").as[(Boolean, Boolean, Boolean, Boolean)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, c, d) =>
+      assert(a && b && c && d, s"an estimator left its error bound: $rows")
+    }
+  }
 }

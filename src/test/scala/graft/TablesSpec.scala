@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Pins for the schema-adaptive events loader (Tables.events) — the
+  * round-8 incident class: driver-regenerated testdata changed ts's
+  * physical parquet type and a loader pinned to one arrival silently
+  * broke every downstream event query. Each supported arrival
+  * (nanos-as-long, timestamp_ntz, session-zoned timestamp) must load
+  * to the SAME instants; unsupported arrivals must fail fast naming
+  * the problem, not surface later as an analysis error in a query.
+  */
+class TablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one instant, three physical encodings: 2024-01-15T10:30:00.123456Z
+  private val micros = 1705314600123456L
+
+  private def writeDir(suffix: String): String = {
+    val d = s"/tmp/graft_tablesspec_$suffix"
+    val p = java.nio.file.Paths.get(d)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    d
+  }
+
+  private def loadedMicros(dir: String): Seq[Long] = {
+    val df = Tables.events(spark, dir)
+    assert(df.schema("ts").dataType === TimestampType,
+      s"every arrival must normalize to session-zoned TimestampType, got ${df.schema("ts").dataType}")
+    df.select(unix_micros(col("ts"))).as[Long].collect().toSeq.sorted
+  }
+
+  test("events loader: nanos-as-long arrival divides to micros") {
+    val dir = writeDir("long")
+    Seq((1L, micros * 1000L + 789L, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // sub-microsecond nanos truncate (integer DIV), never round up
+    assert(loadedMicros(dir) === Seq(micros))
+  }
+
+  test("events loader: timestamp_ntz arrival casts via the UTC session zone") {
+    val dir = writeDir("ntz")
+    Seq((1L, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(lit(micros)).cast(TimestampNTZType))
+      .write.parquet(s"$dir/events.parquet")
+    assert(loadedMicros(dir) === Seq(micros))
+  }
+
+  test("events loader: session-zoned timestamp arrival passes through") {
+    val dir = writeDir("tz")
+    Seq((1L, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(lit(micros)))
+      .write.parquet(s"$dir/events.parquet")
+    assert(loadedMicros(dir) === Seq(micros))
+  }
+
+  test("events loader: an unexpected ts arrival fails fast with the table named") {
+    val dir = writeDir("bad")
+    Seq((1L, "2024-01-15", 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("events.ts"))
+  }
+}
