@@ -21,10 +21,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Fail fast (with a named table) if the testdata schema drifted —
-    // the r8 events.ts regeneration killed 28 queries invisibly.
-    SchemaProbe.assertAll(spark, sfDir)
     new java.io.File(outDir).mkdirs()
+    // Probe every table's post-loader schema first (named fail-fast on
+    // testdata drift — the r8 events.ts regeneration killed 28 queries
+    // invisibly). A probe failure is recorded loudly but does NOT abort
+    // the query loop: one drifted table must cost its own queries, not
+    // zero the whole round's correctness report.
+    try SchemaProbe.assertAll(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] SCHEMA PROBE FAILED: ${e.getMessage}")
+      val fdir = Paths.get(s"$outDir/_failed"); Files.createDirectories(fdir)
+      Files.writeString(fdir.resolve("_SCHEMA_PROBE.txt"), s"${e.getMessage}\n")
+    }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val selected = SparkEntry.queries.filter(kv => keep(kv._1))
     selected.foreach { case (name, fn) =>
