@@ -55,4 +55,36 @@ class Plan3Spec extends SparkSpec {
       "nation/region/part/supplier/customer parent sets must broadcast")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q38c exact+sketch gate: the Expand collapses map-side before its shuffle") {
+    // Spark's canonical multi-distinct plan: Expand over the scan, then
+    // a PARTIAL aggregate on the same side of the exchange — the 3× row
+    // expansion must never travel the network un-combined
+    val plan = formatted(Catalog.queries("q38c_hll_error_gate")(spark, Sf0001))
+    assert(plan.contains("Expand"), "two exact countDistincts imply an Expand")
+    val expandIdx = plan.indexOf("(2) Expand")
+    val firstExchangeIdx = plan.indexOf("Exchange")
+    assert(expandIdx >= 0 && firstExchangeIdx >= 0)
+    // in formatted output the operator tree is printed top-down, so the
+    // scan-side Expand appears BELOW (later than) the exchanges in the
+    // header tree; assert instead on the numbered node list: Expand is
+    // node (2), directly over the scan (1), with an aggregate between
+    // it and the first Exchange
+    val between = plan.substring(plan.indexOf("(2) Expand"))
+    val aggIdx = between.indexOf("Aggregate")
+    val exIdx = between.indexOf("(4) Exchange")
+    assert(aggIdx >= 0 && exIdx >= 0 && aggIdx < exIdx,
+      "a partial aggregate must sit between Expand and the first Exchange")
+  }
+
+  test("dd01 exact dedup: one fingerprint shuffle feeds both the groups and the join-back") {
+    // the canonical plan: fingerprint projection, groupBy(fp) min/count,
+    // equi-join back on fp — no cartesian, no nested-loop, and the
+    // aggregate partial-combines before its exchange
+    val plan = formatted(Catalog.queries("dd01_exact_dedup")(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "expected partial+final aggregate pair on the fingerprint groupBy")
+  }
 }
