@@ -69,6 +69,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The declared query list, so downstream checkers can diff it
+    // against what was actually written — a query that threw leaves no
+    // parquet and would otherwise be invisible (r8: 28 queries vanished
+    // from the correctness report with no red anywhere).
+    Files.writeString(Paths.get(s"$outDir/declared.json"),
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -27,9 +27,25 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # declared-vs-written diff: a query that threw writes no parquet and
+    # would be invisible to the directory walk below (the r8 failure
+    # mode — 28 queries silently absent). Verify dumps declared.json;
+    # every declared-but-unwritten query is a hard failure here.
+    declared_path = f"{out_dir}/declared.json"
+    if os.path.exists(declared_path):
+        declared = set(json.load(open(declared_path)))
+        written = {n for n in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, n)) and not n.startswith("_")}
+        for name in sorted(declared - written):
+            err = ""
+            fpath = f"{out_dir}/_failed/{name}.txt"
+            if os.path.exists(fpath):
+                err = ": " + open(fpath).read().strip()[:200]
+            print(f"✗ {name}: DECLARED BUT NOT WRITTEN{err}")
+            n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
+        if not os.path.isdir(d) or name.startswith("_"):
             continue
         files = glob.glob(f"{d}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else None
