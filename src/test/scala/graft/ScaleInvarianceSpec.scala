@@ -1,0 +1,54 @@
+package graft
+
+import graft.queries.Catalog
+
+/** Partition-count invariance: on a 1000-executor cluster the shuffle
+  * partitioning is an ops knob, not a semantic input — any query whose
+  * result changes with `spark.sql.shuffle.partitions` is broken at
+  * scale no matter what the sf0.01 gate says. Representative
+  * order-sensitive shapes (windowed sessionization, ranking, LSH
+  * banding, packing, global shard offsets, fixed-point iterative
+  * training, graph iteration) run under 1 / 3 / 17 shuffle partitions
+  * and must produce byte-identical row multisets.
+  *
+  * 1 partition degenerates every shuffle (catches accidental reliance
+  * on intra-partition order); 17 is prime and larger than most group
+  * cardinalities at sf0.001 (catches hash-distribution sensitivity and
+  * empty-partition handling).
+  */
+class ScaleInvarianceSpec extends SparkSpec {
+
+  private val subjects = Seq(
+    "q62_sessionize",     // per-user gap windows
+    "q22_window_rank",    // ranking window + filter
+    "dd04_minhash_lsh",   // banded signature bucket join
+    "mx01_pack",          // greedy packing window
+    "mx10_shard_manifest",// global layout offsets from bucket histogram
+    "ml11_logreg",        // fixed-point gradient descent (summation order)
+    "q74_pagerank",       // unrolled iterative joins
+    // sketch estimates may legitimately vary with partitioning (KLL
+    // compactor merge order); the GATE output (error-bound booleans +
+    // exact counts) must not — that absorption is the design claim
+    "q38c_hll_error_gate",
+    "tx17_quality_percentile") // histogram-CDF percentile (exact, no sketch)
+
+  private def run(name: String, parts: String): Seq[String] = {
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try Catalog.queries(name)(spark, Sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
+  subjects.foreach { name =>
+    test(s"$name is invariant under shuffle partitions 1 / 3 / 17") {
+      val base = run(name, "4")
+      assert(base.nonEmpty)
+      Seq("1", "3", "17").foreach { p =>
+        val got = run(name, p)
+        assert(got === base,
+          s"$name changed results under $p shuffle partitions " +
+            s"(first diff: ${got.zip(base).find(t => t._1 != t._2)})")
+      }
+    }
+  }
+}
