@@ -51,4 +51,21 @@ class ScaleInvarianceSpec extends SparkSpec {
       }
     }
   }
+
+  // AQE rewrites physical plans at runtime (partition coalescing,
+  // SMJ→BHJ conversion, skew-join splitting) — another knob a cluster
+  // operator flips that must never change results.
+  subjects.foreach { name =>
+    test(s"$name is invariant under AQE on/off") {
+      def runAqe(enabled: String): Seq[String] = {
+        spark.conf.set("spark.sql.adaptive.enabled", enabled)
+        try Catalog.queries(name)(spark, Sf0001)
+          .collect().map(_.toString).sorted.toSeq
+        finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+      val on = runAqe("true")
+      assert(on.nonEmpty)
+      assert(runAqe("false") === on, s"$name changed results with AQE disabled")
+    }
+  }
 }
