@@ -69,6 +69,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same timezone contract as Verify: the events loader interprets
+      // NTZ wall-clocks in the session zone, so a non-UTC host would
+      // shift session/window boundaries and drift row counts between
+      // rounds run on different machines
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
