@@ -30,20 +30,36 @@ object SchemaProbe {
 
   /** Loads each table and forces one row through the full pipeline
     * (schema resolution + an actual read), printing the post-loader
-    * schema. Throws on the first table that fails, naming it.
+    * schema — and, when `recordDir` is given, persisting the lines to
+    * `<recordDir>/_schemas.txt` so the probe survives in the round
+    * artifacts even if stdout is truncated. Throws after probing all
+    * tables if any failed, naming them.
     */
-  def assertAll(spark: SparkSession, sfDir: String): Unit = {
+  def assertAll(spark: SparkSession, sfDir: String,
+      recordDir: Option[String] = None): Unit = {
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     val failures = loaders.flatMap { case (name, loadFn) =>
       Try {
         val df = loadFn(spark, sfDir)
         df.limit(1).collect() // force a real read, not just analysis
-        println(s"[schema] $name: ${df.schema.map(f =>
-          s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+        val line = s"[schema] $name: ${df.schema.map(f =>
+          s"${f.name}:${f.dataType.simpleString}").mkString(", ")}"
+        lines += line
+        println(line)
       } match {
         case Success(_) => None
         case Failure(e) =>
-          System.err.println(s"[schema] $name FAILED to load from $sfDir: ${e.getMessage}")
+          val line = s"[schema] $name FAILED to load from $sfDir: ${e.getMessage}"
+          lines += line
+          System.err.println(line)
           Some(name)
+      }
+    }
+    recordDir.foreach { d =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$d/_schemas.txt"), lines.mkString("", "\n", "\n"))
+      catch { case e: Throwable =>
+        System.err.println(s"[schema] could not persist _schemas.txt: ${e.getMessage}")
       }
     }
     if (failures.nonEmpty) throw new IllegalStateException(

@@ -27,7 +27,7 @@ object Verify {
     // invisibly). A probe failure is recorded loudly but does NOT abort
     // the query loop: one drifted table must cost its own queries, not
     // zero the whole round's correctness report.
-    try SchemaProbe.assertAll(spark, sfDir)
+    try SchemaProbe.assertAll(spark, sfDir, recordDir = Some(outDir))
     catch { case e: Throwable =>
       System.err.println(s"[verify] SCHEMA PROBE FAILED: ${e.getMessage}")
       val fdir = Paths.get(s"$outDir/_failed"); Files.createDirectories(fdir)
