@@ -113,6 +113,22 @@ object Bench {
         System.err.println(s"[bench-warmup] prescan failed: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
       }
     }
+    // Sacrificial untimed run of the alphabetically-first timed query:
+    // the xor-prescan warms scans/codegen generically, but across r7-r9
+    // dd01 still reported 2.8/18.0/7.4 s against a ProfileQ isolated
+    // steady-state of ~2 s — whatever JIT/compilation residue survives
+    // the prescan lands entirely on whichever query is timed first.
+    // Running that exact query once untimed (result discarded, cache
+    // dropped after) moves the residue out of the measurement without
+    // touching any query code.
+    SparkEntry.queries.toSeq.sortBy(_._1).headOption.foreach { case (n, fn) =>
+      try { fn(spark, sfDir).count(); () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench-warmup] sacrificial $n failed: ${e.getClass.getSimpleName}")
+      }
+      try { spark.catalog.clearCache(); System.gc() }
+      catch { case _: Throwable => () }
+    }
     // Per-query outcome: a swallowed failure must never masquerade as a
     // timing (r4 lesson: an aborted job was absorbed as `-1L` and dd01
     // reported 61 s with rc 0 — the round's numbers were unusable). Any
@@ -156,9 +172,10 @@ object Bench {
     // "warmup" tags the timing regime so round-over-round totals aren't
     // compared across different warmup regimes (ADVICE r2). v4 =
     // xor-prescan: the v3 sum() prescan ANSI-overflowed and silently
-    // warmed nothing in r3-r5.
+    // warmed nothing in r3-r5. v5 adds the sacrificial first-query run
+    // (r10): dd01's timing was absorbing post-prescan JIT residue.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"v4-xor-prescan","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"v5-sacrificial","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // A bench with any failed query is not a measurement — make the
     // process exit status itself red so no downstream consumer can

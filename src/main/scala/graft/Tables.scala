@@ -29,18 +29,45 @@ object Tables {
     * rather than poisoning every downstream event query.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, convert_timezone, expr, lit, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
     val df = load(spark, dir, "events")
+    // Scoped conf: restore the caller's value so a later read of some
+    // OTHER nanos-timestamp parquet in the same session fails loudly
+    // (or converts) instead of silently arriving as LongType.
+    def restore(): Unit = prior match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None    => spark.conf.unset(nanosKey)
+    }
     df.schema("ts").dataType match {
       case LongType => // nanos-as-long arrival: integer divide to micros
+        // The conf must STAY set on this branch: the parquet footer is
+        // re-converted at action time under the then-active session
+        // conf, so restoring here would make the returned DataFrame
+        // itself fail at its first action.
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast(TimestampType))
-      case TimestampType => df
-      case other => throw new IllegalStateException(
-        s"events.ts: unexpected parquet arrival type $other in $dir")
+        restore()
+        // NTZ wall-clocks are UTC by testdata contract, but a bare
+        // cast to TimestampType interprets them in the *session* zone
+        // — on any non-UTC caller (default spark-shell) every instant
+        // silently shifts by the host offset, and the two physical
+        // arrivals (nanos = true instants vs NTZ) disagree. Shift the
+        // wall-clock UTC→sessionTz first; the cast's session-zone
+        // interpretation then cancels the shift, making the resulting
+        // instants zone-independent. (The zone is captured at load
+        // time — don't flip session.timeZone between load and action.)
+        val sessionTz = spark.conf.get("spark.sql.session.timeZone")
+        df.withColumn("ts",
+          convert_timezone(lit("UTC"), lit(sessionTz), col("ts")).cast(TimestampType))
+      case TimestampType => restore(); df
+      case other =>
+        restore()
+        throw new IllegalStateException(
+          s"events.ts: unexpected parquet arrival type $other in $dir")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

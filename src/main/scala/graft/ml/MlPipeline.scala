@@ -415,6 +415,28 @@ object MlPipeline {
     arr.select(col(idCol) +: (0 until k).map(i => col("a")(i).as(s"emb_$i")): _*)
   }
 
+  /** Gate quantities for ml05c: fit the SAME MLlib PCA ml05 uses and
+    * return (explained-variance fractions, max orthonormality residual
+    * of the loading matrix |VᵀV − I|). The projections themselves are
+    * sign/rotation-ambiguous (why ml05 is no-oracle by contract), but
+    * these invariants of a CORRECT fit are not — ml05c pins them as
+    * oracle-checkable booleans, q38c-style.
+    */
+  def pcaGate(emb: DataFrame, vecCol: String, k: Int): (Array[Double], Double) = {
+    val withVec = emb.select(
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("vec"))
+    val model = new PCA().setInputCol("vec").setOutputCol("pca").setK(k).fit(withVec)
+    val pc = model.pc
+    var res = 0.0
+    for (a <- 0 until k; b <- 0 until k) {
+      var dot = 0.0
+      var i = 0
+      while (i < pc.numRows) { dot += pc(i, a) * pc(i, b); i += 1 }
+      res = math.max(res, math.abs(dot - (if (a == b) 1.0 else 0.0)))
+    }
+    (model.explainedVariance.toArray, res)
+  }
+
   /** Token-hash embedding of a text column (HashingTF; murmur3 is
     * fixed-seed so this is deterministic) — the torch-free stand-in
     * for sentence embeddings (embeddings_generation.py:24-25).

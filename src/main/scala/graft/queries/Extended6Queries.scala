@@ -160,8 +160,13 @@ object Extended6Queries {
     * cross-engine, but their ERROR BOUND can be hash-verified: compute
     * exact and approximate side by side in one pass, emit the exact
     * values plus a boolean per estimator asserting the estimate landed
-    * within its contract (5% for HLL at rsd=0.01 — 5σ; 2% relative for
-    * percentile_approx at accuracy 10000). Both engines agree on the
+    * within its bound (5% for HLL at rsd=0.01 — 5σ; 2% relative VALUE
+    * error for percentile_approx at accuracy 10000 — note the
+    * estimator's actual contract is RANK error ≤ 1/accuracy = 1e-4,
+    * not value error; the 2% value bound is an empirical envelope for
+    * this data's distribution, generous because l_extendedprice has no
+    * extreme tail mass near p50/p90 where a rank-bounded estimate
+    * could stray far in value space). Both engines agree on the
     * exact values; the oracle pins the booleans at TRUE, so a drifting
     * sketch implementation hash-mismatches. Sketches are deterministic
     * for fixed data (pure functions of the hashes), so this is a stable

@@ -95,6 +95,44 @@ object MlQueries {
         round(col("emb_1"), 4).as("emb_1"))
       .orderBy(col("vec_id"))
 
+  /** Variance-explained bound gate for ml05 (VERDICT r9 #6) — the
+    * q38c technique applied to MLlib PCA: the projection VALUES are
+    * sign/rotation-ambiguous (no SQL engine reproduces an eigensolver,
+    * hence ml05's contractual no-oracle), but the invariants of a
+    * correct fit are exact-comparable. One row: exact counts both
+    * engines compute (n_vectors, dims) plus booleans the oracle pins
+    * TRUE — fractions sorted descending, each in (0,1), top-4 sum
+    * inside an empirical envelope (the synthetic spectrum is near-flat:
+    * top-4 ≈ 0.107, random-subspace floor 4/64 ≈ 0.0625, so [0.08,
+    * 0.5] catches a broken solver without riding the data), and the
+    * loading matrix orthonormal to 1e-8 (LAPACK residual is ~1e-15).
+    * The PCA fit is the distributed path; only the 64×4 loading
+    * matrix and 4 fractions reach the driver.
+    */
+  private def ml05cPcaVarianceGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val (ev, orthRes) = MlPipeline.pcaGate(emb, "embedding", k = 4)
+    val stats = emb.agg(count(lit(1)).as("n"),
+      min(size(col("embedding"))).as("mind"),
+      max(size(col("embedding"))).as("maxd")).first()
+    val desc = ev.indices.drop(1).forall(i => ev(i) <= ev(i - 1) + 1e-9)
+    val valid = ev.forall(f => f > 0.0 && f < 1.0)
+    val sumOk = ev.sum >= 0.08 && ev.sum <= 0.5
+    Seq((stats.getLong(0), stats.getInt(2), stats.getInt(1) == stats.getInt(2),
+        desc, valid, sumOk, orthRes < 1e-8))
+      .toDF("n_vectors", "dims", "dims_uniform_ok", "ev_desc_ok",
+        "ev_frac_valid_ok", "ev_frac_sum_ok", "orthonormal_ok")
+  }
+
+  private val ml05cSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+      |  CAST(max(len(embedding)) AS INTEGER) AS dims,
+      |  TRUE AS dims_uniform_ok, TRUE AS ev_desc_ok,
+      |  TRUE AS ev_frac_valid_ok, TRUE AS ev_frac_sum_ok,
+      |  TRUE AS orthonormal_ok
+      |FROM embeddings""".stripMargin
+
   /** HashingTF token embedding (M1 stand-in): id + vector l1 norm +
     * non-zero count as a deterministic summary.
     */
@@ -668,6 +706,7 @@ object MlQueries {
     Q("ml04_importances", ml04Importances, None),
     Q("ml05_pca", ml05Pca, None),
     Q("ml05b_power_pca", ml05bPowerPca, Some(ml05bSql)),
+    Q("ml05c_pca_variance_gate", ml05cPcaVarianceGate, Some(ml05cSql)),
     Q("ml06_hash_embed", ml06HashEmbed, None, Some(() => ml06Sql())),
     Q("ml08_power_pc1", ml08PowerPc1, Some(ml08Sql)),
     Q("ml10_stump_splits", ml10StumpSplits, Some(ml10Sql)),

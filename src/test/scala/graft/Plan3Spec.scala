@@ -61,20 +61,22 @@ class Plan3Spec extends SparkSpec {
     // a PARTIAL aggregate on the same side of the exchange — the 3× row
     // expansion must never travel the network un-combined
     val plan = formatted(Catalog.queries("q38c_hll_error_gate")(spark, Sf0001))
-    assert(plan.contains("Expand"), "two exact countDistincts imply an Expand")
-    val expandIdx = plan.indexOf("(2) Expand")
-    val firstExchangeIdx = plan.indexOf("Exchange")
-    assert(expandIdx >= 0 && firstExchangeIdx >= 0)
-    // in formatted output the operator tree is printed top-down, so the
-    // scan-side Expand appears BELOW (later than) the exchanges in the
-    // header tree; assert instead on the numbered node list: Expand is
-    // node (2), directly over the scan (1), with an aggregate between
-    // it and the first Exchange
-    val between = plan.substring(plan.indexOf("(2) Expand"))
-    val aggIdx = between.indexOf("Aggregate")
-    val exIdx = between.indexOf("(4) Exchange")
+    // locate nodes by NAME in the numbered detail list, never by
+    // literal node numbers — a planner change that renumbers nodes
+    // must not fail this test spuriously (ADVICE r9). The detail
+    // sections print in node-number order, which is bottom-up from the
+    // scan, so document order here IS execution order.
+    val titles = plan.linesIterator.collect {
+      case l if l.matches("""\(\d+\) \S.*""") =>
+        l.replaceFirst("""\(\d+\) """, "").trim
+    }.toSeq
+    val ei = titles.indexWhere(_.startsWith("Expand"))
+    assert(ei >= 0, s"two exact countDistincts imply an Expand; nodes: $titles")
+    val above = titles.drop(ei + 1)
+    val aggIdx = above.indexWhere(_.contains("Aggregate"))
+    val exIdx = above.indexWhere(_.startsWith("Exchange"))
     assert(aggIdx >= 0 && exIdx >= 0 && aggIdx < exIdx,
-      "a partial aggregate must sit between Expand and the first Exchange")
+      s"a partial aggregate must sit between Expand and the first Exchange; nodes above Expand: $above")
   }
 
   test("dd01 exact dedup: one fingerprint shuffle feeds both the groups and the join-back") {

@@ -30,7 +30,13 @@ class ScaleInvarianceSpec extends SparkSpec {
     // compactor merge order); the GATE output (error-bound booleans +
     // exact counts) must not — that absorption is the design claim
     "q38c_hll_error_gate",
-    "tx17_quality_percentile") // histogram-CDF percentile (exact, no sketch)
+    "tx17_quality_percentile", // histogram-CDF percentile (exact, no sketch)
+    // connected components via min-id propagation (r10): the iteration
+    // itself is order-sensitive — each round's min must be a pure
+    // function of the edge set, never of which partition delivered a
+    // candidate first, or cluster ids diverge across cluster layouts
+    "dd08_dup_clusters",
+    "dd11_passage_clusters")
 
   private def run(name: String, parts: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)

@@ -32,7 +32,15 @@ def main(sf_dir, out_dir):
     # mode — 28 queries silently absent). Verify dumps declared.json;
     # every declared-but-unwritten query is a hard failure here.
     declared_path = f"{out_dir}/declared.json"
-    if os.path.exists(declared_path):
+    if not os.path.exists(declared_path):
+        # A verify output with oracles but no declared.json means Verify
+        # died before its post-loop write (or predates the guard) — the
+        # exact blind spot this diff exists to close. Count it as a
+        # failure, never skip silently.
+        print(f"✗ declared.json MISSING in {out_dir}: cannot prove every "
+              f"declared query was written (stale or aborted Verify run)")
+        n_fail += 1
+    else:
         declared = set(json.load(open(declared_path)))
         written = {n for n in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, n)) and not n.startswith("_")}
