@@ -35,6 +35,15 @@ object Verify {
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val selected = SparkEntry.queries.filter(kv => keep(kv._1))
+    // Declared list FIRST, before any query runs: if this JVM dies
+    // mid-loop, selfcheck still sees the full declared set and flags
+    // every unwritten query — written post-loop it would vanish with
+    // the crash (selfcheck now also fails loudly on its absence, but
+    // an exact diff beats a generic "missing declared.json").
+    // oracle_sql.json must stay post-loop: ml06's oracle is generated
+    // from the executed run's vocabulary.
+    Files.writeString(Paths.get(s"$outDir/declared.json"),
+      selected.keys.toSeq.sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -69,12 +78,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // The declared query list, so downstream checkers can diff it
-    // against what was actually written — a query that threw leaves no
-    // parquet and would otherwise be invisible (r8: 28 queries vanished
-    // from the correctness report with no red anywhere).
-    Files.writeString(Paths.get(s"$outDir/declared.json"),
-      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

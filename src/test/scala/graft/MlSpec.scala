@@ -235,4 +235,18 @@ class MlSpec extends SparkSpec {
       .select(sum(aggregate($"embedding", lit(0.0d), (a, x) => a + x))).first().getDouble(0)
     assert(tot === tot2)
   }
+
+  test("pcaGate invariants hold at sf0.001 (the ml05c gate's raw quantities)") {
+    // The ml05c catalog query turns these into oracle-pinned booleans
+    // at the driver's sf0.01; pin the underlying quantities here at a
+    // DIFFERENT scale so the envelope provably isn't tuned to one SF.
+    val (ev, orthRes) = MlPipeline.pcaGate(Tables.embeddings(spark, Sf0001), "embedding", k = 4)
+    assert(ev.length === 4)
+    ev.indices.drop(1).foreach(i =>
+      assert(ev(i) <= ev(i - 1) + 1e-9, s"fractions not descending: ${ev.toSeq}"))
+    ev.foreach(f => assert(f > 0.0 && f < 1.0, s"fraction out of (0,1): $f"))
+    assert(ev.sum >= 0.08 && ev.sum <= 0.5,
+      s"top-4 explained-variance sum ${ev.sum} outside the [0.08, 0.5] envelope")
+    assert(orthRes < 1e-8, s"loading matrix orthonormality residual $orthRes")
+  }
 }
