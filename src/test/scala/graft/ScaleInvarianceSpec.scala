@@ -36,7 +36,11 @@ class ScaleInvarianceSpec extends SparkSpec {
     // function of the edge set, never of which partition delivered a
     // candidate first, or cluster ids diverge across cluster layouts
     "dd08_dup_clusters",
-    "dd11_passage_clusters")
+    "dd11_passage_clusters",
+    // MLlib PCA Gram accumulation order varies with partitioning; the
+    // ml05c GATE output (exact counts + wide-margin booleans) must
+    // absorb that float drift — same design claim as q38c
+    "ml05c_pca_variance_gate")
 
   private def run(name: String, parts: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)
