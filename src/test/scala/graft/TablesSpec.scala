@@ -116,6 +116,27 @@ class TablesSpec extends SparkSpec {
       "non-nanos load must not leave nanosAsLong enabled session-wide")
   }
 
+  test("events loader: a nanos DataFrame survives a later non-nanos load's conf restore") {
+    // The restore is scoped to the caller's PRIOR value, not blindly to
+    // "unset": after a nanos load (which must leave nanosAsLong set for
+    // its own action-time footer conversion), a later non-nanos load
+    // restores Some("true") — so acting on the earlier nanos DataFrame
+    // afterwards still works. A blind unset would break this ordering.
+    val nanosDir = writeDir("interleave_nanos")
+    Seq((1L, micros * 1000L, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$nanosDir/events.parquet")
+    val usDir = writeDir("interleave_us")
+    Seq((1L, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(lit(micros)))
+      .write.parquet(s"$usDir/events.parquet")
+    val nanosDf = Tables.events(spark, nanosDir)
+    Tables.events(spark, usDir) // restores the conf it found: "true"
+    assert(nanosDf.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq
+      === Seq(micros))
+  }
+
   test("events loader: an unexpected ts arrival fails fast with the table named") {
     val dir = writeDir("bad")
     Seq((1L, "2024-01-15", 7L, "click", 1.0, "{}"))
