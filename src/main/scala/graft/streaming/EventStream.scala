@@ -208,8 +208,14 @@ object EventStream {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+        // per-write option, NOT a session conf: setting
+        // spark.sql.sources.partitionOverwriteMode session-wide here
+        // would silently turn every later batch overwrite in the same
+        // session into a partial (dynamic) overwrite — the same
+        // leaked-conf class as the events loader's nanosAsLong
+        batch.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCol).parquet(path)
       }
       .start()
 

@@ -203,6 +203,12 @@ class StreamingSpec extends SparkSpec {
       .select($"event_type", $"n").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(rows === Set(("click", 3L), ("view", 1L)))
+    // the dynamic overwrite must come from the per-write option, never
+    // a leaked session conf: a later batch-mode overwrite in the same
+    // session must still be the static default
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      .equalsIgnoreCase("static"),
+      "upsert sink leaked partitionOverwriteMode into the session")
   }
 
   test("streaming curation: fingerprint dedup is first-seen, quality gate filters") {
