@@ -29,7 +29,7 @@ object Tables {
     * rather than poisoning every downstream event query.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, convert_timezone, expr, lit, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = spark.conf.getOption(nanosKey)
@@ -55,14 +55,23 @@ object Tables {
         // cast to TimestampType interprets them in the *session* zone
         // — on any non-UTC caller (default spark-shell) every instant
         // silently shifts by the host offset, and the two physical
-        // arrivals (nanos = true instants vs NTZ) disagree. Shift the
-        // wall-clock UTC→sessionTz first; the cast's session-zone
-        // interpretation then cancels the shift, making the resulting
-        // instants zone-independent. (The zone is captured at load
-        // time — don't flip session.timeZone between load and action.)
-        val sessionTz = spark.conf.get("spark.sql.session.timeZone")
-        df.withColumn("ts",
-          convert_timezone(lit("UTC"), lit(sessionTz), col("ts")).cast(TimestampType))
+        // arrivals (nanos = true instants vs NTZ) disagree. Nor is a
+        // session-zone round-trip (convert_timezone UTC→sessionTz,
+        // then cast) safe: in any DST zone the fall-back overlap hour
+        // makes the wall-clock→instant cast ambiguous, and Spark
+        // resolves it to the earlier offset — one hour of instants per
+        // year silently shifts (pinned by the randomized TablesSpec
+        // round-trip, which caught exactly this). Instead reassemble
+        // epoch micros arithmetically from the wall-clock fields:
+        // every function below is a tz-free field extraction, so the
+        // result is exact for any session zone, gaps and overlaps
+        // included.
+        df.withColumn("ts", expr(
+          """timestamp_micros(
+            |  cast(unix_date(cast(ts AS date)) AS bigint) * 86400000000 +
+            |  cast(extract(HOUR FROM ts) AS bigint) * 3600000000 +
+            |  cast(extract(MINUTE FROM ts) AS bigint) * 60000000 +
+            |  cast(extract(SECOND FROM ts) * 1000000 AS bigint))""".stripMargin))
       case TimestampType => restore(); df
       case other =>
         restore()

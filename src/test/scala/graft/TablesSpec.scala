@@ -137,6 +137,43 @@ class TablesSpec extends SparkSpec {
       === Seq(micros))
   }
 
+  test("events loader: randomized instants round-trip through both writable arrivals, UTC and non-UTC") {
+    // Boundary-heavy instant set (fixed seed): random 1990-2030 draws
+    // plus hand-picked adversaries — pre-1970 (negative micros), the
+    // epoch, America/New_York DST spring-forward and fall-back edges
+    // (both sides), and a leap-day noon. A session-zone-dependent NTZ
+    // conversion fails here precisely on the DST rows: the UTC and
+    // New-York sessions would disagree by the offset change.
+    val rnd = new scala.util.Random(42)
+    val adversaries = Seq(
+      -631152000000000L,      // 1950-01-01T00:00:00Z
+      0L,                     // epoch
+      1710054000000000L - 1L, // 2024-03-10T06:59:59.999999Z (just before EST→EDT)
+      1710054000000000L,      // the spring-forward instant
+      1730613600000000L - 1L, // just before 2024-11-03 EDT→EST fall-back
+      1730613600000000L,      // the fall-back instant
+      1709208000000000L)      // 2024-02-29T12:00:00Z leap-day noon
+    val micros = (adversaries ++ Seq.fill(20)(
+      631152000000000L + (rnd.nextDouble() * 1.26e15).toLong)).distinct.sorted
+    def write(dir: String, ntz: Boolean): Unit = {
+      val base = micros.zipWithIndex
+        .map { case (m, i) => (i.toLong, 7L, "click", 1.0, "{}", m) }
+        .toDF("event_id", "user_id", "event_type", "value", "props", "m")
+        .withColumn("ts", if (ntz) timestamp_micros(col("m")).cast(TimestampNTZType)
+                          else timestamp_micros(col("m")))
+      base.drop("m").write.parquet(s"$dir/events.parquet")
+    }
+    val ntzDir = writeDir("prop_ntz"); write(ntzDir, ntz = true)
+    val tzDir = writeDir("prop_tz"); write(tzDir, ntz = false)
+    Seq("UTC", "America/New_York").foreach { zone =>
+      spark.conf.set("spark.sql.session.timeZone", zone)
+      try Seq(ntzDir, tzDir).foreach { dir =>
+        assert(loadedMicros(dir) === micros,
+          s"instants drifted for $dir under session zone $zone")
+      } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
+  }
+
   test("events loader: an unexpected ts arrival fails fast with the table named") {
     val dir = writeDir("bad")
     Seq((1L, "2024-01-15", 7L, "click", 1.0, "{}"))
