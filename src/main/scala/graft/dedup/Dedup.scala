@@ -107,9 +107,16 @@ object Dedup {
     val withFp = docs.select(col(idCol), TextStats.fingerprint(col(textCol)).as("fp"))
     val groups = withFp.groupBy(col("fp"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
-    withFp.join(groups, "fp")
-      .select(col(idCol), col("canonical_id"), col("group_size"),
-        (col(idCol) =!= col("canonical_id")).cast("int").as("is_dup"))
+    // null-safe key: NULL-text docs fingerprint to NULL, and groupBy
+    // puts them in one group — but a plain equi-join back would drop
+    // them (NULL ≠ NULL in join keys), silently losing every no-text
+    // doc from the output. <=> keeps the "every doc" contract and
+    // matches the oracle's window-over-fp formulation, which keeps
+    // NULL partitions. Still one shuffle: EqualNullSafe is a valid
+    // hash-join key (planned as coalesce-wrapped equi-join).
+    withFp.join(groups, withFp("fp") <=> groups("fp"))
+      .select(withFp(idCol), col("canonical_id"), col("group_size"),
+        (withFp(idCol) =!= col("canonical_id")).cast("int").as("is_dup"))
   }
 
   /** Incremental exact dedup: drop incoming docs whose normalized-text

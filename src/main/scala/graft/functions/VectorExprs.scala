@@ -94,7 +94,15 @@ object VectorExprs {
 
   /** cos(a, b) with externally precomputed norms (stage them once per
     * side before a pair join — don't recompute per pair).
+    *
+    * NULL when either vector has zero magnitude: cosine is undefined
+    * there, and under ANSI (Spark 4 default) a bare division would
+    * THROW DIVIDE_BY_ZERO — one all-zero embedding (e.g. the hash
+    * embedding of a token-less doc) in a 100 TB corpus would abort the
+    * whole job. NULL instead never passes a `>= threshold` near-dup
+    * filter and sorts LAST under a `desc` top-k ranking (Spark default
+    * null ordering), so zero vectors are inert, not fatal.
     */
   def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dot(a, b) / (normA * normB)
+    dot(a, b) / org.apache.spark.sql.functions.nullif(normA * normB, org.apache.spark.sql.functions.lit(0.0))
 }

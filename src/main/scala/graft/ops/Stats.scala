@@ -28,9 +28,12 @@ object Stats {
     val stats = df.groupBy(col(groupCol))
       .agg(avg(col(valueCol)).as("grp_mu"),
         stddev_samp(col(valueCol)).as("grp_sd"))
+    // nullif: a CONSTANT group has stddev exactly 0 and x − mu exactly
+    // 0, and under ANSI that 0/0 would abort the job — nullif delivers
+    // the NULL z the contract above promises
     df.join(broadcast(stats), Seq(groupCol))
       .withColumn("z",
-        round((col(valueCol) - col("grp_mu")) / col("grp_sd"), 4))
+        round((col(valueCol) - col("grp_mu")) / nullif(col("grp_sd"), lit(0.0)), 4))
       .filter(abs(col("z")) >= zMin)
       .drop("grp_mu", "grp_sd")
   }

@@ -527,12 +527,16 @@ object DedupQueries {
        | ), labels AS (
        |  SELECT v AS doc_id, min(label) AS cluster_id FROM walk GROUP BY v
        | ), q AS (
+       |  -- CASE mirrors TextStats.qualityScore's token-less guard:
+       |  -- a doc with no tokens scores a defined 0.0 on both engines
        |  SELECT doc_id,
-       |    round(0.4 * least(len(toks) / 50.0, 1.0)
-       |        + 0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
-       |        + 0.2 * least(5.0 * (len(list_filter(toks, x -> list_contains(
-       |            ['the','a','an','and','or','of','to','in','is','it'], x)))
-       |          / CAST(len(toks) AS DOUBLE)), 1.0), 6) AS quality
+       |    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+       |      round(0.4 * least(len(toks) / 50.0, 1.0)
+       |          + 0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+       |          + 0.2 * least(5.0 * (len(list_filter(toks, x -> list_contains(
+       |              ['the','a','an','and','or','of','to','in','is','it'], x)))
+       |            / CAST(len(toks) AS DOUBLE)), 1.0), 6)
+       |    END AS quality
        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), z -> z != '') AS toks
        |        FROM documents)
        | ), best AS (

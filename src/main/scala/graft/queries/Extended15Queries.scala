@@ -104,8 +104,10 @@ object Extended15Queries {
     val pairs = broadcast(test.as("q")).crossJoin(corpus.as("c"))
       .select(col("q.vec_id").as("query_id"), col("q.label").as("actual"),
         col("c.vec_id").as("neighbor_id"), col("c.label").as("vote"),
+        // nullif: a zero-magnitude embedding yields NULL cosine (ranks
+        // last) instead of an ANSI DIVIDE_BY_ZERO job abort
         round(dot(col("q.embedding"), col("c.embedding")) /
-          (norm(col("q.embedding")) * norm(col("c.embedding"))), 6).as("cos"))
+          nullif(norm(col("q.embedding")) * norm(col("c.embedding")), lit(0.0)), 6).as("cos"))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     val top5 = pairs.withColumn("rk", row_number().over(wr))

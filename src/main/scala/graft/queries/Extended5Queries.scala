@@ -395,12 +395,16 @@ object Extended5Queries {
       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
       |  FROM documents),
       |q AS (
+      |  -- CASE mirrors TextStats.qualityScore's token-less guard:
+      |  -- a doc with no tokens scores a defined 0.0 on both engines
       |  SELECT doc_id,
-      |    round(0.4 * least(len(toks) / 50.0, 1.0)
-      |        + 0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
-      |        + 0.2 * least(5.0 * (len(list_filter(toks, x -> list_contains(
-      |            ['the','a','an','and','or','of','to','in','is','it'], x)))
-      |          / CAST(len(toks) AS DOUBLE)), 1.0), 4) AS quality
+      |    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+      |      round(0.4 * least(len(toks) / 50.0, 1.0)
+      |          + 0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+      |          + 0.2 * least(5.0 * (len(list_filter(toks, x -> list_contains(
+      |              ['the','a','an','and','or','of','to','in','is','it'], x)))
+      |            / CAST(len(toks) AS DOUBLE)), 1.0), 4)
+      |    END AS quality
       |  FROM t),
       |hist AS (SELECT quality, count(*) AS nq FROM q GROUP BY 1),
       |cum AS (

@@ -44,7 +44,10 @@ object TextQueries {
       .orderBy(col("doc_id"))
 
   // DuckDB mirror of TextStats.qualityScore: 0.4*min(n/50,1) +
-  // 0.4*ttr + 0.2*min(5*stop_ratio,1).
+  // 0.4*ttr + 0.2*min(5*stop_ratio,1). Degenerate-doc contract: the
+  // ratios are NULL for token-less text (DuckDB's 0/0 is NULL, and the
+  // Spark side divides by nullif(n, 0)); quality alone is a defined
+  // 0.0 there, mirroring TextStats.qualityScore's curation-gate guard.
   private val tx02Sql =
     """WITH t AS (
       |  SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
@@ -61,9 +64,11 @@ object TextQueries {
       |  round(nd / CAST(n AS DOUBLE), 4) AS ttr,
       |  round(nstop / CAST(n AS DOUBLE), 4) AS stop_ratio,
       |  round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
-      |  round(0.4 * least(n / 50.0, 1.0)
-      |      + 0.4 * (nd / CAST(n AS DOUBLE))
-      |      + 0.2 * least(5.0 * (nstop / CAST(n AS DOUBLE)), 1.0), 4) AS quality
+      |  CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+      |    round(0.4 * least(n / 50.0, 1.0)
+      |        + 0.4 * (nd / CAST(n AS DOUBLE))
+      |        + 0.2 * least(5.0 * (nstop / CAST(n AS DOUBLE)), 1.0), 4)
+      |  END AS quality
       |FROM m
       |ORDER BY doc_id""".stripMargin
 

@@ -28,6 +28,12 @@ object Ann {
   // bit-identical to the double fold.
   private def norm(v: Column): Column = graft.functions.VectorExprs.l2Norm(v)
   private def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
+  // NULL (not DIVIDE_BY_ZERO — ANSI throws) for a zero-magnitude
+  // vector; NULL sorts last under the desc rank windows below, so a
+  // zero vector simply never reaches a top-k. See
+  // VectorExprs.cosineWithNorms for the full rationale.
+  private def cosine(qv: Column, cv: Column, qn: Column, cn: Column): Column =
+    graft.functions.VectorExprs.cosineWithNorms(qv, cv, qn, cn)
 
   /** Exact cosine top-k: for each query row, the k nearest corpus rows
     * (excluding itself when ids collide). Output: query_id, rank,
@@ -41,7 +47,7 @@ object Ann {
       .withColumn("qn", norm(col("qv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -115,7 +121,7 @@ object Ann {
     val scored = cells.join(broadcast(qProbed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -237,7 +243,7 @@ object Ann {
     val scored = c.join(broadcast(q),
         col("query_id") =!= col("neighbor_id") && col("q_label") =!= col("neg_label"))
       .select(col("query_id"), col("neighbor_id"), col("neg_label"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -268,7 +274,7 @@ object Ann {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -337,7 +343,7 @@ object Ann {
     candidates
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("rv")) / (col("qn") * col("rn"))).as("score"))
+        cosine(col("qv"), col("rv"), col("qn"), col("rn")).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
@@ -444,7 +450,7 @@ object Ann {
       .withColumn("qn", norm(col("qv")))
     val scored = cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -30,25 +30,35 @@ object TextStats {
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
-  /** Lexical diversity: distinct tokens / total tokens, in [0,1]. */
+  /** Lexical diversity: distinct tokens / total tokens, in [0,1].
+    * NULL (not an error) for token-less text: under ANSI (Spark 4
+    * default) a bare 0/0 THROWS DIVIDE_BY_ZERO — one empty document
+    * in a 100 TB corpus would abort the whole job — and NULL is also
+    * what the DuckDB oracle's 0/0 yields, so both engines agree on
+    * degenerate docs. Same guard on every ratio below.
+    */
   def typeTokenRatio(text: Column): Column =
-    distinctTokenCount(text).cast("double") / tokenCount(text).cast("double")
+    distinctTokenCount(text).cast("double") /
+      nullif(tokenCount(text).cast("double"), lit(0.0))
 
   /** Total characters across tokens (i.e., length excluding whitespace). */
   def tokenCharCount(text: Column): Column =
     aggregate(tokens(text), lit(0), (acc, t) => acc + length(t))
 
   def meanTokenLength(text: Column): Column =
-    tokenCharCount(text).cast("double") / tokenCount(text).cast("double")
+    tokenCharCount(text).cast("double") /
+      nullif(tokenCount(text).cast("double"), lit(0.0))
 
   /** Occurrences (not distinct) of any of `words` among the tokens. */
   def wordHitCount(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isInCollection(words)))
 
-  /** Ratio of punctuation characters to total characters. */
+  /** Ratio of punctuation characters to total characters. NULL for the
+    * empty string (0/0 — see [[typeTokenRatio]]'s ANSI note).
+    */
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") /
-      length(text).cast("double")
+      nullif(length(text).cast("double"), lit(0.0))
 
   /** English-ish stopwords for quality scoring; the score only needs a
     * fixed public list, not linguistic accuracy.
@@ -57,18 +67,29 @@ object TextStats {
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
   def stopwordRatio(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
-    wordHitCount(text, stopwords).cast("double") / tokenCount(text).cast("double")
+    wordHitCount(text, stopwords).cast("double") /
+      nullif(tokenCount(text).cast("double"), lit(0.0))
 
   /** Composite quality score in [0,1]: rewards lexical diversity and a
     * moderate stopword ratio, penalizes very short documents. The exact
     * formula is engine-defined (the reference has no equivalent); what
     * matters is determinism + monotonicity in its inputs.
+    *
+    * Token-less text (empty or all-whitespace) scores a defined 0.0 —
+    * the worst quality — so a `quality >= t` curation gate always drops
+    * it. Without the guard the 0/0 ratios either abort the job (ANSI)
+    * or go NaN, and Spark orders NaN ABOVE every number, so empty docs
+    * would sail through every quality filter. NULL text stays NULL
+    * (the ratios propagate it), matching the NULL-propagation contract
+    * of [[tokens]].
     */
   def qualityScore(text: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
     val lenFactor = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
     val diversity = typeTokenRatio(text)
     val stop = stopwordRatio(text, stopwords)
-    lit(0.4) * lenFactor + lit(0.4) * diversity + lit(0.2) * least(stop * 5.0, lit(1.0))
+    when(tokenCount(text) === 0, lit(0.0)).otherwise(
+      lit(0.4) * lenFactor + lit(0.4) * diversity +
+        lit(0.2) * least(stop * 5.0, lit(1.0)))
   }
 
   /** Marker-word sets for the language-ID heuristic. Text with none of

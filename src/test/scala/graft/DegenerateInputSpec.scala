@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.text.{BpeTrainer, TextStats}
+
+/** The empty-shard battery: every operator family fed the degenerate
+  * inputs a 100 TB corpus is guaranteed to contain — empty tables,
+  * empty/whitespace-only/NULL text, docs shorter than a shingle,
+  * zero-magnitude embeddings, constant groups, k larger than the data.
+  *
+  * The point is the ANSI trap: Spark 4 defaults to ANSI mode, where a
+  * data-dependent 0/0 (quality ratios of a token-less doc, cosine of a
+  * zero vector, z-score inside a constant group) doesn't produce NaN —
+  * it THROWS and aborts the whole job. One malformed document in one
+  * shard must never kill a 1000-executor run, so each ratio divides by
+  * nullif(·, 0) and `qualityScore` pins token-less text to a defined
+  * 0.0 (worst quality — a `>= t` curation gate must DROP empty docs,
+  * which NaN would not: Spark orders NaN above every number). These
+  * tests are the regression pins for that contract.
+  */
+class DegenerateInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+  private def emptyDocs = docs()
+
+  // ---- text stats on degenerate text ----------------------------------
+
+  test("qualityScore: token-less text scores a defined 0.0, NULL stays NULL") {
+    val got = docs((1L, ""), (2L, "   \t  "), (3L, null.asInstanceOf[String]),
+        (4L, "the quick brown fox"))
+      .select(col("doc_id"), TextStats.qualityScore(col("text")).as("q"))
+      .orderBy(col("doc_id")).collect()
+    assert(got(0).getDouble(1) === 0.0)            // empty string
+    assert(got(1).getDouble(1) === 0.0)            // whitespace-only
+    assert(got(2).isNullAt(1))                     // NULL propagates
+    assert(got(3).getDouble(1) > 0.0)              // real text scores
+  }
+
+  test("quality gate drops empty docs; ratios are NULL not an ANSI abort") {
+    val d = docs((1L, ""), (2L, "  "), (3L, "a genuinely useful document " * 10))
+    val survivors = d.filter(TextStats.qualityScore(col("text")) >= 0.1)
+      .select("doc_id").as[Long].collect()
+    assert(survivors.toSeq === Seq(3L))
+    val r = d.filter(col("doc_id") === 1)
+      .select(
+        TextStats.typeTokenRatio(col("text")).as("ttr"),
+        TextStats.meanTokenLength(col("text")).as("mtl"),
+        TextStats.stopwordRatio(col("text")).as("sr"),
+        TextStats.punctRatio(col("text")).as("pr"))
+      .first()
+    (0 until 4).foreach(i => assert(r.isNullAt(i), s"ratio $i on empty text"))
+  }
+
+  // ---- dedup family on empty / too-short input ------------------------
+
+  test("exactGroups: empty input → empty output; nulls group together") {
+    assert(Dedup.exactGroups(emptyDocs, "doc_id", "text").isEmpty)
+    // NULL text fingerprints to NULL; groupBy treats NULLs as one group
+    // (SQL GROUP BY semantics), so no-text docs dedup against each other
+    val got = Dedup.exactGroups(
+        docs((5L, null.asInstanceOf[String]), (7L, null.asInstanceOf[String]), (9L, "x")),
+        "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    assert(got.map(_.getLong(1)).toSeq === Seq(5L, 5L, 9L))
+    assert(got.map(_.getInt(3)).toSeq === Seq(0, 1, 0))
+  }
+
+  test("shingle pipelines: empty tables and sub-shingle docs are inert") {
+    // hashedShingleRows guards sequence(1, size-n+1) with size >= n —
+    // otherwise Spark's sequence() DESCENDS on a negative span and
+    // slice()/element_at() on the resulting positions is an ANSI error
+    val shorties = docs((1L, "only two"), (2L, ""), (3L, "one"))
+    assert(Dedup.jaccardPairs(shorties, "doc_id", "text", n = 3).isEmpty)
+    assert(Dedup.minHashCandidatePairs(shorties, "doc_id", "text").isEmpty)
+    assert(Dedup.simHashPairs(emptyDocs, "doc_id", "text").isEmpty)
+    assert(Dedup.jaccardPairs(emptyDocs, "doc_id", "text").isEmpty)
+    // signatures exist only for docs with >= n tokens
+    val sigs = Dedup.minHashSignatures(
+      docs((1L, "a b c d"), (2L, "too short")), "doc_id", "text", n = 3, k = 4)
+    assert(sigs.select("doc").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("duplicateClusters: empty edge list converges to an empty labeling") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.duplicateClusters(noPairs, "doc_a", "doc_b").isEmpty)
+    assert(Dedup.connectedComponentsStars(noPairs, "doc_a", "doc_b").isEmpty)
+  }
+
+  test("dedupAgainstCorpus: empty corpus keeps all; empty incoming is empty") {
+    val inc = docs((1L, "alpha beta"), (2L, "gamma delta"))
+    assert(Dedup.dedupAgainstCorpus(inc, emptyDocs, "doc_id", "text")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(Dedup.dedupAgainstCorpus(emptyDocs, inc, "doc_id", "text").isEmpty)
+  }
+
+  // ---- similarity family on zero vectors / oversized k ----------------
+
+  private def vecs(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
+
+  test("bruteForceTopK: zero vector is inert — never a neighbor, never fatal") {
+    val corpus = vecs(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.8f, 0.2f)),
+      (3L, Array(0.0f, 0.0f)), (4L, Array(0.0f, 1.0f)))
+    // zero vector in the CORPUS: cosine NULL → ranks last, never top-k
+    val asCorpus = Ann.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 2).collect()
+    assert(asCorpus.map(_.getLong(2)).toSet === Set(2L, 4L))
+    // zero vector as the QUERY: every cosine NULL — no crash, and the
+    // top-k window still returns rows (all-NULL scores, deterministic
+    // neighbor order); callers see rows, not an aborted job
+    val asQuery = Ann.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 3),
+      "vec_id", "embedding", k = 2).collect()
+    assert(asQuery.length === 2 && asQuery.forall(_.isNullAt(3)))
+  }
+
+  test("bruteForceTopK: k larger than the corpus returns what exists") {
+    val corpus = vecs((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+    val got = Ann.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 50).collect()
+    assert(got.length === 1) // only the one other row exists; no padding
+    assert(Ann.bruteForceTopK(corpus, vecs(), "vec_id", "embedding", 3).isEmpty)
+  }
+
+  test("ivfTopKFixed: nProbe beyond the centroid count is clamped by slice") {
+    val corpus = vecs((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)))
+    val got = Ann.ivfTopKFixed(corpus, corpus.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 2,
+      centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), nProbe = 99)
+      .collect()
+    assert(got.map(_.getLong(2)).toSet === Set(2L, 3L))
+  }
+
+  test("cosinePairs/semanticDedup: zero vectors never pair, never abort") {
+    val emb = vecs((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)),
+      (3L, Array(0.0f, 0.0f)))
+    val pairs = Dedup.cosinePairs(emb, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L))) // the zero vector joins nothing
+    val kept = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), threshold = 0.9)
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L)) // 2 deduped against 1; zero vec kept
+  }
+
+  // ---- grouped stats and trainers -------------------------------------
+
+  test("zscoreOutliers: a constant group yields NULL z, not DIVIDE_BY_ZERO") {
+    val df = Seq(("a", 5.0), ("a", 5.0), ("a", 5.0),
+      ("b", 1.0), ("b", 2.0), ("b", 100.0)).toDF("g", "v")
+    val flagged = graft.ops.Stats.zscoreOutliers(df, "g", "v", zMin = 1.0)
+      .select("g").as[String].collect()
+    assert(flagged.forall(_ == "b")) // constant group never flags
+  }
+
+  test("BPE train: empty and single-char corpora learn zero merges") {
+    assert(BpeTrainer.train(emptyDocs, "text", numMerges = 3).isEmpty)
+    // single-char words have no adjacent pair to merge
+    assert(BpeTrainer.train(docs((1L, "a b c")), "text", numMerges = 3).isEmpty)
+    val applied = BpeTrainer.applyMerges(docs((1L, "ab")).select(col("text")),
+      "text", merges = Seq.empty)
+    assert(applied.select("pieces").as[Seq[String]].head === Seq("a", "b"))
+  }
+}
