@@ -102,7 +102,18 @@ object VectorExprs {
     * whole job. NULL instead never passes a `>= threshold` near-dup
     * filter and sorts LAST under a `desc` top-k ranking (Spark default
     * null ordering), so zero vectors are inert, not fatal.
+    *
+    * NaN is normalized to NULL for the same reason with the opposite
+    * failure mode: a NaN ELEMENT in one embedding (failed decode,
+    * upstream 0/0 — statistically certain at corpus scale) makes the
+    * dot product NaN, and Spark orders NaN ABOVE every number — so one
+    * poisoned vector would silently take rank 1 in EVERY query's
+    * top-k and pass every similarity threshold (NaN >= t is true).
+    * nanvl folds it into the same inert-NULL contract.
     */
-  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dot(a, b) / org.apache.spark.sql.functions.nullif(normA * normB, org.apache.spark.sql.functions.lit(0.0))
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, nanvl, nullif}
+    nanvl(dot(a, b) / nullif(normA * normB, lit(0.0)),
+      lit(null).cast("double"))
+  }
 }

@@ -173,7 +173,11 @@ object Multimodal {
         }.sum
         md.reset()
         val hash = md.digest(m.content).map("%02x".format(_)).mkString
-        MediaFeatures(m.media_id, m.kind, m.content.length, sum / n, entropy, hash)
+        // empty blob → defined zeros, not a NaN mean (0/0.0 in plain
+        // Scala is NaN, and NaN would outrank every number in a later
+        // mean_byte ordering/filter — same class as the cosine guard)
+        val mean = if (decoded.isEmpty) 0.0 else sum / n
+        MediaFeatures(m.media_id, m.kind, m.content.length, mean, entropy, hash)
       }
     }
   }

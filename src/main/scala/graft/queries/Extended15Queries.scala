@@ -105,9 +105,11 @@ object Extended15Queries {
       .select(col("q.vec_id").as("query_id"), col("q.label").as("actual"),
         col("c.vec_id").as("neighbor_id"), col("c.label").as("vote"),
         // nullif: a zero-magnitude embedding yields NULL cosine (ranks
-        // last) instead of an ANSI DIVIDE_BY_ZERO job abort
-        round(dot(col("q.embedding"), col("c.embedding")) /
-          nullif(norm(col("q.embedding")) * norm(col("c.embedding")), lit(0.0)), 6).as("cos"))
+        // last) instead of an ANSI DIVIDE_BY_ZERO job abort; nanvl: a
+        // NaN element would otherwise rank FIRST in every vote window
+        round(nanvl(dot(col("q.embedding"), col("c.embedding")) /
+          nullif(norm(col("q.embedding")) * norm(col("c.embedding")), lit(0.0)),
+          lit(null).cast("double")), 6).as("cos"))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     val top5 = pairs.withColumn("rk", row_number().over(wr))

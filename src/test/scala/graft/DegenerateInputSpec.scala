@@ -116,6 +116,23 @@ class DegenerateInputSpec extends SparkSpec {
     assert(asQuery.length === 2 && asQuery.forall(_.isNullAt(3)))
   }
 
+  test("bruteForceTopK: a NaN-poisoned vector never takes rank 1") {
+    // Spark orders NaN ABOVE every double, so without the nanvl guard
+    // one NaN element (failed decode, upstream 0/0) would silently win
+    // EVERY query's top-1 and pass every `>= t` similarity filter —
+    // corpus-wide corruption, worse than the ANSI abort it replaces
+    val corpus = vecs(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(Float.NaN, 1.0f)), (4L, Array(0.0f, 1.0f)))
+    val got = Ann.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 2).orderBy(col("rank")).collect()
+    assert(got.map(_.getLong(2)).toSeq === Seq(2L, 4L))
+    val pairs = Dedup.cosinePairs(
+        vecs((1L, Array(1.0f, 0.0f)), (2L, Array(Float.NaN, 0.0f))),
+        "vec_id", "embedding", threshold = 0.5)
+    assert(pairs.isEmpty) // NaN cosine fails the threshold, no crash
+  }
+
   test("bruteForceTopK: k larger than the corpus returns what exists") {
     val corpus = vecs((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
     val got = Ann.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 1),
@@ -154,6 +171,43 @@ class DegenerateInputSpec extends SparkSpec {
     val flagged = graft.ops.Stats.zscoreOutliers(df, "g", "v", zMin = 1.0)
       .select("g").as[String].collect()
     assert(flagged.forall(_ == "b")) // constant group never flags
+  }
+
+  test("sessionize: empty events and NULL timestamps stay deterministic") {
+    import graft.queries.Extended4Queries
+    val empty = Seq.empty[(Long, Long, Long)].toDF("user_id", "event_id", "us")
+    assert(Extended4Queries.sessionize(empty, gapUs = 1000L).isEmpty)
+    // a NULL timestamp has no defined gap to any neighbor: each such
+    // event opens its own session (is_new = 1 on a NULL lag diff) with
+    // NULL span — sessions of real events are unaffected
+    val e = Seq(
+      (1L, 10L, Some(100L)), (1L, 11L, Some(200L)), (1L, 12L, None),
+      (2L, 20L, None)).toDF("user_id", "event_id", "us")
+    val got = Extended4Queries.sessionize(e, gapUs = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 1L, 1L), (1L, 2L, 2L), (2L, 1L, 1L)))
+  }
+
+  test("langId: NULL and token-less text classify as 'und', never crash") {
+    val got = docs((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "),
+        (4L, "the cat is on the mat"), (5L, "der hund und die katze ist"))
+      .select(col("doc_id"), TextStats.langId(col("text")).as("lang"))
+      .orderBy(col("doc_id")).as[(Long, String)].collect()
+    assert(got.toSeq === Seq((1L, "und"), (2L, "und"), (3L, "und"),
+      (4L, "en"), (5L, "de")))
+  }
+
+  test("multimodal features: an empty blob yields defined zeros") {
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.Media
+    val media = Seq(
+      Media(1L, "image", Array.empty[Byte], 0, 0, 0L),
+      Media(2L, "image", Array[Byte](10, 20, 30), 3, 1, 0L)).toDS()
+    val got = Multimodal.extractFeatures(media)
+      .collect().sortBy(_.media_id)
+    assert(got(0).mean_byte === 0.0 && got(0).byte_entropy === 0.0)
+    assert(got(0).n_bytes === 0)
+    assert(got(1).mean_byte === 20.0)
   }
 
   test("BPE train: empty and single-char corpora learn zero merges") {
