@@ -116,4 +116,19 @@ object VectorExprs {
     nanvl(dot(a, b) / nullif(normA * normB, lit(0.0)),
       lit(null).cast("double"))
   }
+
+  /** TRUE iff every element of the vector is finite (no NaN, no ±Inf)
+    * and the vector itself is non-NULL. `x * 0` is 0 for any finite x
+    * and NaN for both NaN and ±Inf, so one isnan covers both bad
+    * classes in a single codegen'd predicate. Fit-time screen for
+    * decomposition/index builds: one non-finite embedding (failed
+    * decode, upstream 0/0) otherwise poisons a corpus-wide Gram matrix
+    * into all-NaN — MLlib PCA's eigensolver then THROWS
+    * NotConvergedException (found by the ChaosSmoke catalog sweep) and
+    * a k-means quantizer silently degrades to NaN centroids.
+    */
+  def isFiniteVec(v: Column): Column = {
+    import org.apache.spark.sql.functions.{exists, isnan, lit, not}
+    v.isNotNull && not(exists(v, x => isnan(x * lit(0))))
+  }
 }

@@ -407,8 +407,13 @@ object MlPipeline {
     * `emb_0..emb_{k-1}` like the reference's title_emb_0..9.
     */
   def pcaEmbed(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val withVec = emb.select(col(idCol),
-      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("vec"))
+    // fit-time screen: one NaN/Inf embedding poisons the whole Gram
+    // and breeze's eigensolver throws NotConvergedException — a failed
+    // decode in one shard must not abort the corpus-wide fit
+    val withVec = emb
+      .filter(graft.functions.VectorExprs.isFiniteVec(col(vecCol)))
+      .select(col(idCol),
+        array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("vec"))
     val model = new PCA().setInputCol("vec").setOutputCol("pca").setK(k).fit(withVec)
     val arr = model.transform(withVec)
       .select(col(idCol), vector_to_array(col("pca")).as("a"))
@@ -423,8 +428,11 @@ object MlPipeline {
     * oracle-checkable booleans, q38c-style.
     */
   def pcaGate(emb: DataFrame, vecCol: String, k: Int): (Array[Double], Double) = {
-    val withVec = emb.select(
-      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("vec"))
+    // same finite screen as pcaEmbed — the gate fits the SAME corpus
+    val withVec = emb
+      .filter(graft.functions.VectorExprs.isFiniteVec(col(vecCol)))
+      .select(
+        array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("vec"))
     val model = new PCA().setInputCol("vec").setOutputCol("pca").setK(k).fit(withVec)
     val pc = model.pc
     var res = 0.0

@@ -140,7 +140,13 @@ object Ann {
       k: Int, nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // the index holds FINITE vectors only: one NaN/Inf embedding
+    // (failed decode) would smear NaN into its centroid at fit time
+    // AND crash MLlib's cell-assignment UDF at transform time
+    // (requirement failure on a NaN norm) — a poisoned row is
+    // unindexable, same exclusion contract as MlPipeline.pcaEmbed
     val corpusVec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .filter(graft.functions.VectorExprs.isFiniteVec(col("cv")))
       .withColumn("feat",
         array_to_vector(transform(col("cv"), x => x.cast("double"))))
     // the coarse quantizer only places probe cells — a handful of

@@ -1,0 +1,111 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog-wide degenerate-data smoke (driver-side tooling): rebuilds a
+  * testdata directory whose documents/embeddings/events carry the
+  * malformed rows a 100 TB corpus is guaranteed to contain — empty,
+  * whitespace-only and NULL text; sub-shingle docs; zero-magnitude and
+  * NaN-element embeddings; events with NULL ts/user/type/value — then
+  * runs EVERY catalog query against it and reports which ones throw.
+  *
+  * This is the pipeline-level complement to DegenerateInputSpec's
+  * unit pins: the claim under test is "no single malformed row aborts
+  * any query in the catalog" (under ANSI a stray 0/0 or bad cast is an
+  * exception, not a NaN — see SCALE.md round-10 session 2). Value
+  * changes are expected (the rows ARE new data); exceptions are the
+  * failure condition. Exit 1 if any query throws.
+  *
+  * Usage: runMain graft.tools.ChaosSmoke
+  *   SPARK_GRAFT_SF_DIR   source testdata (default sf0.001)
+  *   SPARK_GRAFT_CHAOS    output dir (default /tmp/graft_chaos)
+  */
+object ChaosSmoke {
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_CHAOS", "/tmp/graft_chaos")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // 1. relational tables: byte-identical copies (their degenerate
+    // regimes are out of contract — TPC-H columns are NOT NULL by spec)
+    val out = java.nio.file.Paths.get(outDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(out.toFile)
+    java.nio.file.Files.createDirectories(out)
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach { t =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$srcDir/$t.parquet"),
+          out.resolve(s"$t.parquet"))
+      }
+
+    // 2. documents + the degenerate block (ids far above the real range)
+    val docs = graft.Tables.documents(spark, srcDir)
+    val badDocs = Seq(
+      (900001L, "", "en", "chaos", 0L),
+      (900002L, "   \t  \n ", "en", "chaos", 8L),
+      (900003L, null.asInstanceOf[String], null.asInstanceOf[String], "chaos", 0L),
+      (900004L, "one", "en", "chaos", 3L),
+      (900005L, "two tokens", "en", "chaos", 10L),
+      (900006L, "!!! ??? ... ;;; :::", "en", "chaos", 19L),
+      (900007L, "x " * 5000, "en", "chaos", 10000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.unionByName(badDocs).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+
+    // 3. embeddings + zero vector and NaN-element vector at native dims
+    val emb = graft.Tables.embeddings(spark, srcDir)
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val zero = Array.fill(dim)(0.0f)
+    val nan = Array.tabulate(dim)(i => if (i == 3) Float.NaN else 0.1f)
+    val badEmb = Seq((900001L, zero, 0), (900002L, nan, 1))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+    emb.unionByName(badEmb).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+
+    // 4. events + NULL ts / user / type / value rows (written back as
+    // plain TimestampType — a supported loader arrival)
+    val ev = graft.Tables.events(spark, srcDir)
+    val badEv = Seq(
+      (9000001L, Some("2024-01-02 03:04:05"), None: Option[Long], Some("click"), Some(1.0), Some("{}")),
+      (9000002L, None: Option[String], Some(1L), Some("view"), Some(2.0), Some("{}")),
+      (9000003L, Some("2024-01-02 03:05:06"), Some(1L), None: Option[String], None: Option[Double], None: Option[String]))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    ev.unionByName(badEv).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+
+    // 5. the whole catalog, degenerate dir, pass = does not throw
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        fn(spark, outDir).count()
+        ()
+      } catch { case t: Throwable =>
+        val root = {
+          var c: Throwable = t
+          while (c.getCause != null && c.getCause != c) c = c.getCause
+          c
+        }
+        failures += name -> s"${root.getClass.getSimpleName}: ${Option(root.getMessage).getOrElse("").linesIterator.take(1).mkString.take(160)}"
+        println(s"[chaos] FAIL $name  ${failures.last._2}")
+      }
+      try { spark.catalog.clearCache() } catch { case _: Throwable => () }
+    }
+    println(s"[chaos] ${graft.SparkEntry.queries.size - failures.size} survived, " +
+      s"${failures.size} threw, over ${graft.SparkEntry.queries.size} queries")
+    failures.foreach { case (n, e) => println(s"[chaos]   $n -> $e") }
+    spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
+  }
+}

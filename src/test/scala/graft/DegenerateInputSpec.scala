@@ -151,6 +151,30 @@ class DegenerateInputSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).toSet === Set(2L, 3L))
   }
 
+  test("PCA/IVF fits survive a NaN-poisoned corpus row") {
+    // one non-finite embedding poisons the Gram matrix into all-NaN:
+    // MLlib PCA's eigensolver then throws NotConvergedException and a
+    // k-means quantizer degrades to NaN centroids (found by the
+    // ChaosSmoke catalog sweep) — the fits must screen to finite rows
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 12L).map(i => (i, Array.fill(4)(rnd.nextFloat())))
+    val poisoned = vecs(base :+
+      (90L, Array(Float.NaN, 0.1f, 0.1f, 0.1f)) :+
+      (91L, Array(0.0f, 0.0f, 0.0f, 0.0f)): _*)
+    val (ev, orthRes) = graft.ml.MlPipeline.pcaGate(poisoned, "embedding", k = 2)
+    assert(ev.length === 2 && ev.forall(f => !f.isNaN && f > 0.0 && f < 1.0))
+    assert(orthRes < 1e-8)
+    // non-finite rows are excluded from the projection output too (no
+    // meaningful coordinates exist for them); the zero vector projects
+    val proj = graft.ml.MlPipeline.pcaEmbed(poisoned, "vec_id", "embedding", k = 2)
+    assert(proj.count() === base.size + 1)
+    assert(proj.filter(col("vec_id") === 90).isEmpty)
+    val ivf = Ann.ivfTopK(poisoned, poisoned.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 3, nLists = 2, nProbe = 2)
+      .collect()
+    assert(ivf.nonEmpty && ivf.forall(_.getLong(2) != 90L)) // NaN row never ranks
+  }
+
   test("cosinePairs/semanticDedup: zero vectors never pair, never abort") {
     val emb = vecs((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)),
       (3L, Array(0.0f, 0.0f)))
