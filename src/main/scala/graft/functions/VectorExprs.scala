@@ -120,12 +120,16 @@ object VectorExprs {
   /** TRUE iff every element of the vector is finite (no NaN, no ±Inf)
     * and the vector itself is non-NULL. `x * 0` is 0 for any finite x
     * and NaN for both NaN and ±Inf, so one isnan covers both bad
-    * classes in a single codegen'd predicate. Fit-time screen for
-    * decomposition/index builds: one non-finite embedding (failed
-    * decode, upstream 0/0) otherwise poisons a corpus-wide Gram matrix
-    * into all-NaN — MLlib PCA's eigensolver then THROWS
-    * NotConvergedException (found by the ChaosSmoke catalog sweep) and
-    * a k-means quantizer silently degrades to NaN centroids.
+    * classes. `exists` is a HigherOrderFunction (interpreted, outside
+    * whole-stage codegen — the same property that keeps HOFs off this
+    * engine's scoring hot paths), which is fine HERE because this is a
+    * FIT-TIME screen: one linear pass when a decomposition/index is
+    * built, never per candidate pair. Rationale: one non-finite
+    * embedding (failed decode, upstream 0/0) otherwise poisons a
+    * corpus-wide Gram matrix into all-NaN — MLlib PCA's eigensolver
+    * then THROWS NotConvergedException (found by the ChaosSmoke
+    * catalog sweep) and a k-means quantizer silently degrades to NaN
+    * centroids.
     */
   def isFiniteVec(v: Column): Column = {
     import org.apache.spark.sql.functions.{exists, isnan, lit, not}

@@ -22,20 +22,16 @@ import org.apache.spark.sql.functions._
   *   SPARK_GRAFT_CHAOS    output dir (default /tmp/graft_chaos)
   */
 object ChaosSmoke {
-  def main(args: Array[String]): Unit = {
-    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_CHAOS", "/tmp/graft_chaos")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
-    // 1. relational tables: byte-identical copies (their degenerate
-    // regimes are out of contract — TPC-H columns are NOT NULL by spec)
+  /** Build the degenerate testdata directory (shared with the
+    * chaos-invariance tests in ScaleInvarianceSpec). Relational tables
+    * are byte-identical copies — TPC-H columns are NOT NULL by spec,
+    * so their degenerate regimes are out of contract; the three
+    * corpus-shaped tables get a malformed block appended at ids far
+    * above the real range.
+    */
+  def build(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    import spark.implicits._
     val out = java.nio.file.Paths.get(outDir)
     org.apache.commons.io.FileUtils.deleteQuietly(out.toFile)
     java.nio.file.Files.createDirectories(out)
@@ -46,7 +42,6 @@ object ChaosSmoke {
           out.resolve(s"$t.parquet"))
       }
 
-    // 2. documents + the degenerate block (ids far above the real range)
     val docs = graft.Tables.documents(spark, srcDir)
     val badDocs = Seq(
       (900001L, "", "en", "chaos", 0L),
@@ -60,7 +55,6 @@ object ChaosSmoke {
     docs.unionByName(badDocs).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
 
-    // 3. embeddings + zero vector and NaN-element vector at native dims
     val emb = graft.Tables.embeddings(spark, srcDir)
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
     val zero = Array.fill(dim)(0.0f)
@@ -72,7 +66,7 @@ object ChaosSmoke {
     emb.unionByName(badEmb).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
 
-    // 4. events + NULL ts / user / type / value rows (written back as
+    // events + NULL ts / user / type / value rows (written back as
     // plain TimestampType — a supported loader arrival)
     val ev = graft.Tables.events(spark, srcDir)
     val badEv = Seq(
@@ -84,8 +78,22 @@ object ChaosSmoke {
         col("event_type"), col("value"), col("props"))
     ev.unionByName(badEv).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+  }
 
-    // 5. the whole catalog, degenerate dir, pass = does not throw
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_CHAOS", "/tmp/graft_chaos")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    build(spark, srcDir, outDir)
+
+    // the whole catalog, degenerate dir, pass = does not throw
     val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

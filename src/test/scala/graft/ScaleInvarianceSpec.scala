@@ -78,4 +78,39 @@ class ScaleInvarianceSpec extends SparkSpec {
       assert(runAqe("false") === on, s"$name changed results with AQE disabled")
     }
   }
+
+  // Chaos invariance: determinism must extend to DEGENERATE data — a
+  // corpus with empty/NULL text, zero/NaN vectors and NULL event
+  // fields (the ChaosSmoke shard). NULL routes through different code
+  // (null window partitions, nulls-first ordering, null-safe join
+  // keys, the finite screens), and each of those must also be a pure
+  // function of the data, not of partition delivery order.
+  private lazy val chaosDir: String = {
+    val dir = "/tmp/graft_chaos_spec"
+    graft.tools.ChaosSmoke.build(spark, Sf0001, dir)
+    dir
+  }
+
+  private val chaosSubjects = Seq(
+    "q62_sessionize",          // NULL-ts events open their own sessions
+    "dd08_dup_clusters",       // CC over a corpus with sub-shingle docs
+    "dd04_minhash_lsh",        // banding with docs that have no shingles
+    "tx17_quality_percentile", // quality histogram now contains the 0.0 bucket
+    "mx10_shard_manifest",     // layout offsets with degenerate docs in the corpus
+    "ml05c_pca_variance_gate") // PCA gate over the finite-screened corpus
+
+  chaosSubjects.foreach { name =>
+    test(s"$name is invariant under 3 / 17 shuffle partitions on chaos data") {
+      def runChaos(parts: String): Seq[String] = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try Catalog.queries(name)(spark, chaosDir)
+          .collect().map(_.toString).sorted.toSeq
+        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
+      val base = runChaos("3")
+      assert(base.nonEmpty)
+      assert(runChaos("17") === base,
+        s"$name changed results across partition counts on degenerate data")
+    }
+  }
 }
