@@ -20,7 +20,7 @@ object DedupQueries {
 
   private val dd01Sql =
     """WITH fp AS (
-      |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |  SELECT doc_id, md5(translate(regexp_replace(trim(text), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
       |  FROM documents
       |), g AS (
       |  SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
@@ -200,7 +200,7 @@ object DedupQueries {
 
   private val dd07Sql =
     """WITH fp AS (
-      |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |  SELECT doc_id, md5(translate(regexp_replace(trim(text), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
       |  FROM documents
       |), fresh AS (
       |  SELECT i.doc_id, i.fp FROM fp i

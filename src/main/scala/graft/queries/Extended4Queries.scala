@@ -896,7 +896,7 @@ object Extended4Queries {
       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
       |  FROM documents),
       |fp AS (
-      |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |  SELECT doc_id, md5(translate(regexp_replace(trim(text), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
       |  FROM documents),
       |canon AS (
       |  SELECT doc_id FROM (

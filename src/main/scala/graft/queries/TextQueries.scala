@@ -129,7 +129,7 @@ object TextQueries {
 
   private val tx05Sql =
     """SELECT doc_id,
-      |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |  md5(translate(regexp_replace(trim(text), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -140,13 +140,15 @@ object TextQueries {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         bpePieceCount(col("text")).as("n_pieces"),
-        size(array_distinct(bpePieces(lower(col("text"))))).as("n_distinct_pieces"))
+        // asciiLower, not lower(): full-unicode lowercasing diverges
+        // between engines (İ, final sigma) — see TextStats.asciiLower
+        size(array_distinct(bpePieces(asciiLower(col("text"))))).as("n_distinct_pieces"))
       .orderBy(col("doc_id"))
 
   private val tx06Sql =
     """SELECT doc_id,
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_pieces,
-      |  CAST(len(list_distinct(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS INTEGER) AS n_distinct_pieces
+      |  CAST(len(list_distinct(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS INTEGER) AS n_distinct_pieces
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -194,7 +196,7 @@ object TextQueries {
       |         ELSE 'und' END AS lang_pred
       |  FROM m
       |), fp AS (
-      |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |  SELECT doc_id, md5(translate(regexp_replace(trim(text), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
       |  FROM documents
       |), dup AS (
       |  SELECT doc_id, CAST(doc_id != min(doc_id) OVER (PARTITION BY fp) AS INTEGER) AS is_dup

@@ -142,12 +142,27 @@ object TextStats {
       .drop("__toks" +: markers.map { case (l, _) => s"__score_$l" }: _*)
   }
 
-  /** Content fingerprint: md5 of whitespace-normalized lowercased text.
-    * Stable across layout-only edits; the exact-dedup key in
-    * graft.dedup.Dedup.
+  /** ASCII-only case folding (A-Z → a-z, every other byte untouched).
+    * NOT `lower()`: full-unicode lowercasing is locale/library-defined
+    * and DIVERGES between engines on real text — Java (Spark) maps
+    * İ → i+combining-dot and applies the Greek final-sigma rule
+    * (ΣΟΦΟΣ → σοφος) where DuckDB maps İ → i and Σ → σ everywhere
+    * (probed empirically; fingerprints differed on both). translate is
+    * a fixed 1:1 byte table with identical semantics in every engine,
+    * so hash keys built on it are portable. The trade: non-ASCII case
+    * variants no longer merge — a missed dedup, never a wrong one.
+    */
+  def asciiLower(text: Column): Column =
+    translate(text, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+  /** Content fingerprint: md5 of whitespace-normalized case-folded
+    * text. Stable across layout-only edits; the exact-dedup key in
+    * graft.dedup.Dedup. Case folding is [[asciiLower]] so the key is
+    * engine-portable (the DuckDB oracle mirrors translate, not
+    * lower()).
     */
   def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+    md5(asciiLower(regexp_replace(trim(text), "\\s+", " ")))
 
   /** BPE-ish pre-tokenization regex: alphabetic runs, digit runs, and
     * single non-alphanumeric marks as separate pieces — the

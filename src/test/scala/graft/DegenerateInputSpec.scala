@@ -54,6 +54,27 @@ class DegenerateInputSpec extends SparkSpec {
     (0 until 4).foreach(i => assert(r.isNullAt(i), s"ratio $i on empty text"))
   }
 
+  test("fingerprint case folding is engine-portable on adversarial unicode") {
+    // full-unicode lower() DIVERGES between engines: Java (Spark) maps
+    // İ → i + combining dot and applies the Greek final-sigma rule,
+    // DuckDB maps İ → i and Σ → σ everywhere — so an exact-dedup key
+    // built on lower() silently disagrees with the oracle on real
+    // multilingual text. fingerprint folds ASCII only (translate), a
+    // fixed byte table with identical semantics in every engine. This
+    // pins the Spark-side values the DuckDB translate reproduces.
+    val got = docs((1L, "İstanbul"), (2L, "ΣΟΦΟΣ"), (3L, "MiXeD CASE"),
+        (4L, "mixed case"), (5L, "STRASSE ß"))
+      .select(col("doc_id"),
+        TextStats.asciiLower(col("text")).as("lo"),
+        TextStats.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id")).collect()
+    assert(got(0).getString(1) === "İstanbul") // non-ASCII untouched
+    assert(got(1).getString(1) === "ΣΟΦΟΣ")
+    assert(got(2).getString(1) === "mixed case")
+    assert(got(2).getString(2) === got(3).getString(2)) // ASCII case merges
+    assert(got(4).getString(1) === "strasse ß")
+  }
+
   // ---- dedup family on empty / too-short input ------------------------
 
   test("exactGroups: empty input → empty output; nulls group together") {
