@@ -17,14 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  /** The whitespace class, written out: Java's `\s` is
+    * `[ \t\n\x0B\f\r]` but RE2's (DuckDB, the oracle engine) is
+    * `[\t\n\f\r ]` — they disagree on exactly one character, vertical
+    * tab, which DOES occur in scraped text. An explicit class both
+    * regex dialects read identically makes every token-derived result
+    * engine-portable; the oracle's `\s` already means this set.
+    * (Same divergence family as [[asciiLower]] — probed empirically.)
+    */
+  private val Ws = "[ \t\n\f\r]"
+
   /** Whitespace tokenization. Leading/trailing whitespace would leave
     * empty tokens after split (Spark keeps trailing empties), so they
     * are filtered out. NULL text → NULL array (split of NULL
     * propagates), mirroring the reference's NULL-propagating split
-    * (scripts/data_processing.py:123).
+    * (scripts/data_processing.py:123). Whitespace = [[Ws]] (portable
+    * RE2/Java subset), not `\s`.
     */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+    filter(split(text, Ws + "+"), t => length(t) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -162,7 +173,7 @@ object TextStats {
     * lower()).
     */
   def fingerprint(text: Column): Column =
-    md5(asciiLower(regexp_replace(trim(text), "\\s+", " ")))
+    md5(asciiLower(regexp_replace(trim(text), Ws + "+", " ")))
 
   /** BPE-ish pre-tokenization regex: alphabetic runs, digit runs, and
     * single non-alphanumeric marks as separate pieces — the
@@ -171,7 +182,9 @@ object TextStats {
     * learned vocabulary; counting pre-merge pieces is the standard
     * cheap token-budget estimate).
     */
-  val BpePieceRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  // whitespace written out as [[Ws]] — `\s` reads differently in Java
+  // vs the oracle's RE2 (vertical tab), see Ws
+  val BpePieceRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
 
   /** All BPE-ish pieces of a text, in order (codegen'd, no UDF). */
   def bpePieces(text: Column): Column =

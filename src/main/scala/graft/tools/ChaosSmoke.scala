@@ -50,7 +50,11 @@ object ChaosSmoke {
       (900004L, "one", "en", "chaos", 3L),
       (900005L, "two tokens", "en", "chaos", 10L),
       (900006L, "!!! ??? ... ;;; :::", "en", "chaos", 19L),
-      (900007L, "x " * 5000, "en", "chaos", 10000L))
+      (900007L, "x " * 5000, "en", "chaos", 10000L),
+      // the two engine-divergence classes found by probing (SCALE.md):
+      // vertical tab (Java \s vs RE2 \s) and locale-sensitive casing
+      (900008L, "ab\u000Bverticaltab words here", "en", "chaos", 30L),
+      (900009L, "İstanbul ΣΟΦΟΣ STRASSE ß MiXeD case tokens", "tr", "chaos", 42L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.unionByName(badDocs).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")

@@ -75,6 +75,23 @@ class DegenerateInputSpec extends SparkSpec {
     assert(got(4).getString(1) === "strasse ß")
   }
 
+  test("tokenization whitespace class is engine-portable (vertical tab)") {
+    // Java's \s includes \x0B, RE2's (DuckDB, the oracle engine) does
+    // not — tokens() spells the class out so both engines read it
+    // identically: \x0B is CONTENT (stays inside a token), like the
+    // oracle's regexp_split_to_array('\s+') already behaves
+    val vt = "\u000B" // the one char the two dialects dispute
+    val got = docs((1L, s"a${vt}b cd"), (2L, "x\ty\nz"))
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("t"),
+        TextStats.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id")).collect()
+    assert(got(0).getSeq[String](1) === Seq(s"a${vt}b", "cd"))
+    assert(got(1).getSeq[String](1) === Seq("x", "y", "z"))
+    // fingerprint normalizes tab/newline runs but leaves \x0B alone —
+    // same as the DuckDB replica's regexp_replace('\s+', ' ')
+    assert(got(0).getString(2) !== got(1).getString(2))
+  }
+
   // ---- dedup family on empty / too-short input ------------------------
 
   test("exactGroups: empty input → empty output; nulls group together") {
