@@ -134,23 +134,63 @@ object Bench {
     // reported 61 s with rc 0 — the round's numbers were unusable). Any
     // failure is carried into the printed JSON line as `"failed":[...]`
     // so the driver-parsed artifact itself is visibly red.
-    final case class Outcome(seconds: Double, ok: Boolean, error: Option[String])
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val outcome =
-        try { fn(spark, sfDir).count(); None }
-        catch { case t: Throwable =>
-          Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Untimed isolation between queries: drop SQL cache and nudge the
+    //
+    // Headline queries are timed HeadlineReps times and report the
+    // MEDIAN (VERDICT r10 #1): four consecutive rounds chased phantom
+    // regressions because single-shot timing hands a host-load spike to
+    // whichever query it lands on (dd01 r7-r9; synth's 24.5 s in r10 vs
+    // a 10.3 s judge replay). Between reps the session memos (IMDb
+    // pipeline runs, the shared GBT model) are dropped so every rep
+    // pays the real cost — without that, reps 2+ of the memoized trio
+    // would time a TrieMap hit and the median would be fiction.
+    final case class Outcome(seconds: Double, ok: Boolean, error: Option[String],
+        reps: Seq[Double], memoizedSec: Option[Double])
+    val HeadlineReps = 3
+    // Queries served from a session memo after their first execution:
+    // their memo-hit cost is ALSO recorded (one extra timed run without
+    // clearing) so fresh-vs-steady adjudication is answerable from the
+    // bench artifact alone (VERDICT r10 #4), not from a manual replay.
+    val memoizedQueries = Set("imdb_pipeline_demo", "imdb_pipeline_synth", "ml03_gbt_eval")
+    def isolate(dropMemos: Boolean): Unit = {
+      // Untimed isolation between timings: drop SQL cache and nudge the
       // ContextCleaner (localCheckpoint/persist blocks are freed on GC)
-      // so one query's leftover blocks don't tax the next one's timing.
+      // so one run's leftover blocks don't tax the next one's timing.
       // Profiled: heavy queries ran 3-7x slower inside the sequential
       // bench than in isolation before this (r2: q21 6.8s vs 0.4s).
-      try { spark.catalog.clearCache(); System.gc() }
-      catch { case _: Throwable => () }
-      name -> Outcome(dt, outcome.isEmpty, outcome)
+      try {
+        if (dropMemos) queries.Catalog.clearMemos()
+        spark.catalog.clearCache(); System.gc()
+      } catch { case _: Throwable => () }
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case t: Throwable =>
+            Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
+          }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val outcome = if (headline.contains(name)) {
+        val reps = Seq.fill(HeadlineReps) { isolate(dropMemos = true); once() }
+        val times = reps.map(_._1)
+        val errs = reps.flatMap(_._2)
+        // One extra run WITHOUT clearing: the preceding rep left the
+        // memo populated, so this times the steady (memo-hit) regime.
+        val memoSec =
+          if (memoizedQueries.contains(name) && errs.isEmpty) Some(once()._1) else None
+        Outcome(times.sorted.apply(times.size / 2), errs.isEmpty, errs.headOption,
+          times, memoSec)
+      } else {
+        // Single-shot for the long tail: these only feed the detail
+        // file, and memos are deliberately NOT dropped — ml04 reusing
+        // ml03's model is the catalog's documented sharing contract.
+        isolate(dropMemos = false)
+        val (dt, err) = once()
+        Outcome(dt, err.isEmpty, err, Seq(dt), None)
+      }
+      name -> outcome
     }
     val failed = results.collect { case (k, o) if !o.ok => k }
     val total = r3(results.map(_._2.seconds).sum)
@@ -162,7 +202,12 @@ object Bench {
                   case c if c < ' ' => " "; case c => c.toString }
     val detail = results.map { case (k, o) =>
       val err = o.error.map(e => s""","error":"${esc(e)}"""").getOrElse("")
-      s"\"" + k + s"\":{\"seconds\":${r3(o.seconds)},\"ok\":${o.ok}$err}"
+      // reps = every fresh timing (median is what "seconds" reports);
+      // memoized = the memo-hit steady-state where the query has one.
+      val reps =
+        if (o.reps.size > 1) s""","reps":[${o.reps.map(r3).mkString(",")}]""" else ""
+      val memo = o.memoizedSec.map(m => s""","memoized":${r3(m)}""").getOrElse("")
+      s"\"" + k + s"\":{\"seconds\":${r3(o.seconds)},\"ok\":${o.ok}$reps$memo$err}"
     }.mkString("{", ",", "}")
     try {
       val p = java.nio.file.Paths.get("target/bench_detail.json")
@@ -174,8 +219,11 @@ object Bench {
     // xor-prescan: the v3 sum() prescan ANSI-overflowed and silently
     // warmed nothing in r3-r5. v5 adds the sacrificial first-query run
     // (r10): dd01's timing was absorbing post-prescan JIT residue.
+    // v6 (r11) times headline queries median-of-3 with memos dropped
+    // between reps — a host-load spike now costs one rep, not the
+    // round's reading.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"v5-sacrificial","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"v6-median3","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // A bench with any failed query is not a measurement — make the
     // process exit status itself red so no downstream consumer can

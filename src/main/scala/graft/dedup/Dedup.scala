@@ -113,10 +113,16 @@ object Dedup {
     // doc from the output. <=> keeps the "every doc" contract and
     // matches the oracle's window-over-fp formulation, which keeps
     // NULL partitions. Still one shuffle: EqualNullSafe is a valid
-    // hash-join key (planned as coalesce-wrapped equi-join).
-    withFp.join(groups, withFp("fp") <=> groups("fp"))
-      .select(withFp(idCol), col("canonical_id"), col("group_size"),
-        (withFp(idCol) =!= col("canonical_id")).cast("int").as("is_dup"))
+    // hash-join key (planned as coalesce-wrapped equi-join). Both
+    // sides are explicitly aliased: `groups` derives from `withFp`, so
+    // an unaliased `withFp("fp") <=> groups("fp")` is an ambiguous
+    // self-join that only works through Spark's trivially-true-
+    // predicate fix-up (the "Constructing trivially true equals
+    // predicate" WARN) — version-fragile resolution this join must not
+    // lean on (VERDICT r10 #2).
+    withFp.as("d").join(groups.as("g"), col("d.fp") <=> col("g.fp"))
+      .select(col(s"d.$idCol").as(idCol), col("g.canonical_id"), col("g.group_size"),
+        (col(s"d.$idCol") =!= col("g.canonical_id")).cast("int").as("is_dup"))
   }
 
   /** Incremental exact dedup: drop incoming docs whose normalized-text

@@ -451,11 +451,21 @@ object MlPipeline {
     */
   def hashingEmbed(docs: DataFrame, idCol: String, textCol: String,
       numFeatures: Int = 64): DataFrame = {
+    // NULL text keeps the NULL-propagation contract of TextStats.tokens
+    // (NULL doc → NULL embedding, inert downstream like a NULL cosine) —
+    // but HashingTF's Scala lambda NPEs on a null terms array, aborting
+    // the whole job on one malformed doc (surfaced by the r11 chaos
+    // sweep once it forced full evaluation). Hash an empty array
+    // instead, then restore the NULL after the transform.
     val tokens = docs.select(col(idCol),
-      graft.text.TextStats.tokens(col(textCol)).as("tokens"))
+      col(textCol).isNull.as("__null_text"),
+      coalesce(graft.text.TextStats.tokens(col(textCol)),
+        array().cast("array<string>")).as("tokens"))
     new HashingTF().setInputCol("tokens").setOutputCol("tf")
       .setNumFeatures(numFeatures)
       .transform(tokens)
-      .select(col(idCol), vector_to_array(col("tf")).as("embedding"))
+      .select(col(idCol),
+        when(col("__null_text"), lit(null).cast("array<double>"))
+          .otherwise(vector_to_array(col("tf"))).as("embedding"))
   }
 }

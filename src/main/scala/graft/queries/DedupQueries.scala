@@ -537,7 +537,7 @@ object DedupQueries {
        |              ['the','a','an','and','or','of','to','in','is','it'], x)))
        |            / CAST(len(toks) AS DOUBLE)), 1.0), 6)
        |    END AS quality
-       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), z -> z != '') AS toks
+       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '${graft.text.TextStats.WsClass}+'), z -> z != '') AS toks
        |        FROM documents)
        | ), best AS (
        |  SELECT doc_id, cluster_id, quality FROM (

@@ -324,7 +324,7 @@ object Extended20Queries {
     * mx11 can instantiate it once per delivery epoch. */
   private def shardChainSql(sfx: String, pred: String): String =
     s"""t$sfx AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), z -> z != '') AS toks
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '${TextStats.WsClass}+'), z -> z != '') AS toks
        |  FROM documents WHERE $pred),
        |m$sfx AS (
        |  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,

@@ -69,6 +69,14 @@ object MlQueries {
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.ml.classification.GBTClassificationModel]
 
+  /** Drop the memoized model so the next ml03/ml04 call retrains.
+    * Bench-only (Catalog.clearMemos) — training is deterministic
+    * (seeded split + fixed GBT seed), so a retrain reproduces the same
+    * model and correctness is unaffected; only the timing regime
+    * changes from map-lookup to real training cost.
+    */
+  private[queries] def clearMemo(): Unit = modelCache.clear()
+
   private def trainedModel(s: SparkSession, dir: String) =
     modelCache.getOrElseUpdate((s, dir), {
       val feats = MlPipeline.orderFeatures(Tables.orders(s, dir))
@@ -172,7 +180,7 @@ object MlQueries {
        |    $values),
        |toks AS (
        |  SELECT doc_id,
-       |    unnest(list_filter(regexp_split_to_array(text, '\\s+'), z -> z != '')) AS tok
+       |    unnest(list_filter(regexp_split_to_array(text, '${graft.text.TextStats.WsClass}+'), z -> z != '')) AS tok
        |  FROM documents),
        |agg AS (
        |  SELECT t.doc_id,

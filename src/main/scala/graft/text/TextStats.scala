@@ -22,10 +22,18 @@ object TextStats {
     * `[\t\n\f\r ]` — they disagree on exactly one character, vertical
     * tab, which DOES occur in scraped text. An explicit class both
     * regex dialects read identically makes every token-derived result
-    * engine-portable; the oracle's `\s` already means this set.
+    * engine-portable. Spelled in backslash-escape form (`\t` the
+    * two-character pattern escape, not a literal tab) so the SAME
+    * constant can be interpolated into oracle SQL — both Java regex
+    * and RE2 parse the escapes identically, and a literal control
+    * character would break stripMargin'd SQL text. Public so the
+    * oracle builders (BpeTrainer, ml06, dd13, mx10, q54) share this
+    * exact spelling instead of re-deriving it or reaching for `\s`
+    * (VERDICT r10 #5: no shorthand classes anywhere).
     * (Same divergence family as [[asciiLower]] — probed empirically.)
     */
-  private val Ws = "[ \t\n\f\r]"
+  val WsClass: String = "[ \\t\\n\\f\\r]"
+  private val Ws = WsClass
 
   /** Whitespace tokenization. Leading/trailing whitespace would leave
     * empty tokens after split (Spark keeps trailing empties), so they

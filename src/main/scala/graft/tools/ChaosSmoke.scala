@@ -84,24 +84,27 @@ object ChaosSmoke {
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
   }
 
-  def main(args: Array[String]): Unit = {
-    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_CHAOS", "/tmp/graft_chaos")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-
-    build(spark, srcDir, outDir)
-
-    // the whole catalog, degenerate dir, pass = does not throw
+  /** Run EVERY catalog query against `dir`; pass = does not throw.
+    * Returns (query, root-cause) per failure. Shared by the CLI below
+    * and by ChaosGateSpec, which makes this sweep part of `sbt test`
+    * (VERDICT r10 #3): the degenerate-input guarantee is a machine
+    * gate, not a tool the builder remembers to run.
+    *
+    * Evaluation is forced with bit_xor(xxhash64(struct(*))) — NOT
+    * count(): under count() Catalyst prunes every deterministic
+    * output projection, so a per-row expression that throws on a
+    * degenerate value (an unguarded ANSI 0/0 in a final SELECT) was
+    * never executed and the sweep reported a pass it had not earned
+    * (found in r11 when a deliberately reverted guard stayed green).
+    * Hashing a struct of every output column keeps the whole plan
+    * live, which is exactly what a downstream sink does at scale.
+    */
+  def sweep(spark: SparkSession, dir: String): Seq[(String, String)] = {
     val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        fn(spark, outDir).count()
+        fn(spark, dir)
+          .selectExpr("bit_xor(xxhash64(struct(*)))").collect()
         ()
       } catch { case t: Throwable =>
         val root = {
@@ -114,6 +117,22 @@ object ChaosSmoke {
       }
       try { spark.catalog.clearCache() } catch { case _: Throwable => () }
     }
+    failures.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_CHAOS", "/tmp/graft_chaos")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    build(spark, srcDir, outDir)
+    val failures = sweep(spark, outDir)
     println(s"[chaos] ${graft.SparkEntry.queries.size - failures.size} survived, " +
       s"${failures.size} threw, over ${graft.SparkEntry.queries.size} queries")
     failures.foreach { case (n, e) => println(s"[chaos]   $n -> $e") }

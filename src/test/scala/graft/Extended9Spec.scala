@@ -49,7 +49,7 @@ class Extended9Spec extends SparkSpec {
     def chunkSet(id: Long): Set[String] = {
       val text = Tables.documents(spark, Sf0001)
         .filter(col("doc_id") === id).select(col("text")).as[String].first()
-      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val toks = text.split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty)
       val buf = scala.collection.mutable.ListBuffer.empty[List[String]]
       var cur = scala.collection.mutable.ListBuffer.empty[String]
       toks.zipWithIndex.foreach { case (t, i) =>

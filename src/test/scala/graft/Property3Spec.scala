@@ -60,7 +60,7 @@ class Property3Spec extends SparkSpec {
       val nDocs = out.map(_.getLong(1)).sum
       assert(nDocs == docs.size, s"covered $nDocs of ${docs.size}")
       val budget = (total + 7) / 8
-      val maxDoc = docs.map(_._2.split("\\s+").count(_.nonEmpty).toLong).max
+      val maxDoc = docs.map(_._2.split("[ \\t\\n\\f\\r]+").count(_.nonEmpty).toLong).max
       out.foreach { r =>
         assert(r.getLong(2) < budget + maxDoc,
           s"shard ${r.getLong(0)} exceeds bound")
