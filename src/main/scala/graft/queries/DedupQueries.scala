@@ -20,7 +20,7 @@ object DedupQueries {
 
   private val dd01Sql =
     """WITH fp AS (
-      |  SELECT doc_id, md5(translate(regexp_replace(trim(text), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
+      |  SELECT doc_id, md5(translate(regexp_replace(trim(text), '[ \t\n\f\r]+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
       |  FROM documents
       |), g AS (
       |  SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
@@ -45,7 +45,7 @@ object DedupQueries {
       |    SELECT doc_id, list_transform(toks,
       |      t -> ('0x' || substr(md5(t), 1, 12))::BIGINT % 2147483647) AS th,
       |      toks
-      |    FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |    FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |          FROM documents)
       |  )
       |  WHERE len(toks) >= 3
@@ -71,7 +71,7 @@ object DedupQueries {
 
   private val dd03Sql =
     """WITH tok AS (
-      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), z -> z != '')) AS t
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '')) AS t
       |  FROM documents
       |), h AS (
       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS h FROM tok
@@ -110,7 +110,7 @@ object DedupQueries {
       |    SELECT doc_id, list_transform(toks,
       |      t -> ('0x' || substr(md5(t), 1, 12))::BIGINT % 2147483647) AS th,
       |      toks
-      |    FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |    FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |          FROM documents)
       |  )
       |  WHERE len(toks) >= 3
@@ -166,7 +166,7 @@ object DedupQueries {
 
   private val dd06Sql =
     """WITH tok AS (
-      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), z -> z != '')) AS t
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '')) AS t
       |  FROM documents
       |), h AS (
       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS h FROM tok
@@ -200,7 +200,7 @@ object DedupQueries {
 
   private val dd07Sql =
     """WITH fp AS (
-      |  SELECT doc_id, md5(translate(regexp_replace(trim(text), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
+      |  SELECT doc_id, md5(translate(regexp_replace(trim(text), '[ \t\n\f\r]+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
       |  FROM documents
       |), fresh AS (
       |  SELECT i.doc_id, i.fp FROM fp i

@@ -94,7 +94,7 @@ object Extended10Queries {
   private[queries] val nbPredsSqlPrefix: String =
     """WITH docs AS (
       |  SELECT doc_id, source,
-      |    list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |    list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents),
       |nz AS (
       |  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 5

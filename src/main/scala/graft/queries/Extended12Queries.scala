@@ -107,7 +107,7 @@ object Extended12Queries {
   private val dd18Sql =
     """WITH t0 AS (
       |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS ts
+      |    list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS ts
       |  FROM documents),
       |toks AS (
       |  SELECT DISTINCT doc_id,

@@ -59,7 +59,7 @@ object Extended15Queries {
   private val dd19Sql =
     """WITH t0 AS (
       |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS ts
+      |    list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS ts
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id,

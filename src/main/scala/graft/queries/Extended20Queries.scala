@@ -150,10 +150,10 @@ object Extended20Queries {
     * given final query are not evaluated by DuckDB. */
   private val pipelineSqlCtes =
     """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents),
       |fp AS (
-      |  SELECT doc_id, md5(translate(regexp_replace(trim(text), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
+      |  SELECT doc_id, md5(translate(regexp_replace(trim(text), '[ \t\n\f\r]+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
       |  FROM documents),
       |canon AS (
       |  SELECT doc_id FROM (

@@ -159,7 +159,7 @@ object Extended4Queries {
 
   private val q65Sql =
     """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents),
       |terms AS (SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS term
       |          FROM toks WHERE len(toks) > 0),
@@ -298,7 +298,7 @@ object Extended4Queries {
 
   private val tx08Sql =
     """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents),
       |sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(sh5s), 1, 12))::BIGINT AS sh5
       |  FROM (SELECT doc_id,
@@ -381,7 +381,7 @@ object Extended4Queries {
     """WITH bg AS (
       |  SELECT doc_id,
       |    unnest(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))) AS bg
-      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |        FROM documents)
       |  WHERE len(toks) >= 2)
       |SELECT doc_id, count(*) AS n_bigrams, count(DISTINCT bg) AS n_distinct,
@@ -412,7 +412,7 @@ object Extended4Queries {
   private val mx01Sql =
     """WITH t AS (
       |  SELECT source, doc_id,
-      |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), z -> z != '')) AS INTEGER) AS n_tokens
+      |    CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '')) AS INTEGER) AS n_tokens
       |  FROM documents),
       |c AS (
       |  SELECT source, doc_id, n_tokens,
@@ -514,7 +514,7 @@ object Extended4Queries {
 
   private val mx03Sql =
     """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents),
       |starts AS (
       |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 96)) AS st
@@ -700,7 +700,7 @@ object Extended4Queries {
 
   private val mx04Sql =
     """WITH t AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents),
       |m AS (
       |  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
@@ -791,7 +791,7 @@ object Extended4Queries {
   private val tx11Sql =
     """WITH terms AS (
       |  SELECT doc_id, unnest(toks) AS t
-      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |        FROM documents)
       |  WHERE len(toks) > 0),
       |vocab AS (SELECT t, count(*) AS c FROM terms GROUP BY 1),
@@ -828,7 +828,7 @@ object Extended4Queries {
   private val ml07Sql =
     """WITH terms AS (
       |  SELECT doc_id, unnest(toks) AS t
-      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |        FROM documents WHERE doc_id < 100)
       |  WHERE len(toks) > 0),
       |h AS (
@@ -893,10 +893,10 @@ object Extended4Queries {
 
   private val mx05Sql =
     """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents),
       |fp AS (
-      |  SELECT doc_id, md5(translate(regexp_replace(trim(text), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
+      |  SELECT doc_id, md5(translate(regexp_replace(trim(text), '[ \t\n\f\r]+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
       |  FROM documents),
       |canon AS (
       |  SELECT doc_id FROM (

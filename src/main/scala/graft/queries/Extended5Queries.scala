@@ -27,7 +27,7 @@ object Extended5Queries {
 
   private val tx12Sql =
     """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents),
       |spans AS (
       |  SELECT doc_id, CAST((st - 1) // 8 AS INTEGER) AS span_idx,
@@ -59,7 +59,7 @@ object Extended5Queries {
 
   private val dd10Sql =
     """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents),
       |grams AS (
       |  SELECT doc_id, st AS pos,
@@ -103,7 +103,7 @@ object Extended5Queries {
 
   private val q79Sql =
     """WITH items AS (
-      |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), z -> z != '')) AS item
+      |  SELECT unnest(list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '')) AS item
       |  FROM documents),
       |seeds AS (SELECT unnest(range(0, 4)) AS seed),
       |exact AS (SELECT item, count(*) AS exact_cnt FROM items GROUP BY item),
@@ -242,7 +242,7 @@ object Extended5Queries {
 
   private val dd11Sql =
     """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents),
       |grams AS (
       |  SELECT doc_id, st AS pos,
@@ -321,7 +321,7 @@ object Extended5Queries {
 
   private val tx14Sql =
     """WITH base AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS t
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS t
       |  FROM documents),
       |toks AS (
       |  SELECT doc_id, pos, t[pos] AS w
@@ -352,7 +352,7 @@ object Extended5Queries {
 
   private val tx16Sql =
     """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents),
       |spans AS (
       |  SELECT doc_id,
@@ -392,7 +392,7 @@ object Extended5Queries {
 
   private val tx17Sql =
     """WITH t AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents),
       |q AS (
       |  -- CASE mirrors TextStats.qualityScore's token-less guard:
@@ -482,10 +482,10 @@ object Extended5Queries {
 
   private val mx06Sql =
     """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents),
       |fp AS (
-      |  SELECT doc_id, md5(translate(regexp_replace(trim(text), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
+      |  SELECT doc_id, md5(translate(regexp_replace(trim(text), '[ \t\n\f\r]+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
       |  FROM documents),
       |canon AS (
       |  SELECT doc_id FROM (
@@ -624,7 +624,7 @@ object Extended5Queries {
       |  FROM (
       |    SELECT source,
       |      unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS s5s
-      |    FROM (SELECT source, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |    FROM (SELECT source, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |          FROM documents)
       |    WHERE len(toks) >= 5)),
       |sizes AS (SELECT source, count(*) AS n_sh FROM inv GROUP BY 1),

@@ -310,7 +310,7 @@ object Extended6Queries {
 
   private val mx08Sql =
     """WITH t AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents),
       |d AS (
       |  SELECT doc_id,
@@ -362,7 +362,7 @@ object Extended6Queries {
 
   private val tx19Sql =
     """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents),
       |bsh AS (
       |  SELECT DISTINCT ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
@@ -429,7 +429,7 @@ object Extended6Queries {
 
   private val q88Sql =
     """WITH toks AS (
-      |  SELECT doc_id, source, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  SELECT doc_id, source, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents),
       |nz AS (SELECT * FROM toks WHERE len(toks) > 0),
       |base AS (

@@ -60,7 +60,7 @@ object Extended8Queries {
       |    SELECT doc_id, source, t, unnest(range(1, len(t) + 1)) AS pos
       |    FROM (
       |      SELECT doc_id, source,
-      |        list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS t
+      |        list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS t
       |      FROM documents) d0) d1),
       |flagged AS (
       |  SELECT doc_id, source, pos, tok,

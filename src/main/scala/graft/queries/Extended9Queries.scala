@@ -204,7 +204,7 @@ object Extended9Queries {
       |    SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos
       |    FROM (
       |      SELECT doc_id,
-      |        list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS t
+      |        list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS t
       |      FROM documents) d0) d1),
       |chunked AS (
       |  SELECT doc_id, tok, pos,

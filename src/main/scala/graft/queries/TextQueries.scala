@@ -23,11 +23,11 @@ object TextQueries {
 
   private val tx01Sql =
     """SELECT doc_id,
-      |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), z -> z != '')) AS INTEGER) AS n_tokens,
-      |  CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), z -> z != ''))) AS INTEGER) AS n_distinct_tokens,
+      |  CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '')) AS INTEGER) AS n_tokens,
+      |  CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != ''))) AS INTEGER) AS n_distinct_tokens,
       |  CAST(length(text) AS INTEGER) AS len_chars,
-      |  round(list_sum(list_transform(list_filter(regexp_split_to_array(text, '\s+'), z -> z != ''), t -> length(t)))
-      |        / len(list_filter(regexp_split_to_array(text, '\s+'), z -> z != '')), 4) AS mean_token_len
+      |  round(list_sum(list_transform(list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != ''), t -> length(t)))
+      |        / len(list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '')), 4) AS mean_token_len
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -50,7 +50,7 @@ object TextQueries {
   // 0.0 there, mirroring TextStats.qualityScore's curation-gate guard.
   private val tx02Sql =
     """WITH t AS (
-      |  SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  SELECT doc_id, text, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents
       |), m AS (
       |  SELECT doc_id, text,
@@ -82,7 +82,7 @@ object TextQueries {
 
   private val tx03Sql =
     """WITH t AS (
-      |  SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents
       |), sc AS (
       |  SELECT doc_id, lang,
@@ -114,7 +114,7 @@ object TextQueries {
 
   private val tx04Sql =
     """SELECT token, count(*) AS freq FROM (
-      |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), z -> z != '')) AS token
+      |  SELECT unnest(list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '')) AS token
       |  FROM documents
       |)
       |GROUP BY token
@@ -129,7 +129,7 @@ object TextQueries {
 
   private val tx05Sql =
     """SELECT doc_id,
-      |  md5(translate(regexp_replace(trim(text), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
+      |  md5(translate(regexp_replace(trim(text), '[ \t\n\f\r]+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -147,8 +147,8 @@ object TextQueries {
 
   private val tx06Sql =
     """SELECT doc_id,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_pieces,
-      |  CAST(len(list_distinct(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS INTEGER) AS n_distinct_pieces
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]')) AS INTEGER) AS n_pieces,
+      |  CAST(len(list_distinct(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]'))) AS INTEGER) AS n_distinct_pieces
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -173,7 +173,7 @@ object TextQueries {
 
   private val tx07Sql =
     """WITH t AS (
-      |  SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), z -> z != '') AS toks
+      |  SELECT doc_id, text, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), z -> z != '') AS toks
       |  FROM documents
       |), m AS (
       |  SELECT doc_id, text,
@@ -196,7 +196,7 @@ object TextQueries {
       |         ELSE 'und' END AS lang_pred
       |  FROM m
       |), fp AS (
-      |  SELECT doc_id, md5(translate(regexp_replace(trim(text), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
+      |  SELECT doc_id, md5(translate(regexp_replace(trim(text), '[ \t\n\f\r]+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
       |  FROM documents
       |), dup AS (
       |  SELECT doc_id, CAST(doc_id != min(doc_id) OVER (PARTITION BY fp) AS INTEGER) AS is_dup
