@@ -135,4 +135,35 @@ object VectorExprs {
     import org.apache.spark.sql.functions.{exists, isnan, lit, not}
     v.isNotNull && not(exists(v, x => isnan(x * lit(0))))
   }
+
+  /** TRUE iff the vector is finite AND has exactly `dim` elements.
+    * Finiteness alone is not enough for a fit/index screen: parquet
+    * arrays are variable-length, so a truncated or zero-length vector
+    * (a half-written embedding shard) is schema-legal and — found by
+    * the r11 chaos sweep — crashes MLlib PCA ("Dimensions mismatch
+    * when adding new sample") and raw-array Gram loops
+    * (IndexOutOfBounds) rather than degrading gracefully. Shape is
+    * part of validity.
+    */
+  def isShapedVec(v: Column, dim: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, size}
+    isFiniteVec(v) && size(v) === lit(dim)
+  }
+
+  /** The corpus's dominant (modal) vector length — the data-derived
+    * `dim` for [[isShapedVec]] screens, so fits never hard-code a
+    * dimensionality that testdata regeneration could drift away from.
+    * One tiny aggregate at fit time (ties broken toward the smaller
+    * dim, so the result is a pure function of the data). Zero-length
+    * and NULL vectors don't vote: they are corruption by contract,
+    * and an all-corrupt corpus should fail the fit loudly rather than
+    * elect dim 0 and silently index nothing.
+    */
+  def dominantDim(df: org.apache.spark.sql.DataFrame, vecCol: String): Int = {
+    import org.apache.spark.sql.functions.{col, count, lit, size}
+    df.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("d").asc)
+      .head().getInt(0)
+  }
 }

@@ -409,9 +409,13 @@ object MlPipeline {
   def pcaEmbed(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     // fit-time screen: one NaN/Inf embedding poisons the whole Gram
     // and breeze's eigensolver throws NotConvergedException — a failed
-    // decode in one shard must not abort the corpus-wide fit
+    // decode in one shard must not abort the corpus-wide fit. Shape
+    // too (r11): a truncated vector (half-written shard) makes
+    // RowMatrix throw "Dimensions mismatch" — screen to the corpus's
+    // dominant dim, not just finiteness.
+    val dim = graft.functions.VectorExprs.dominantDim(emb, vecCol)
     val withVec = emb
-      .filter(graft.functions.VectorExprs.isFiniteVec(col(vecCol)))
+      .filter(graft.functions.VectorExprs.isShapedVec(col(vecCol), dim))
       .select(col(idCol),
         array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("vec"))
     val model = new PCA().setInputCol("vec").setOutputCol("pca").setK(k).fit(withVec)
@@ -428,9 +432,10 @@ object MlPipeline {
     * oracle-checkable booleans, q38c-style.
     */
   def pcaGate(emb: DataFrame, vecCol: String, k: Int): (Array[Double], Double) = {
-    // same finite screen as pcaEmbed — the gate fits the SAME corpus
+    // same finite+shape screen as pcaEmbed — the gate fits the SAME corpus
+    val dim = graft.functions.VectorExprs.dominantDim(emb, vecCol)
     val withVec = emb
-      .filter(graft.functions.VectorExprs.isFiniteVec(col(vecCol)))
+      .filter(graft.functions.VectorExprs.isShapedVec(col(vecCol), dim))
       .select(
         array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("vec"))
     val model = new PCA().setInputCol("vec").setOutputCol("pca").setK(k).fit(withVec)

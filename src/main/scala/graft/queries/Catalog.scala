@@ -26,6 +26,23 @@ final case class Q(
     // reuses the memoized run instead of launching jobs at class init.
     oracleGen: Option[() => String] = None)
 
+/** Data-quality guards shared by the gap-fill/interpolation family. */
+object Guards {
+  /** Max hours a generated time spine may span, applied as
+    * `h1 := least(h1, h0 + CAP)` on BOTH engines. A dense spine is
+    * generated between each group's min and max timestamp — so ONE
+    * corrupted timestamp (the r11 chaos shard carries year-0001 and
+    * year-9999 rows) stretches the spine to ~87 MILLION hours per
+    * group and, in q93's case, feeds a window frame that then burned
+    * 20+ CPU-minutes on a single task without finishing. Clean data
+    * spans 720 hours at every SF, so a 20 000-hour (~2.3 year) cap is
+    * ~28× headroom for legitimate spans while bounding a poisoned
+    * group to 20 001 rows. The cap is mirrored verbatim in each
+    * query's oracle SQL, so results agree on any input.
+    */
+  val SpineCapHours = 20000
+}
+
 object Catalog {
   lazy val all: Seq[Q] =
     RelationalQueries.all ++ ExtendedQueries.all ++ Extended2Queries.all ++

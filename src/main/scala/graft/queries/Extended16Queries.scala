@@ -21,9 +21,19 @@ object Extended16Queries {
     */
   private def q100SpatialJoin(s: SparkSession, dir: String): DataFrame = {
     val r = 0.02
-    val pts = Tables.embeddings(s, dir).select(col("vec_id"),
-      element_at(col("embedding"), 1).cast("double").as("x"),
-      element_at(col("embedding"), 2).cast("double").as("y"))
+    // shape/finite guards (r11): under ANSI, element_at on a
+    // zero-length embedding THROWS (INVALID_ARRAY_INDEX) and a ±Inf
+    // coordinate overflows the cell-index floor-to-long — one corrupt
+    // vector must not abort the whole spatial join. Screened rows are
+    // simply unindexable, same contract as the ANN fits. Mirrored in
+    // the oracle (len + isfinite).
+    val pts = Tables.embeddings(s, dir)
+      .filter(size(col("embedding")) >= 2)
+      .select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      .filter(!isnan(col("x")) && abs(col("x")) < lit(Double.PositiveInfinity)
+        && !isnan(col("y")) && abs(col("y")) < lit(Double.PositiveInfinity))
       .withColumn("cx", floor(col("x") / r).cast("long"))
       .withColumn("cy", floor(col("y") / r).cast("long"))
       .localCheckpoint()
@@ -49,7 +59,13 @@ object Extended16Queries {
       |  round(sqrt(pow(a.embedding[1]::DOUBLE - b.embedding[1]::DOUBLE, 2)
       |           + pow(a.embedding[2]::DOUBLE - b.embedding[2]::DOUBLE, 2)), 6)
       |    AS dist
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |FROM (SELECT * FROM embeddings
+      |      WHERE len(embedding) >= 2
+      |        AND isfinite(embedding[1]::DOUBLE) AND isfinite(embedding[2]::DOUBLE)) a
+      |JOIN (SELECT * FROM embeddings
+      |      WHERE len(embedding) >= 2
+      |        AND isfinite(embedding[1]::DOUBLE) AND isfinite(embedding[2]::DOUBLE)) b
+      |  ON a.vec_id < b.vec_id
       |WHERE sqrt(pow(a.embedding[1]::DOUBLE - b.embedding[1]::DOUBLE, 2)
       |         + pow(a.embedding[2]::DOUBLE - b.embedding[2]::DOUBLE, 2)) <= 0.02
       |ORDER BY id_a, id_b""".stripMargin

@@ -297,8 +297,16 @@ object Extended21Queries {
     // 1.5·IQR fences live in HALF-cents, so no engine ever rounds a
     // half-way decimal (round(x, 2) at an exact .xx5 is where Spark's
     // HALF_UP-on-decimal and DuckDB's binary-value rounding part ways)
-    val d = df.select(col(groupCol).as("g"),
-      floor(col(valueCol) * 100 + 0.5).cast("long").as("vc"))
+    // finite screen (r11): floor() on a double returns LONG, so a
+    // single NaN/±Inf metric is an ANSI ARITHMETIC_OVERFLOW that
+    // aborts the whole audit — exactly the failure an outlier AUDIT
+    // must survive. Non-finite values are excluded from the histogram
+    // (they would poison the quartiles in either direction); NULLs
+    // keep their original path. Mirrored in the oracle (isfinite).
+    val d = df.filter(col(valueCol).isNull ||
+        (!isnan(col(valueCol)) && abs(col(valueCol)) < lit(Double.PositiveInfinity)))
+      .select(col(groupCol).as("g"),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("vc"))
     val hist = d.groupBy(col("g"), col("vc")).agg(count(lit(1)).as("n"))
     val tot = hist.groupBy(col("g")).agg(sum(col("n")).as("nn"))
     val w = Window.partitionBy(col("g")).orderBy(col("vc"))
@@ -333,7 +341,7 @@ object Extended21Queries {
     """WITH d AS (
       |  SELECT event_type AS g,
       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
-      |  FROM events),
+      |  FROM events WHERE value IS NULL OR isfinite(value)),
       |hist AS (SELECT g, vc, count(*) AS n FROM d GROUP BY 1, 2),
       |tot AS (SELECT g, sum(n) AS nn FROM hist GROUP BY 1),
       |cum AS (

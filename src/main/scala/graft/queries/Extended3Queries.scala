@@ -97,8 +97,12 @@ object Extended3Queries {
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"), col("value"))
     val counts = ev.groupBy(col("event_type"), col("h"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    // spine clamp (Guards.SpineCapHours): one corrupted max-timestamp
+    // must not explode the generated grid — mirrored in the oracle
     val grid = ev.groupBy(col("event_type"))
-      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .agg(min(col("h")).as("h0"),
+        least(max(col("h")),
+          min(col("h")) + expr(s"INTERVAL ${Guards.SpineCapHours} HOURS")).as("h1"))
       .select(col("event_type"),
         explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
     grid.join(counts, Seq("event_type", "h"), "left")
@@ -110,14 +114,16 @@ object Extended3Queries {
   }
 
   private val q60Sql =
-    """WITH ev AS (
+    s"""WITH ev AS (
       |  SELECT event_type, date_trunc('hour', ts) AS h, value FROM events
       |), counts AS (
       |  SELECT event_type, h, count(*) AS n, round(sum(value), 2) AS total_value
       |  FROM ev GROUP BY 1, 2
       |), grid AS (
       |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
-      |  FROM (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1)
+      |  FROM (SELECT event_type, min(h) AS h0,
+      |          least(max(h), min(h) + INTERVAL ${Guards.SpineCapHours} HOURS) AS h1
+      |        FROM ev GROUP BY 1)
       |)
       |SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
       |  CAST(coalesce(n, 0) AS BIGINT) AS n,

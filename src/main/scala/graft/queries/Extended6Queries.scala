@@ -463,8 +463,12 @@ object Extended6Queries {
     val e = Tables.events(s, dir).filter(col("user_id") < 50)
       .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
     val counts = e.groupBy(col("user_id"), col("h")).agg(count(lit(1)).as("n"))
+    // spine clamp (Guards.SpineCapHours): one corrupted max-timestamp
+    // must not explode the generated per-user grid — mirrored in the oracle
     val spans = e.groupBy(col("user_id"))
-      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .agg(min(col("h")).as("h0"),
+        least(max(col("h")),
+          min(col("h")) + expr(s"INTERVAL ${Guards.SpineCapHours} HOURS")).as("h1"))
     spans.select(col("user_id"),
         explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
       .join(counts, Seq("user_id", "h"), "left")
@@ -475,10 +479,12 @@ object Extended6Queries {
   }
 
   private val q89Sql =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT user_id, date_trunc('hour', ts) AS h FROM events WHERE user_id < 50),
       |counts AS (SELECT user_id, h, count(*) AS n FROM e GROUP BY 1, 2),
-      |spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1),
+      |spans AS (SELECT user_id, min(h) AS h0,
+      |            least(max(h), min(h) + INTERVAL ${Guards.SpineCapHours} HOURS) AS h1
+      |          FROM e GROUP BY 1),
       |dense AS (
       |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
       |  FROM spans)

@@ -144,22 +144,36 @@ object Extended8Queries {
     val obs = Tables.events(s, dir).filter(col("user_id") < 20)
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
       .agg(round(avg(col("value")), 4).as("v"))
+    // spine clamp (Guards.SpineCapHours): before the clamp, one
+    // corrupted timestamp pair (year 0001 + 9999, r11 chaos shard)
+    // generated an ~87M-row hourly spine for a single user — mirrored
+    // in the oracle
     val spans = obs.groupBy(col("user_id"))
-      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .agg(min(col("h")).as("h0"),
+        least(max(col("h")),
+          min(col("h")) + expr(s"INTERVAL ${Guards.SpineCapHours} HOURS")).as("h1"))
     val dense = spans.select(col("user_id"),
         explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
       .join(obs, Seq("user_id", "h"), "left")
     val wPrev = Window.partitionBy(col("user_id")).orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wNext = Window.partitionBy(col("user_id")).orderBy(col("h"))
-      .rowsBetween(0, Window.unboundedFollowing)
+    // next-value via a REVERSED cumulative frame, not (0, unboundedFollowing):
+    // Spark's UnboundedPreceding frame is computed incrementally (O(n)
+    // per partition) while UnboundedFollowing re-scans to the partition
+    // end per row — O(n²), and over a spilled buffer that re-read
+    // spill files per row (the r11 chaos hang: 20+ CPU-minutes on one
+    // task). first_non_null at-or-after h on ascending order IS
+    // last_non_null at-or-before h on descending order — identical
+    // semantics, linear cost at any partition size.
+    val wNextRev = Window.partitionBy(col("user_id")).orderBy(col("h").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val filled = dense
       .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
       .withColumn("ph", last(when(col("v").isNotNull, col("h")), ignoreNulls = true)
         .over(wPrev))
-      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
-      .withColumn("nh", first(when(col("v").isNotNull, col("h")), ignoreNulls = true)
-        .over(wNext))
+      .withColumn("nv", last(col("v"), ignoreNulls = true).over(wNextRev))
+      .withColumn("nh", last(when(col("v").isNotNull, col("h")), ignoreNulls = true)
+        .over(wNextRev))
     // interpolation between 4-dp neighbors systematically lands on
     // exact .xxxx5 decimals (ratio 1/2 of a 4-dp delta), where Spark's
     // BigDecimal round (via Double.toString's shortest repr) and
@@ -180,10 +194,12 @@ object Extended8Queries {
   }
 
   private val q93Sql =
-    """WITH obs AS (
+    s"""WITH obs AS (
       |  SELECT user_id, date_trunc('hour', ts) AS h, round(avg(value), 4) AS v
       |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
-      |spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY 1),
+      |spans AS (SELECT user_id, min(h) AS h0,
+      |            least(max(h), min(h) + INTERVAL ${Guards.SpineCapHours} HOURS) AS h1
+      |          FROM obs GROUP BY 1),
       |dense AS (
       |  SELECT s.user_id, unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS h
       |  FROM spans s),

@@ -225,7 +225,14 @@ object MlQueries {
     */
   private def gram64(s: SparkSession, dir: String): Array[Array[Double]] = {
     import s.implicits._
-    val g = Tables.embeddings(s, dir).select(col("embedding")).as[Seq[Float]]
+    // fit-time screen (r11): the raw while-loop below indexes v(0..63),
+    // so a truncated vector is an IndexOutOfBounds that kills the
+    // whole accumulation task — screen shape AND finiteness like every
+    // other fit (the 64 here is this query family's fixed contract,
+    // asserted against the data by the filter rather than assumed)
+    val g = Tables.embeddings(s, dir).select(col("embedding"))
+      .filter(graft.functions.VectorExprs.isShapedVec(col("embedding"), 64))
+      .as[Seq[Float]]
       .mapPartitions { it =>
         val acc = Array.ofDim[Double](64, 64)
         it.foreach { v =>
@@ -253,7 +260,12 @@ object MlQueries {
     * move eigenvectors). One extra scan-level agg job.
     */
   private def colSums64(s: SparkSession, dir: String): (Array[Double], Long) = {
+    // SAME screen as gram64 — the centering correction G − s·sᵀ/n is
+    // only meaningful if s, n and G are computed over the identical
+    // row set, so the two jobs must exclude the same malformed rows
+    // (and element_at(…, 33) on a truncated vector throws under ANSI)
     val emb = Tables.embeddings(s, dir)
+      .filter(graft.functions.VectorExprs.isShapedVec(col("embedding"), 64))
     val sums = emb.agg(
       count(lit(1)).as("n"),
       (0 until 64).map(i =>

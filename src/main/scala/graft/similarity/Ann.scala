@@ -140,13 +140,15 @@ object Ann {
       k: Int, nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // the index holds FINITE vectors only: one NaN/Inf embedding
-    // (failed decode) would smear NaN into its centroid at fit time
-    // AND crash MLlib's cell-assignment UDF at transform time
-    // (requirement failure on a NaN norm) — a poisoned row is
-    // unindexable, same exclusion contract as MlPipeline.pcaEmbed
+    // the index holds FINITE, RIGHT-SHAPED vectors only: one NaN/Inf
+    // embedding (failed decode) would smear NaN into its centroid at
+    // fit time AND crash MLlib's cell-assignment UDF at transform time
+    // (requirement failure on a NaN norm), and a truncated vector (r11
+    // chaos shard) fails KMeans' dimension requirement — a poisoned
+    // row is unindexable, same exclusion contract as MlPipeline.pcaEmbed
+    val dim = graft.functions.VectorExprs.dominantDim(corpus, vecCol)
     val corpusVec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .filter(graft.functions.VectorExprs.isFiniteVec(col("cv")))
+      .filter(graft.functions.VectorExprs.isShapedVec(col("cv"), dim))
       .withColumn("feat",
         array_to_vector(transform(col("cv"), x => x.cast("double"))))
     // the coarse quantizer only places probe cells — a handful of
@@ -321,13 +323,17 @@ object Ann {
     val subDim = codebooks.head.head.size
     require(codebooks.forall(_.forall(_.size == subDim)),
       "all codebook centroids must share the subspace dimension")
-    // slice() silently clamps short subvectors, so a codebook whose
-    // m·subDim disagrees with the corpus dimension would mis-encode
-    // instead of failing — assert the width in-plan (assert_true is
-    // null on success, so the filter keeps every valid row).
+    // slice() silently clamps short subvectors, so a vector whose size
+    // disagrees with the codebooks' m·subDim would MIS-ENCODE instead
+    // of failing. Through r10 this was an in-plan assert_true — but a
+    // corpus-wide abort on ONE truncated vector is the wrong tradeoff
+    // at 100 TB (r11 chaos shard): mismatched rows are unindexable and
+    // are SCREENED like every other fit (finiteness included — a NaN
+    // element would otherwise win every nearest-centroid comparison).
+    // A codebook/corpus CONFIG mismatch still surfaces loudly: every
+    // row screens out and the index is visibly empty.
     var enc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .filter(assert_true(size(col("cv")) === m * subDim,
-        lit(s"PQ codebooks cover ${m * subDim} dims; corpus vector differs")).isNull)
+      .filter(graft.functions.VectorExprs.isShapedVec(col("cv"), m * subDim))
     for (j <- 0 until m) {
       val sub = slice(col("cv"), j * subDim + 1, subDim)
       enc = enc.withColumn(s"code_$j", nearestCell(sub, codebooks(j)).getField("cell"))
@@ -417,7 +423,13 @@ object Ann {
     */
   def hammingTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // shape screen (r11): packSignBits element_at's dims 1..64, so a
+    // truncated vector is an ANSI INVALID_ARRAY_INDEX that kills the
+    // whole ranking — corrupt rows are unindexable (and an unrankable
+    // QUERY vector returns no rows for that query), same contract as
+    // the other index fits
     def sigs(df: DataFrame, id: String) = df
+      .filter(graft.functions.VectorExprs.isShapedVec(col(vecCol), 64))
       .select(col(idCol).as(id),
         packSignBits(col(vecCol), 1).as(s"${id}_h1"),
         packSignBits(col(vecCol), 33).as(s"${id}_h2"))

@@ -54,7 +54,12 @@ object ChaosSmoke {
       // the two engine-divergence classes found by probing (SCALE.md):
       // vertical tab (Java \s vs RE2 \s) and locale-sensitive casing
       (900008L, "ab\u000Bverticaltab words here", "en", "chaos", 30L),
-      (900009L, "İstanbul ΣΟΦΟΣ STRASSE ß MiXeD case tokens", "tr", "chaos", 42L))
+      (900009L, "İstanbul ΣΟΦΟΣ STRASSE ß MiXeD case tokens", "tr", "chaos", 42L),
+      // shape wave 2 (r11): astral-plane emoji (surrogate pairs: UTF-16
+      // length ≠ codepoint count ≠ UTF-8 bytes), combining marks, and
+      // RTL text with an embedded LTR run — the byte/char-length and
+      // segmentation edge cases real crawls contain
+      (900010L, "🚀🚀 éléphant مرحبا hello مع world", "und", "chaos", 48L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.unionByName(badDocs).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
@@ -63,7 +68,18 @@ object ChaosSmoke {
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
     val zero = Array.fill(dim)(0.0f)
     val nan = Array.tabulate(dim)(i => if (i == 3) Float.NaN else 0.1f)
-    val badEmb = Seq((900001L, zero, 0), (900002L, nan, 1))
+    // shape wave 2 (r11): the corruption classes a real embedding job
+    // leaves behind — a truncated (wrong-length) vector, an overflowed
+    // (+Inf element) vector, a zero-length array, and a NULL row. Parquet
+    // arrays are variable-length, so none of these are schema errors;
+    // every consumer must screen shape, not just finiteness.
+    val short = Array.fill(math.max(1, dim / 2))(0.1f)
+    val inf = Array.tabulate(dim)(i => if (i == 5) Float.PositiveInfinity else 0.1f)
+    val badEmb = Seq(
+      (900001L, zero, 0), (900002L, nan, 1),
+      (900003L, short, 0), (900004L, inf, 1),
+      (900005L, Array.empty[Float], 0),
+      (900006L, null.asInstanceOf[Array[Float]], 1))
       .toDF("vec_id", "embedding", "label")
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
         col("label"))
@@ -76,7 +92,14 @@ object ChaosSmoke {
     val badEv = Seq(
       (9000001L, Some("2024-01-02 03:04:05"), None: Option[Long], Some("click"), Some(1.0), Some("{}")),
       (9000002L, None: Option[String], Some(1L), Some("view"), Some(2.0), Some("{}")),
-      (9000003L, Some("2024-01-02 03:05:06"), Some(1L), None: Option[String], None: Option[Double], None: Option[String]))
+      (9000003L, Some("2024-01-02 03:05:06"), Some(1L), None: Option[String], None: Option[Double], None: Option[String]),
+      // shape wave 2 (r11): timestamps at the representable extremes
+      // (microsecond window/gap arithmetic must not overflow) and
+      // non-finite metric values (an ANSI cast of NaN/Inf to int
+      // THROWS — one bad sensor reading must not abort an audit)
+      (9000004L, Some("0001-01-01 00:00:00"), Some(2L), Some("click"), Some(Double.NaN), Some("{}")),
+      (9000005L, Some("9999-12-31 23:59:59"), Some(2L), Some("view"), Some(Double.PositiveInfinity), Some("{}")),
+      (9000006L, Some("2024-01-02 03:06:07"), Some(3L), Some("click"), Some(Double.NegativeInfinity), Some("{}")))
       .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
       .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
@@ -102,10 +125,14 @@ object ChaosSmoke {
   def sweep(spark: SparkSession, dir: String): Seq[(String, String)] = {
     val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try {
         fn(spark, dir)
           .selectExpr("bit_xor(xxhash64(struct(*)))").collect()
-        ()
+        // per-query progress line: when a degenerate row sends a plan
+        // quadratic (r11: a year-9999 ts exploding a window frame), the
+        // stuck query must be identifiable from the log, not a jstack
+        println(f"[chaos] ok $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case t: Throwable =>
         val root = {
           var c: Throwable = t

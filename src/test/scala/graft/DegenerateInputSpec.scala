@@ -280,4 +280,59 @@ class DegenerateInputSpec extends SparkSpec {
       "text", merges = Seq.empty)
     assert(applied.select("pieces").as[Seq[String]].head === Seq("a", "b"))
   }
+
+  // ---- vector SHAPE corruption (r11 wave 2) ---------------------------
+  // Parquet arrays are variable-length: a truncated, empty or NULL
+  // embedding is schema-legal, and before these screens it crashed
+  // MLlib PCA ("Dimensions mismatch"), raw Gram loops (IndexOutOfBounds)
+  // and packed-bit rankers (ANSI INVALID_ARRAY_INDEX) instead of being
+  // excluded like any other corrupt row.
+
+  private def fvecs(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+
+  test("isShapedVec: finiteness AND exact length, NULL/empty/short rejected") {
+    val d = fvecs(
+      (1L, Seq(1f, 2f, 3f, 4f)),                  // valid
+      (2L, Seq(1f, 2f)),                          // truncated
+      (3L, Seq.empty[Float]),                     // empty
+      (4L, null.asInstanceOf[Seq[Float]]),        // NULL row
+      (5L, Seq(1f, Float.NaN, 3f, 4f)),           // non-finite
+      (6L, Seq(1f, 2f, 3f, Float.PositiveInfinity)))
+    val kept = d.filter(graft.functions.VectorExprs.isShapedVec(col("embedding"), 4))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(kept === Seq(1L))
+  }
+
+  test("dominantDim: modal length wins, ties to the smaller, zero-length doesn't vote") {
+    val d = fvecs((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f)), (3L, Seq(1f, 2f, 3f)),
+      (4L, Seq.empty[Float]), (5L, null.asInstanceOf[Seq[Float]]))
+    assert(graft.functions.VectorExprs.dominantDim(d, "embedding") === 2)
+    // 2-way tie at count 1 → smaller dim (pure function of the data)
+    val tie = fvecs((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f)))
+    assert(graft.functions.VectorExprs.dominantDim(tie, "embedding") === 2)
+  }
+
+  test("hammingTopK: a truncated corpus vector is screened, never an abort") {
+    val corpus = fvecs(
+      (1L, Seq.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)),
+      (2L, Seq.tabulate(64)(i => if (i % 3 == 0) 1f else -1f)),
+      (3L, Seq.tabulate(32)(_ => 1f)))           // truncated — unindexable
+    val q = fvecs((9L, Seq.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
+    val got = Ann.hammingTopK(corpus, q, "vec_id", "embedding", k = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L))                  // 3 screened, others ranked
+  }
+
+  test("pcaEmbed: mixed-shape corpus fits on the dominant dim, corrupt rows excluded") {
+    val rnd = new scala.util.Random(7)
+    val good = (1L to 12L).map(i => i -> Seq.fill(8)(rnd.nextFloat()))
+    val bad = Seq(90L -> Seq.fill(4)(0.1f),       // truncated
+      91L -> Seq.empty[Float],                    // empty
+      92L -> null.asInstanceOf[Seq[Float]])       // NULL
+    val out = graft.ml.MlPipeline.pcaEmbed(fvecs((good ++ bad): _*),
+      "vec_id", "embedding", k = 2)
+    assert(out.select("vec_id").as[Long].collect().toSet === good.map(_._1).toSet)
+  }
 }
