@@ -118,7 +118,12 @@ object FunctionQueries {
   private def q35Json(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        // try_cast, not cast: get_json_object is NULL-safe on broken
+        // JSON, but a VALID document whose k is non-numeric reaches
+        // the cast and under ANSI aborts the whole aggregation
+        // (CAST_INVALID_INPUT, probed) — one malformed producer must
+        // not kill the metric job. DuckDB mirrors with TRY_CAST.
+        expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"))
       .groupBy(col("event_type"))
       .agg(count(col("k")).as("n_with_k"),
         round(avg(col("k")), 4).as("avg_k"),
@@ -128,10 +133,10 @@ object FunctionQueries {
 
   private val q35Sql =
     """SELECT event_type,
-      |  count(CAST(props->>'$.k' AS INTEGER)) AS n_with_k,
-      |  round(avg(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
-      |  CAST(min(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS min_k,
-      |  CAST(max(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k
+      |  count(TRY_CAST(props->>'$.k' AS INTEGER)) AS n_with_k,
+      |  round(avg(TRY_CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
+      |  CAST(min(TRY_CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS min_k,
+      |  CAST(max(TRY_CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin

@@ -99,7 +99,12 @@ object ChaosSmoke {
       // THROWS — one bad sensor reading must not abort an audit)
       (9000004L, Some("0001-01-01 00:00:00"), Some(2L), Some("click"), Some(Double.NaN), Some("{}")),
       (9000005L, Some("9999-12-31 23:59:59"), Some(2L), Some("view"), Some(Double.PositiveInfinity), Some("{}")),
-      (9000006L, Some("2024-01-02 03:06:07"), Some(3L), Some("click"), Some(Double.NegativeInfinity), Some("{}")))
+      (9000006L, Some("2024-01-02 03:06:07"), Some(3L), Some("click"), Some(Double.NegativeInfinity), Some("{}")),
+      // malformed producer payloads: valid JSON with a non-numeric k
+      // (reaches the cast — ANSI CAST_INVALID_INPUT without try_cast,
+      // probed) and a truncated document (extraction itself is NULL-safe)
+      (9000007L, Some("2024-01-02 03:07:08"), Some(3L), Some("view"), Some(1.0), Some("""{"k":"not-a-number"}""")),
+      (9000008L, Some("2024-01-02 03:08:09"), Some(3L), Some("view"), Some(2.0), Some("""{"k":""")))
       .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
       .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
