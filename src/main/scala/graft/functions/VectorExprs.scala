@@ -161,9 +161,16 @@ object VectorExprs {
     */
   def dominantDim(df: org.apache.spark.sql.DataFrame, vecCol: String): Int = {
     import org.apache.spark.sql.functions.{col, count, lit, size}
-    df.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
+    val top = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
       .groupBy(col("d")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("d").asc)
-      .head().getInt(0)
+      .head(1)
+    // empty/all-corrupt corpus: fail with a NAMED cause instead of the
+    // bare NoSuchElementException head() would raise — fitting an
+    // index over nothing is a bootstrap/config error, and the one
+    // degenerate regime where aborting loudly IS the contract
+    require(top.nonEmpty,
+      s"dominantDim($vecCol): no non-empty vectors — cannot infer a fit dimensionality")
+    top.head.getInt(0)
   }
 }
