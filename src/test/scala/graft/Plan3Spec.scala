@@ -37,6 +37,23 @@ class Plan3Spec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q93 interp: every fill window is a cumulative frame, never UnboundedFollowing") {
+    // Spark computes (UNBOUNDED PRECEDING, CURRENT ROW) frames
+    // incrementally (O(n) per partition) but re-scans to the partition
+    // end per row for (CURRENT ROW, UNBOUNDED FOLLOWING) — O(n²), and
+    // over a spilled buffer that re-reads spill files per row. The r11
+    // chaos shard proved the difference is not academic: one corrupted
+    // timestamp pair burned 20+ CPU-minutes on a single task before
+    // the next-value windows were reformulated as reversed cumulative
+    // frames (identical semantics). This pins the linear formulation.
+    val plan = formatted(Catalog.queries("q93_interp")(spark, Sf0001))
+    assert(!plan.toLowerCase.contains("unboundedfollowing"),
+      "q93's next-value lookups must use reversed cumulative frames, " +
+        "not an O(n²) UnboundedFollowing frame")
+    assert(plan.toLowerCase.contains("unboundedpreceding"),
+      "expected cumulative window frames in the q93 plan")
+  }
+
   test("q107 rolling WAU: the day fan-out joins by equi-join, never nested-loop") {
     val plan = formatted(Catalog.queries("q107_rolling_wau")(spark, Sf0001))
     assert(!plan.contains("BroadcastNestedLoopJoin"),
