@@ -97,7 +97,9 @@ class ScaleInvarianceSpec extends SparkSpec {
     "dd04_minhash_lsh",        // banding with docs that have no shingles
     "tx17_quality_percentile", // quality histogram now contains the 0.0 bucket
     "mx10_shard_manifest",     // layout offsets with degenerate docs in the corpus
-    "ml05c_pca_variance_gate") // PCA gate over the finite-screened corpus
+    "ml05c_pca_variance_gate", // PCA gate over the finite+shape-screened corpus
+    "q93_interp")              // clamped spine + reversed cumulative fill frames
+                               // (r11) over year-0001/9999 poisoned timestamps
 
   chaosSubjects.foreach { name =>
     test(s"$name is invariant under 3 / 17 shuffle partitions on chaos data") {
