@@ -61,6 +61,13 @@ object ChaosSmoke {
       // segmentation edge cases real crawls contain
       (900010L, "🚀🚀 éléphant مرحبا hello مع world", "und", "chaos", 48L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(Seq(
+        // real text with NULL lang AND NULL source: the mixing/packing
+        // family groups and joins on source, so the NULL-group path
+        // (SQL GROUP BY keeps it, equi-joins drop it) must be inert
+        (900011L, "perfectly ordinary text with missing metadata fields",
+          null.asInstanceOf[String], null.asInstanceOf[String], 52L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
     docs.unionByName(badDocs).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
 
