@@ -48,12 +48,47 @@ object Bench {
     // time-series band join
     "ml11_logreg", "tx20_cdc_chunks", "q91_bloom_filter", "q92_ewma")
 
-  /** Worst-case printed-line estimate: fixed frame + per-entry
+  /** Worst-case printed-line estimate: fixed frame (incl. the
+    * memo_warn field, assumed empty — a non-empty tripwire is already
+    * an adjudication case, not a baseline) + per-entry
     * name+quotes+colon+comma+8 digit chars. Keeps the list honest at
     * build time instead of discovering a truncated BENCH_r{N}.json.
     */
   private def lineBudgetOk: Boolean =
-    180 + headline.map(_.length + 12).sum < 1500
+    210 + headline.map(_.length + 12).sum < 1500
+
+  /** Queries served from a session memo after their first execution:
+    * their memo-hit cost is ALSO recorded (one extra timed run without
+    * clearing) so fresh-vs-steady adjudication is answerable from the
+    * bench artifact alone (VERDICT r10 #4), not from a manual replay.
+    */
+  private[graft] val memoizedQueries =
+    Set("imdb_pipeline_demo", "imdb_pipeline_synth", "ml03_gbt_eval")
+
+  /** Memo-drift tripwire (VERDICT r11 #1): the median-of-3 regime
+    * assumes `isolate(dropMemos=true)` makes every rep pay full cost.
+    * If a future query memoizes through a mechanism
+    * `Catalog.clearMemos` doesn't cover and isn't listed in
+    * [[memoizedQueries]], reps 2+ would time a cache hit and the
+    * median would be fiction — silently, with rc=0. This flags exactly
+    * that signature: a fresh-looking rep-1 followed by a >10×
+    * collapse. The 0.5 s floor keeps sub-second jitter (JIT, page
+    * cache) from tripping it; a real memo hit is a ~millisecond map
+    * lookup, far below any real query's tenth-speed. Carried into the
+    * printed JSON as `"memo_warn"` — a warning field, not a failure.
+    */
+  private[graft] def memoDrift(name: String, reps: Seq[Double],
+      declared: Set[String] = memoizedQueries): Boolean =
+    reps.size > 1 && !declared.contains(name) &&
+      reps.head >= 0.5 && reps.head > 10.0 * reps.tail.min
+
+  /** Memo producer→consumer pairs in the catalog (ADVICE r11): ml04
+    * contractually reuses the GBT model ml03 leaves memoized. Headline
+    * reps clear ALL memos, so if any headline name sorted strictly
+    * between a producer and its consumer, the consumer would silently
+    * flip from memo-hit to full-retrain timing. Asserted at startup.
+    */
+  private val memoPairs = Seq(("ml03_gbt_eval", "ml04_importances"))
 
   private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
 
@@ -64,6 +99,13 @@ object Bench {
     require(missing.isEmpty, s"headline names not in catalog: ${missing.mkString(",")}")
     require(lineBudgetOk,
       s"headline list too long: worst-case JSON line exceeds the driver's ~1500-char buffer")
+    memoPairs.foreach { case (producer, consumer) =>
+      val between = headline.filter(n => n > producer && n < consumer)
+      require(between.isEmpty,
+        s"headline ${between.mkString(",")} sorts between memo producer $producer and " +
+          s"consumer $consumer — its reps would clear the memo and $consumer would " +
+          "silently time a full retrain instead of the contractual memo hit")
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -146,11 +188,17 @@ object Bench {
     final case class Outcome(seconds: Double, ok: Boolean, error: Option[String],
         reps: Seq[Double], memoizedSec: Option[Double])
     val HeadlineReps = 3
-    // Queries served from a session memo after their first execution:
-    // their memo-hit cost is ALSO recorded (one extra timed run without
-    // clearing) so fresh-vs-steady adjudication is answerable from the
-    // bench artifact alone (VERDICT r10 #4), not from a manual replay.
-    val memoizedQueries = Set("imdb_pipeline_demo", "imdb_pipeline_synth", "ml03_gbt_eval")
+    // Red-test drill for the memo-drift tripwire: naming a MEMOIZED
+    // headline query here makes its reps 2+ SKIP the memo clear AND
+    // removes it from the declared set for the sweep — together that
+    // simulates exactly the failure the tripwire exists to catch (an
+    // UNLISTED query memoizing through a mechanism Catalog.clearMemos
+    // doesn't cover). Drill-only — never set in a real round; verified
+    // locally when the tripwire landed (r12):
+    // SPARK_GRAFT_MEMO_DRILL=imdb_pipeline_demo turns memo_warn
+    // non-empty while a normal drive keeps it [].
+    val memoDrill = sys.env.get("SPARK_GRAFT_MEMO_DRILL")
+    val declaredMemos = memoizedQueries -- memoDrill
     def isolate(dropMemos: Boolean): Unit = {
       // Untimed isolation between timings: drop SQL cache and nudge the
       // ContextCleaner (localCheckpoint/persist blocks are freed on GC)
@@ -173,14 +221,23 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val outcome = if (headline.contains(name)) {
-        val reps = Seq.fill(HeadlineReps) { isolate(dropMemos = true); once() }
+        val reps = (0 until HeadlineReps).map { i =>
+          isolate(dropMemos = !(memoDrill.contains(name) && i > 0)); once()
+        }
         val times = reps.map(_._1)
         val errs = reps.flatMap(_._2)
+        // Median over SUCCESSFUL reps only (ADVICE r11): a failing rep
+        // fast-fails, and blending its duration into the median would
+        // mix regimes. The round is already red via ok=false + exit 1;
+        // if every rep failed, the all-rep median stands (the number is
+        // diagnostic only at that point, and the reps array has it all).
+        val good = reps.collect { case (t, None) => t }
+        val medianOf = if (good.nonEmpty) good else times
         // One extra run WITHOUT clearing: the preceding rep left the
         // memo populated, so this times the steady (memo-hit) regime.
         val memoSec =
           if (memoizedQueries.contains(name) && errs.isEmpty) Some(once()._1) else None
-        Outcome(times.sorted.apply(times.size / 2), errs.isEmpty, errs.headOption,
+        Outcome(medianOf.sorted.apply(medianOf.size / 2), errs.isEmpty, errs.headOption,
           times, memoSec)
       } else {
         // Single-shot for the long tail: these only feed the detail
@@ -193,6 +250,9 @@ object Bench {
       name -> outcome
     }
     val failed = results.collect { case (k, o) if !o.ok => k }
+    // Tripwire sweep (see memoDrift): only successful headline entries
+    // can produce a trustworthy rep pattern worth flagging.
+    val memoWarn = results.collect { case (k, o) if o.ok && memoDrift(k, o.reps, declaredMemos) => k }
     val total = r3(results.map(_._2.seconds).sum)
     val hs = results.filter { case (k, _) => headline.contains(k) }
     val qs = hs.map { case (k, o) => s"\"" + k + "\":" + r3(o.seconds) }
@@ -223,7 +283,8 @@ object Bench {
     // between reps — a host-load spike now costs one rep, not the
     // round's reading.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"v6-median3","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    val memoWarnJson = memoWarn.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"v6-median3","n_failed":${failed.size},"failed":$failedJson,"memo_warn":$memoWarnJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // A bench with any failed query is not a measurement — make the
     // process exit status itself red so no downstream consumer can

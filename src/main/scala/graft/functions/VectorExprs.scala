@@ -150,6 +150,44 @@ object VectorExprs {
     isFiniteVec(v) && size(v) === lit(dim)
   }
 
+  /** Modal share below which [[dominantDim]] warns (ADVICE r11): the
+    * modal election is only trustworthy when the modal length clearly
+    * IS the corpus's real dimensionality. A consistent shard-level
+    * truncation hitting >50% of rows would elect the CORRUPT dim (and
+    * the tie-break favors smaller, i.e. truncated, dims), silently
+    * screening every healthy vector. Below this share the election is
+    * ambiguous by construction, so it stays a pure function of the
+    * data (no behavior change — hashes unchanged) but shouts.
+    */
+  val MinModalShare = 0.5
+
+  /** The corpus's dominant (modal) vector length plus the share of
+    * non-empty vectors holding that length — see [[dominantDim]] for
+    * the election contract. Exposed separately so callers (and the
+    * DegenerateInputSpec pin) can gate on the share directly.
+    */
+  def dominantDimWithShare(df: org.apache.spark.sql.DataFrame,
+      vecCol: String): (Int, Double) = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, max_by, negate, size, struct, sum}
+    // One aggregation over the (tiny) length histogram: the elected
+    // dim via max_by over (n, -d) — largest count, ties to the SMALLER
+    // dim — plus max(n) (the modal count: the elected group's count by
+    // definition) and sum(n), so the share costs no extra corpus pass.
+    val top = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      .agg(max_by(col("d"), struct(col("n"), negate(col("d")))).as("dim"),
+        max(col("n")).as("modal_n"), sum(col("n")).as("total"))
+      .head(1)
+    // empty/all-corrupt corpus: a global agg over zero groups returns
+    // one all-NULL row — fail with a NAMED cause; fitting an index
+    // over nothing is a bootstrap/config error, and the one degenerate
+    // regime where aborting loudly IS the contract
+    require(top.nonEmpty && !top.head.isNullAt(0),
+      s"dominantDim($vecCol): no non-empty vectors — cannot infer a fit dimensionality")
+    val r = top.head
+    (r.getInt(0), r.getLong(1).toDouble / r.getLong(2).toDouble)
+  }
+
   /** The corpus's dominant (modal) vector length — the data-derived
     * `dim` for [[isShapedVec]] screens, so fits never hard-code a
     * dimensionality that testdata regeneration could drift away from.
@@ -157,20 +195,19 @@ object VectorExprs {
     * dim, so the result is a pure function of the data). Zero-length
     * and NULL vectors don't vote: they are corruption by contract,
     * and an all-corrupt corpus should fail the fit loudly rather than
-    * elect dim 0 and silently index nothing.
+    * elect dim 0 and silently index nothing. When the modal dim holds
+    * less than [[MinModalShare]] of the non-empty vectors, the
+    * election still proceeds (deterministic, data-derived) but a loud
+    * stderr warning names the dim and its share — a majority-corrupt
+    * shard is detectable without changing any clean-data result.
     */
   def dominantDim(df: org.apache.spark.sql.DataFrame, vecCol: String): Int = {
-    import org.apache.spark.sql.functions.{col, count, lit, size}
-    val top = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
-      .groupBy(col("d")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("d").asc)
-      .head(1)
-    // empty/all-corrupt corpus: fail with a NAMED cause instead of the
-    // bare NoSuchElementException head() would raise — fitting an
-    // index over nothing is a bootstrap/config error, and the one
-    // degenerate regime where aborting loudly IS the contract
-    require(top.nonEmpty,
-      s"dominantDim($vecCol): no non-empty vectors — cannot infer a fit dimensionality")
-    top.head.getInt(0)
+    val (dim, share) = dominantDimWithShare(df, vecCol)
+    if (share < MinModalShare)
+      System.err.println(
+        f"[graft] dominantDim($vecCol%s): modal dim $dim%d holds only ${share * 100}%.1f%% " +
+          "of non-empty vectors — election is ambiguous (majority-corrupt shard?); " +
+          "healthy rows of other lengths will be screened out")
+    dim
   }
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the memo-drift tripwire predicate (VERDICT r11 #1) — the one
+  * remaining way the v6 median-of-3 bench regime could silently report
+  * fiction is a query that memoizes through a mechanism
+  * `Catalog.clearMemos` doesn't cover while absent from
+  * `Bench.memoizedQueries`: its reps 2+ would time a map hit. The
+  * predicate is pure, so the signature (fresh rep-1, >10× collapse) is
+  * testable without a bench drive; the end-to-end path was red-tested
+  * with the SPARK_GRAFT_MEMO_DRILL drill when the tripwire landed.
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  test("fires on an unlisted query whose reps collapse like a memo hit") {
+    // rep-1 pays a real 2.7 s; reps 2-3 are ~90 ms map hits
+    assert(Bench.memoDrift("some_new_query", Seq(2.69, 0.09, 0.08)))
+  }
+
+  test("silent for queries declared in memoizedQueries") {
+    assert(!Bench.memoDrift("imdb_pipeline_demo", Seq(2.69, 0.09, 0.08)))
+  }
+
+  test("drill semantics: removing a memoized query from the declared set trips it") {
+    // what SPARK_GRAFT_MEMO_DRILL simulates end-to-end: the same rep
+    // pattern, but the query no longer declared — must fire
+    assert(Bench.memoDrift("imdb_pipeline_demo", Seq(2.69, 0.09, 0.08),
+      declared = Set("imdb_pipeline_synth", "ml03_gbt_eval")))
+  }
+
+  test("silent for genuine host-load spikes and sub-floor jitter") {
+    // a spike on rep-1 of a real ~1 s query is noise, not a memo (3×)
+    assert(!Bench.memoDrift("dd04_minhash_lsh", Seq(3.02, 1.0, 0.9)))
+    // sub-second queries jitter across the 10× ratio without meaning
+    assert(!Bench.memoDrift("q22_window_rank", Seq(0.4, 0.03, 0.03)))
+    // single-shot (non-headline) entries never trip
+    assert(!Bench.memoDrift("q35_json_extract", Seq(1.2)))
+  }
+}

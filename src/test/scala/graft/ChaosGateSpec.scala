@@ -19,11 +19,22 @@ package graft
 class ChaosGateSpec extends SparkSpec {
 
   test("all catalog queries survive the degenerate-data shard (no throw)") {
-    val dir = "/tmp/graft_chaos_gate"
-    graft.tools.ChaosSmoke.build(spark, Sf0001, dir)
-    val failures = graft.tools.ChaosSmoke.sweep(spark, dir)
-    assert(failures.isEmpty,
-      s"${failures.size} of ${SparkEntry.queries.size} queries threw on degenerate data:\n" +
-        failures.map { case (n, e) => s"  $n -> $e" }.mkString("\n"))
+    // Per-run temp dir (ADVICE r11): a fixed /tmp path let two
+    // concurrent `sbt test` runs on one host overwrite each other's
+    // shard mid-sweep. Best-effort recursive cleanup after the sweep.
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaos_gate").toString
+    try {
+      graft.tools.ChaosSmoke.build(spark, Sf0001, dir)
+      val failures = graft.tools.ChaosSmoke.sweep(spark, dir)
+      assert(failures.isEmpty,
+        s"${failures.size} of ${SparkEntry.queries.size} queries threw on degenerate data:\n" +
+          failures.map { case (n, e) => s"  $n -> $e" }.mkString("\n"))
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
   }
 }

@@ -314,6 +314,25 @@ class DegenerateInputSpec extends SparkSpec {
     assert(graft.functions.VectorExprs.dominantDim(tie, "embedding") === 2)
   }
 
+  test("dominantDimWithShare: majority-corrupt election is detectable via the share") {
+    // 3 of 5 truncated at the SAME length — the documented blind spot
+    // (ADVICE r11): the corrupt dim wins the election. The share (0.6,
+    // above MinModalShare) says the corpus is at least self-consistent.
+    val majTrunc = fvecs(
+      (1L, Seq(1f, 2f)), (2L, Seq(3f, 4f)), (3L, Seq(5f, 6f)),
+      (4L, Seq(1f, 2f, 3f, 4f)), (5L, Seq(5f, 6f, 7f, 8f)))
+    assert(graft.functions.VectorExprs.dominantDimWithShare(majTrunc, "embedding")
+      === ((2, 0.6)))
+    // Three-way fragmentation: no length holds MinModalShare — the
+    // election still returns the deterministic (modal-count, smaller-
+    // dim) answer, and the share < 0.5 is what dominantDim warns on.
+    val frag = fvecs((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f)), (3L, Seq(1f, 2f, 3f, 4f)))
+    val (fd, fs) = graft.functions.VectorExprs.dominantDimWithShare(frag, "embedding")
+    assert(fd === 2)
+    assert(math.abs(fs - 1.0 / 3.0) < 1e-12)
+    assert(fs < graft.functions.VectorExprs.MinModalShare)
+  }
+
   test("hammingTopK: a truncated corpus vector is screened, never an abort") {
     val corpus = fvecs(
       (1L, Seq.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)),
