@@ -203,11 +203,15 @@ object VectorExprs {
     */
   def dominantDim(df: org.apache.spark.sql.DataFrame, vecCol: String): Int = {
     val (dim, share) = dominantDimWithShare(df, vecCol)
-    if (share < MinModalShare)
+    if (share < MinModalShare) {
+      // Double.toString, not an f-interpolator: %f is locale-dependent
+      // (comma decimals under e.g. de_DE) and this line is asserted on
+      val pct = math.round(share * 1000.0) / 10.0
       System.err.println(
-        f"[graft] dominantDim($vecCol%s): modal dim $dim%d holds only ${share * 100}%.1f%% " +
+        s"[graft] dominantDim($vecCol): modal dim $dim holds only $pct% " +
           "of non-empty vectors — election is ambiguous (majority-corrupt shard?); " +
           "healthy rows of other lengths will be screened out")
+    }
     dim
   }
 }

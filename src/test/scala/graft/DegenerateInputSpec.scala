@@ -333,6 +333,31 @@ class DegenerateInputSpec extends SparkSpec {
     assert(fs < graft.functions.VectorExprs.MinModalShare)
   }
 
+  test("dominantDim: the ambiguous-election warning actually reaches stderr") {
+    // Pin the warn PATH, not just the share arithmetic: a future
+    // refactor silently dropping the println would reopen the
+    // majority-corrupt blind spot with every other test still green.
+    def captureErr(body: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+      try body finally System.setErr(old)
+      buf.toString("UTF-8")
+    }
+    val frag = fvecs((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f)), (3L, Seq(1f, 2f, 3f, 4f)))
+    val warned = captureErr {
+      assert(graft.functions.VectorExprs.dominantDim(frag, "embedding") === 2)
+    }
+    assert(warned.contains("dominantDim(embedding)") && warned.contains("33.3%"),
+      s"expected an ambiguous-election warning on stderr, got: '$warned'")
+    // ...and a clear majority stays silent
+    val clean = fvecs((1L, Seq(1f, 2f)), (2L, Seq(3f, 4f)), (3L, Seq(1f, 2f, 3f)))
+    val silent = captureErr {
+      assert(graft.functions.VectorExprs.dominantDim(clean, "embedding") === 2)
+    }
+    assert(!silent.contains("dominantDim"), s"unexpected warning: '$silent'")
+  }
+
   test("hammingTopK: a truncated corpus vector is screened, never an abort") {
     val corpus = fvecs(
       (1L, Seq.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)),
