@@ -125,6 +125,75 @@ object Dedup {
         (col(s"d.$idCol") =!= col("g.canonical_id")).cast("int").as("is_dup"))
   }
 
+  /** Shared keying for the byte-identical collapse pair below: a doc is
+    * `__collapsible` iff it has at least `minTokens` tokens — exactly
+    * the [[hashedShingleRows]] gate, so a collapsible doc ALWAYS
+    * contributes shingles and two byte-identical collapsible docs are
+    * ALWAYS a jaccard-1.0 pair. Shorter/NULL docs never form pairs, so
+    * collapsing them would wrongly merge rows the pairwise path passes
+    * through individually — they bypass the collapse untouched. The key
+    * is md5 of the RAW text, not [[graft.text.TextStats.fingerprint]]:
+    * the fingerprint case/whitespace-normalizes, but shingle hashes are
+    * over raw tokens, so fingerprint-equal docs are NOT necessarily
+    * jaccard-1 — raw-byte equality is the strongest key whose merges
+    * the pairwise path provably reproduces.
+    */
+  private def collapseKeyed(docs: DataFrame, textCol: String,
+      minTokens: Int): DataFrame =
+    docs
+      .withColumn("__collapsible",
+        coalesce(size(TextStats.tokens(col(textCol))) >= minTokens, lit(false)))
+      .withColumn("__cfp", md5(col(textCol)))
+
+  /** Collapse byte-identical shingle-able documents to their min-id
+    * member (full row) before pairwise near-dup work; docs below the
+    * shingle gate pass through untouched.
+    *
+    * WHY (the r12 duplicate-blast probe, SCALE.md): a real crawl is
+    * boilerplate-heavy — the same page body replicated thousands to
+    * millions of times — and every pairwise candidate generator does
+    * Σ bucket² work, so a K-identical cluster costs O(K²) candidates
+    * no matter how clever the banding (every copy lands in every
+    * bucket together). Collapsing first removes the quadratic term
+    * for one linear fingerprint shuffle (the dd01 plan shape).
+    *
+    * SEMANTICS-PRESERVING for canonical-keep pipelines (dd09/dd13/
+    * dd14): byte-identical collapsible docs are a jaccard-1 pair under
+    * any threshold ≤ 1, so the original clustering always puts an
+    * exact group in one cluster whose canonical is the group's min id
+    * (min-id rule directly; quality rule because identical text ⇒
+    * identical quality ⇒ ties break to min id). Dropping non-min
+    * members up front therefore drops exactly the rows the cluster
+    * stage would drop — pinned by DedupSpec's equivalence battery
+    * against the uncollapsed formulation on an adversarial corpus.
+    */
+  def collapseIdenticalTexts(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 3): DataFrame = {
+    val keyed = collapseKeyed(docs, textCol, minTokens)
+    val w = Window.partitionBy(col("__cfp")).orderBy(col(idCol))
+    val reps = keyed.filter(col("__collapsible"))
+      .withColumn("__crk", row_number().over(w))
+      .filter(col("__crk") === 1)
+      .drop("__collapsible", "__cfp", "__crk")
+    val pass = keyed.filter(!col("__collapsible")).drop("__collapsible", "__cfp")
+    reps.unionByName(pass)
+  }
+
+  /** Every shingle-able doc mapped to its byte-identical group's min-id
+    * representative — the re-expansion side of
+    * [[collapseIdenticalTexts]], for outputs that enumerate cluster
+    * MEMBERS (dd08) rather than keep canonicals: run the pairwise
+    * stage on the collapsed corpus, then join members back through
+    * this mapping. One fingerprint shuffle.
+    */
+  def identicalTextMembership(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("__cfp"))
+    collapseKeyed(docs, textCol, minTokens)
+      .filter(col("__collapsible"))
+      .select(col(idCol), min(col(idCol)).over(w).as("rep"))
+  }
+
   /** Incremental exact dedup: drop incoming docs whose normalized-text
     * fingerprint already exists in the corpus (anti-join on the
     * fingerprint), and dedup the survivors among themselves (keep the
@@ -326,6 +395,38 @@ object Dedup {
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("v").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
+  /** [[duplicateClusters]] over the exact-Jaccard pair graph with the
+    * byte-identical collapse applied first and the membership expanded
+    * back after — same (doc_id, cluster_id, cluster_size) contract as
+    * running [[jaccardPairs]] + [[duplicateClusters]] on the raw
+    * corpus, but a K-identical boilerplate cluster costs K linear
+    * membership rows instead of O(K²) pairwise candidates (the r12
+    * duplicate-blast probe, SCALE.md). Equivalence per
+    * [[collapseIdenticalTexts]]: an exact group is jaccard-1-complete,
+    * so every member carries its rep's component label — or the rep
+    * itself when a group of size ≥ 2 has no external near-dup — and
+    * per-label member counts are unchanged. Pinned against the
+    * uncollapsed formulation in DedupSpec.
+    */
+  def jaccardClustersExactFirst(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val collapsed = collapseIdenticalTexts(docs, idCol, textCol, minTokens = n)
+    val m = identicalTextMembership(docs, idCol, textCol, minTokens = n)
+    val pairs = jaccardPairs(collapsed, idCol, textCol, n, threshold)
+    val repClusters = duplicateClusters(pairs, "doc_a", "doc_b")
+      .select(col("doc_id").as("rep"), col("cluster_id"))
+    val selfClusters = m.groupBy(col("rep")).agg(count(lit(1)).as("g"))
+      .filter(col("g") >= 2)
+      .join(repClusters, Seq("rep"), "left_anti")
+      .select(col("rep"), col("rep").as("cluster_id"))
+    val memberLabel = m.join(repClusters.unionByName(selfClusters), Seq("rep"))
+      .select(col(idCol).as("doc_id"), col("cluster_id"))
+    val sizes = memberLabel.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    memberLabel.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
   /** Connected components by alternating large-star/small-star

@@ -214,13 +214,22 @@ object DedupQueries {
     * near-dup pairs (dd02's edges) via iterative min-label
     * propagation. The oracle computes the same min-reachable-id
     * labels with a recursive CTE over the symmetrized edge list.
+    *
+    * Byte-identical docs are collapsed before the pairwise stage and
+    * the membership re-expanded after (r12 duplicate-blast probe,
+    * SCALE.md): the output enumerates members, so it is linear in
+    * cluster size either way, but the candidate generation inside
+    * jaccardPairs was O(K²) for a K-identical boilerplate cluster.
+    * Equivalence: an exact group is jaccard-1-complete, so its
+    * members' component label is its rep's label (or the rep itself
+    * when the group is a cluster on its own), and member counts per
+    * label are unchanged. Pinned against the uncollapsed formulation
+    * in DedupSpec.
     */
-  private def dd08Clusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-      n = 3, threshold = 0.5)
-    Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
+  private def dd08Clusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardClustersExactFirst(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5)
       .orderBy(col("doc_id"))
-  }
 
   private val dd08Sql =
     s"""WITH RECURSIVE $shingleCteBody,
@@ -257,8 +266,15 @@ object DedupQueries {
     */
   private def dd09Curate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
-    Dedup.keepCanonical(docs, "doc_id", Dedup.duplicateClusters(pairs, "doc_a", "doc_b"))
+    // collapse byte-identical docs first (r12 duplicate-blast probe):
+    // a K-copy boilerplate cluster otherwise costs O(K²) candidates
+    // inside jaccardPairs for an output this canonical-keep never
+    // grows by. Semantics unchanged — see Dedup.collapseIdenticalTexts
+    // and the DedupSpec equivalence battery.
+    val collapsed = Dedup.collapseIdenticalTexts(docs, "doc_id", "text", minTokens = 3)
+    val pairs = Dedup.jaccardPairs(collapsed, "doc_id", "text", n = 3, threshold = 0.5)
+    Dedup.keepCanonical(collapsed, "doc_id",
+        Dedup.duplicateClusters(pairs, "doc_a", "doc_b"))
       .select(col("doc_id"), length(col("text")).as("n_chars"))
       .orderBy(col("doc_id"))
   }
@@ -301,8 +317,14 @@ object DedupQueries {
     * surface as a hash mismatch.
     */
   private def dd14MinhashCurated(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashCuratedCorpus(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+    // byte-identical collapse before the LSH chain (r12): identical
+    // docs share every band, so a K-copy cluster floods the band
+    // buckets with O(K²) candidates; collapsed, the chain sees one
+    // member per text and keepCanonical keeps the same min-id set.
+    Dedup.minHashCuratedCorpus(
+        Dedup.collapseIdenticalTexts(Tables.documents(s, dir), "doc_id", "text",
+          minTokens = 3),
+        "doc_id", "text", n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
       .orderBy(col("doc_id"))
 
   private val dd14Sql: String = {
@@ -494,8 +516,14 @@ object DedupQueries {
     */
   private def dd13QualityCanonical(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
-    Dedup.curateByQuality(docs, pairs, "doc_id",
+    // byte-identical collapse before pairing (r12): identical text ⇒
+    // identical quality, so the quality-argmax canonical (ties to min
+    // id) is preserved — an exact group's winner IS its min-id rep,
+    // and a collapsed rep appearing as a singleton emits the same
+    // (rep, rep, quality) row the uncollapsed best-of-cluster emits.
+    val collapsed = Dedup.collapseIdenticalTexts(docs, "doc_id", "text", minTokens = 3)
+    val pairs = Dedup.jaccardPairs(collapsed, "doc_id", "text", n = 3, threshold = 0.5)
+    Dedup.curateByQuality(collapsed, pairs, "doc_id",
         graft.text.TextStats.qualityScore(col("text")))
       .orderBy(col("doc_id"))
   }

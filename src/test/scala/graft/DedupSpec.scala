@@ -229,4 +229,100 @@ class DedupSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty && a.size < 60) // something kept, something dropped
   }
+
+  /** Adversarial corpus for the r12 byte-identical collapse: every case
+    * where a careless collapse would diverge from the pairwise path.
+    */
+  private val blastCorpus = Seq(
+    // exact triple (byte-identical, shingle-able): the boilerplate case
+    (1L, "alpha beta gamma delta epsilon common tail words"),
+    (2L, "alpha beta gamma delta epsilon common tail words"),
+    (3L, "alpha beta gamma delta epsilon common tail words"),
+    // near-dup of the triple's text (distinct bytes, jaccard ≈ 0.86):
+    // bridges into the cluster only through the pairwise path
+    (4L, "alpha beta gamma delta epsilon common tail words extra"),
+    // exact pair of a different text, no external near-dups: a cluster
+    // purely by identity — must survive as (6 kept, 7 dropped)
+    (6L, "zeta eta theta iota kappa lambda sentinel text"),
+    (7L, "zeta eta theta iota kappa lambda sentinel text"),
+    // unrelated singleton
+    (8L, "completely unrelated content nothing shared here at all"),
+    // identical SHORT docs — below the shingle gate: the pairwise path
+    // never pairs them, so BOTH must pass through (collapsing them
+    // would wrongly drop doc 10)
+    (9L, "two tokens"), (10L, "two tokens"),
+    // NULL and empty text: non-shingleable pass-throughs
+    (11L, null.asInstanceOf[String]), (12L, ""),
+    // case variants at jaccard 0 (single differing shingle): the
+    // normalized fingerprint would merge these, raw-byte md5 must not —
+    // both survive independently
+    (13L, "red green blue"), (14L, "RED green blue"),
+  ).toDF("doc_id", "text")
+
+  test("collapseIdenticalTexts: reps + pass-throughs, never short/NULL docs") {
+    val c = Dedup.collapseIdenticalTexts(blastCorpus, "doc_id", "text", minTokens = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(c === Seq(1L, 4L, 6L, 8L, 9L, 10L, 11L, 12L, 13L, 14L))
+  }
+
+  test("exact-first keepCanonical ≡ uncollapsed formulation on the adversarial corpus") {
+    def keepSet(input: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val pairs = Dedup.jaccardPairs(input, "doc_id", "text", n = 3, threshold = 0.5)
+      Dedup.keepCanonical(input, "doc_id",
+          Dedup.duplicateClusters(pairs, "doc_a", "doc_b"))
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val collapsed = keepSet(
+      Dedup.collapseIdenticalTexts(blastCorpus, "doc_id", "text", minTokens = 3))
+    val uncollapsed = keepSet(blastCorpus)
+    assert(collapsed === uncollapsed)
+    // and both match the hand-derived expectation: cluster {1,2,3,4}
+    // keeps 1; identity cluster {6,7} keeps 6; everything else passes
+    assert(collapsed === Set(1L, 6L, 8L, 9L, 10L, 11L, 12L, 13L, 14L))
+  }
+
+  test("exact-first curateByQuality ≡ uncollapsed formulation (rows incl. quality)") {
+    // quality read boxed, not getDouble: NULL-text docs (11/12) carry a
+    // NULL quality through both formulations, and set equality must
+    // cover them rather than throw on the unbox
+    def rowsBoxed(input: org.apache.spark.sql.DataFrame): Set[(Long, Long, Any)] = {
+      val pairs = Dedup.jaccardPairs(input, "doc_id", "text", n = 3, threshold = 0.5)
+      Dedup.curateByQuality(input, pairs, "doc_id",
+          graft.text.TextStats.qualityScore(col("text")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+    }
+    val collapsed = rowsBoxed(
+      Dedup.collapseIdenticalTexts(blastCorpus, "doc_id", "text", minTokens = 3))
+    assert(collapsed === rowsBoxed(blastCorpus))
+    // doc 4 wins cluster {1,2,3,4}: its extra token nudges the length
+    // term (9/50 vs 8/50 → quality 0.472 vs 0.464) — the quality rule
+    // genuinely diverges from dd09's min-id rule on this corpus, which
+    // is exactly why the equivalence must hold PER RULE, not per set
+    assert(collapsed.map(_._1) === Set(4L, 6L, 8L, 9L, 10L, 11L, 12L, 13L, 14L))
+  }
+
+  test("jaccardClustersExactFirst ≡ uncollapsed duplicateClusters (members + sizes)") {
+    val direct = Dedup.duplicateClusters(
+        Dedup.jaccardPairs(blastCorpus, "doc_id", "text", n = 3, threshold = 0.5),
+        "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exactFirst = Dedup.jaccardClustersExactFirst(blastCorpus, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exactFirst === direct)
+    assert(exactFirst === Set(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (6L, 6L, 2L), (7L, 6L, 2L)))
+  }
+
+  test("exact-first minHashCuratedCorpus ≡ uncollapsed on the adversarial corpus") {
+    def keep(input: org.apache.spark.sql.DataFrame): Set[Long] =
+      Dedup.minHashCuratedCorpus(input, "doc_id", "text",
+          n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+    val collapsed = keep(
+      Dedup.collapseIdenticalTexts(blastCorpus, "doc_id", "text", minTokens = 3))
+    assert(collapsed === keep(blastCorpus))
+    assert(collapsed.contains(1L) && !collapsed.contains(2L) && !collapsed.contains(7L))
+  }
 }
