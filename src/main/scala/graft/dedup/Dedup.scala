@@ -169,14 +169,38 @@ object Dedup {
     */
   def collapseIdenticalTexts(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 3): DataFrame = {
+    // Single scan, single hash-agg shuffle: collapsible rows key on the
+    // text fingerprint, pass-through rows on their own (unique) id, so
+    // one min_by aggregation keeps exactly the min-id rep per identical
+    // group AND every pass-through row — no window sort, no second scan
+    // for the union, and partial aggregation collapses a boilerplate
+    // cluster on the MAP side, before its K copies ever hit the wire
+    // (the window formulation this replaces shuffled all K).
+    // NULL-id rows pass through individually — in the UNCOLLAPSED path
+    // every id-keyed join/anti-join drops them, so a NULL-id doc always
+    // survives keepCanonical no matter how many identical copies exist;
+    // collapsing it (or electing it rep via min_by over a NULL
+    // ordering) would diverge. Their pass-through key only needs
+    // per-row uniqueness, not stability, so monotonically_increasing_id
+    // is safe: whatever value it takes, the row keeps itself.
     val keyed = collapseKeyed(docs, textCol, minTokens)
-    val w = Window.partitionBy(col("__cfp")).orderBy(col(idCol))
-    val reps = keyed.filter(col("__collapsible"))
-      .withColumn("__crk", row_number().over(w))
-      .filter(col("__crk") === 1)
-      .drop("__collapsible", "__cfp", "__crk")
-    val pass = keyed.filter(!col("__collapsible")).drop("__collapsible", "__cfp")
-    reps.unionByName(pass)
+    val outCols = docs.columns
+    keyed
+      .withColumn("__ckey",
+        when(col("__collapsible") && col(idCol).isNotNull,
+            concat(lit("c"), col("__cfp")))
+          .otherwise(concat(lit("n"),
+            coalesce(col(idCol).cast("string"),
+              concat(lit("x"), monotonically_increasing_id())))))
+      .groupBy(col("__ckey"))
+      // ordering wrapped in a one-field struct: min_by IGNORES rows
+      // whose ordering is NULL and returns NULL when all are — a
+      // NULL-id pass-through group would yield an all-NULL phantom
+      // row. A struct is never NULL even when its field is, and
+      // collapsible groups carry only non-NULL ids, so the elected
+      // rep is unchanged.
+      .agg(min_by(struct(outCols.map(col): _*), struct(col(idCol))).as("__row"))
+      .select(outCols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
   /** Every shingle-able doc mapped to its byte-identical group's min-id
@@ -190,7 +214,7 @@ object Dedup {
       minTokens: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("__cfp"))
     collapseKeyed(docs, textCol, minTokens)
-      .filter(col("__collapsible"))
+      .filter(col("__collapsible") && col(idCol).isNotNull)
       .select(col(idCol), min(col(idCol)).over(w).as("rep"))
   }
 

@@ -315,6 +315,31 @@ class DedupSpec extends SparkSpec {
       (6L, 6L, 2L), (7L, 6L, 2L)))
   }
 
+  test("collapse passes NULL-id rows through individually (join-dropped in the pairwise path)") {
+    // In the uncollapsed path every id-keyed join/anti-join drops
+    // NULL-id rows, so a NULL-id doc survives keepCanonical no matter
+    // how many identical copies exist; the collapse must reproduce
+    // that — never merge NULL-id rows, never elect one as rep.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("text", StringType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, "alpha beta gamma delta shared body"),
+      Row(5L, "alpha beta gamma delta shared body"),
+      Row(null, "alpha beta gamma delta shared body"),
+      Row(null, "alpha beta gamma delta shared body"))
+    val docs = spark.createDataFrame(rows, schema)
+    val collapsed = Dedup.collapseIdenticalTexts(docs, "doc_id", "text", minTokens = 3)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    // rep 1 for the {1,5} group; both NULL-id copies pass through
+    assert(collapsed.sortBy(_.getOrElse(-1L)) === Seq(None, None, Some(1L)))
+    // and no all-NULL phantom row: text survives on every output row
+    assert(Dedup.collapseIdenticalTexts(docs, "doc_id", "text", minTokens = 3)
+      .filter(col("text").isNull).count() === 0L)
+  }
+
   test("exact-first minHashCuratedCorpus ≡ uncollapsed on the adversarial corpus") {
     def keep(input: org.apache.spark.sql.DataFrame): Set[Long] =
       Dedup.minHashCuratedCorpus(input, "doc_id", "text",
