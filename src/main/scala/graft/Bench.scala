@@ -105,6 +105,18 @@ object Bench {
         s"headline ${between.mkString(",")} sorts between memo producer $producer and " +
           s"consumer $consumer — its reps would clear the memo and $consumer would " +
           "silently time a full retrain instead of the contractual memo hit")
+      // The strict between-filter misses the endpoints: promoting the
+      // CONSUMER itself to headline is the same silent flip (its own
+      // reps call isolate(dropMemos=true) before every timing), and
+      // the producer is only safe because its post-reps memo-hit run
+      // leaves the memo repopulated — assert both invariants rather
+      // than rely on the reader remembering them.
+      require(!headline.contains(consumer),
+        s"memo consumer $consumer must not be headline: its own reps would drop " +
+          s"the $producer memo and time full retrains")
+      require(!headline.contains(producer) || memoizedQueries.contains(producer),
+        s"headline memo producer $producer must be in memoizedQueries so its " +
+          "post-reps memo-hit run leaves the memo populated for " + consumer)
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -237,7 +249,12 @@ object Bench {
         // memo populated, so this times the steady (memo-hit) regime.
         val memoSec =
           if (memoizedQueries.contains(name) && errs.isEmpty) Some(once()._1) else None
-        Outcome(medianOf.sorted.apply(medianOf.size / 2), errs.isEmpty, errs.headOption,
+        // LOWER median ((size-1)/2), not upper: identical for the odd
+        // full-rep case (3 reps → index 1), but with exactly one failed
+        // rep the two survivors would otherwise report their MAX —
+        // systematically biasing the band comparison toward the worst
+        // rep precisely when reps are scarcest.
+        Outcome(medianOf.sorted.apply((medianOf.size - 1) / 2), errs.isEmpty, errs.headOption,
           times, memoSec)
       } else {
         // Single-shot for the long tail: these only feed the detail

@@ -182,17 +182,29 @@ object Dedup {
     // collapsing it (or electing it rep via min_by over a NULL
     // ordering) would diverge. Their pass-through key only needs
     // per-row uniqueness, not stability, so monotonically_increasing_id
-    // is safe: whatever value it takes, the row keeps itself.
+    // is safe: whatever value it takes, the row keeps itself. The key
+    // is TWO grouping columns, not a string concat: a concat namespace
+    // ("n"+id vs "n"+"x"+rowid) can collide for a string-typed id
+    // column whose values start with the sentinel — two columns make
+    // cross-kind collision structurally impossible for any id type.
+    // The result is materialized (localCheckpoint, the jaccardPairs
+    // precedent above): every caller feeds it to 2-3 subtrees (pair
+    // generation + the docs side of canonical-keep), and exchange
+    // reuse is not guaranteed under a nondeterministic key column, so
+    // an unmaterialized plan re-runs the full tokenize+md5+agg pass
+    // per subtree.
     val keyed = collapseKeyed(docs, textCol, minTokens)
     val outCols = docs.columns
     keyed
-      .withColumn("__ckey",
-        when(col("__collapsible") && col(idCol).isNotNull,
-            concat(lit("c"), col("__cfp")))
-          .otherwise(concat(lit("n"),
-            coalesce(col(idCol).cast("string"),
-              concat(lit("x"), monotonically_increasing_id())))))
-      .groupBy(col("__ckey"))
+      .withColumn("__ckind",
+        when(col("__collapsible") && col(idCol).isNotNull, lit("c"))
+          .when(col(idCol).isNotNull, lit("n"))
+          .otherwise(lit("x")))
+      .withColumn("__ckeyval",
+        when(col("__ckind") === "c", col("__cfp"))
+          .when(col("__ckind") === "n", col(idCol).cast("string"))
+          .otherwise(monotonically_increasing_id().cast("string")))
+      .groupBy(col("__ckind"), col("__ckeyval"))
       // ordering wrapped in a one-field struct: min_by IGNORES rows
       // whose ordering is NULL and returns NULL when all are — a
       // NULL-id pass-through group would yield an all-NULL phantom
@@ -201,6 +213,7 @@ object Dedup {
       // rep is unchanged.
       .agg(min_by(struct(outCols.map(col): _*), struct(col(idCol))).as("__row"))
       .select(outCols.map(c => col(s"__row.$c").as(c)): _*)
+      .localCheckpoint()
   }
 
   /** Every shingle-able doc mapped to its byte-identical group's min-id
@@ -436,8 +449,21 @@ object Dedup {
     */
   def jaccardClustersExactFirst(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val collapsed = collapseIdenticalTexts(docs, idCol, textCol, minTokens = n)
-    val m = identicalTextMembership(docs, idCol, textCol, minTokens = n)
+    // One tokenize+md5 pass, materialized, shared by the collapse and
+    // the membership mapping (the naive formulation ran collapseKeyed
+    // twice). Only collapsible non-NULL-id rows matter here: docs
+    // below the shingle gate can never form a pair, so they appear in
+    // neither the uncollapsed cluster output nor the membership — an
+    // exact restriction, not an approximation.
+    val keyed = collapseKeyed(docs, textCol, minTokens = n)
+      .filter(col("__collapsible") && col(idCol).isNotNull)
+      .select(col(idCol), col(textCol), col("__cfp"))
+      .localCheckpoint()
+    val m = keyed.select(col(idCol),
+      min(col(idCol)).over(Window.partitionBy(col("__cfp"))).as("rep"))
+    val collapsed = keyed.groupBy(col("__cfp"))
+      .agg(min_by(struct(col(idCol), col(textCol)), struct(col(idCol))).as("__row"))
+      .select(col(s"__row.$idCol").as(idCol), col(s"__row.$textCol").as(textCol))
     val pairs = jaccardPairs(collapsed, idCol, textCol, n, threshold)
     val repClusters = duplicateClusters(pairs, "doc_a", "doc_b")
       .select(col("doc_id").as("rep"), col("cluster_id"))

@@ -63,8 +63,12 @@ object DupBlast {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-run temp base: two concurrent probe runs on one host must
+    // not overwrite each other's shard mid-sweep (the ChaosGateSpec
+    // lesson, ADVICE r11)
+    val base = java.nio.file.Files.createTempDirectory("graft_dupblast_").toString
     for (k <- ks) {
-      val dir = s"/tmp/graft_dupblast_$k"
+      val dir = s"$base/k$k"
       build(spark, srcDir, dir, k)
       println(s"== K=$k ==")
       for (name <- probeQueries) {
@@ -81,5 +85,6 @@ object DupBlast {
       }
     }
     spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 }

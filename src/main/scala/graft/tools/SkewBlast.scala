@@ -54,14 +54,18 @@ object SkewBlast {
     // instant inside [lo, hi] (no spine growth) while scattering the
     // hot user's rows across the whole window ordering
     val spanUs = math.max(hi - lo, 1L)
-    val typesCol = array(types.map(lit): _*)
+    // all-NULL event_type on the hot user (a degenerate-shard shape):
+    // cycle NULL rather than divide by a zero modulus under ANSI
+    val typeExpr =
+      if (types.isEmpty) lit(null).cast("string")
+      else element_at(array(types.map(lit): _*),
+        (pmod(col("id"), lit(types.length.toLong)) + 1).cast("int"))
     val blast = spark.range(k.toLong).select(
       (col("id") + 900000L).as("event_id"),
       timestamp_micros(lit(lo) + pmod(col("id") * lit(2654435761L), lit(spanUs)))
         .as("ts"),
       lit(hot).as("user_id"),
-      element_at(typesCol, (pmod(col("id"), lit(types.length.toLong)) + 1).cast("int"))
-        .as("event_type"),
+      typeExpr.as("event_type"),
       (pmod(col("id") * lit(7919L), lit(100000L)) / lit(100.0)).as("value"),
       lit(null).cast("string").as("props"))
     events.unionByName(blast.select(events.columns.map(col): _*))
@@ -76,8 +80,12 @@ object SkewBlast {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-run temp base: two concurrent probe runs on one host must
+    // not overwrite each other's shard mid-sweep (the ChaosGateSpec
+    // lesson, ADVICE r11)
+    val base = java.nio.file.Files.createTempDirectory("graft_skewblast_").toString
     for (k <- ks) {
-      val dir = s"/tmp/graft_skewblast_$k"
+      val dir = s"$base/k$k"
       build(spark, srcDir, dir, k)
       println(s"== K=$k hot-user events ==")
       for (name <- probeQueries) {
@@ -94,5 +102,6 @@ object SkewBlast {
       }
     }
     spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 }

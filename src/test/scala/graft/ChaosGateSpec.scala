@@ -30,11 +30,8 @@ class ChaosGateSpec extends SparkSpec {
         s"${failures.size} of ${SparkEntry.queries.size} queries threw on degenerate data:\n" +
           failures.map { case (n, e) => s"  $n -> $e" }.mkString("\n"))
     } finally {
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
+      try SparkSpec.deleteRecursively(dir)
+      catch { case _: Throwable => () }
     }
   }
 }

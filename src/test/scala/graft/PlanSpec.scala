@@ -46,12 +46,7 @@ class PlanSpec extends SparkSpec {
     // clear both so overwrite can't trip LOCATION_ALREADY_EXISTS
     Seq("b_purchases", "b_clicks").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val p = java.nio.file.Paths.get(s"/tmp/graft_warehouse/$t")
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
+      SparkSpec.deleteRecursively(s"/tmp/graft_warehouse/$t")
     }
     // one write task → one file per bucket, so the scan reports both
     // bucket partitioning AND in-bucket sort order

@@ -18,3 +18,22 @@ trait SparkSpec extends AnyFunSuite {
 
   val Sf0001 = "/root/testdata/sf0.001"
 }
+
+object SparkSpec {
+  /** Recursive delete for test temp dirs — the one shared copy (was
+    * hand-rolled in three suites with slight variation). Closes the
+    * walk stream (an unclosed Files.walk leaks a directory fd per
+    * call); missing path is a no-op.
+    */
+  def deleteRecursively(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+  }
+}

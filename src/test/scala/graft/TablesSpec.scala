@@ -19,12 +19,7 @@ class TablesSpec extends SparkSpec {
 
   private def writeDir(suffix: String): String = {
     val d = s"/tmp/graft_tablesspec_$suffix"
-    val p = java.nio.file.Paths.get(d)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+    SparkSpec.deleteRecursively(d)
     d
   }
 
