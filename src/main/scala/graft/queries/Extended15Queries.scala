@@ -29,10 +29,10 @@ object Extended15Queries {
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
-        .as("t3"))
-      .select(col("doc_id"), graft.dedup.Dedup.md5Hash48(col("t3")).as("h"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, size(toks) - 2)")).as("i"))
+      .select(col("doc_id"), graft.dedup.Dedup.md5Hash48(
+        expr("concat_ws(' ', slice(toks, i, 3))")).as("h"))
       .distinct().localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),

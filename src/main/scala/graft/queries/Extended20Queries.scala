@@ -55,16 +55,16 @@ object Extended20Queries {
     val quality = docs.filter(TextStats.tokenCount(col("text")) > 0)
       .select(col("doc_id"), (TextStats.qualityScore(col("text")) >= 0.5).as("q_ok"))
     val rep = toks.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))"))
-        .as("bg"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, size(toks) - 1)")).as("i"))
+      .select(col("doc_id"), expr("concat_ws(' ', slice(toks, i, 2))").as("bg"))
       .groupBy(col("doc_id"))
       .agg(((lit(1) - countDistinct(col("bg")) / count(lit(1))) <= 0.4).as("rep_ok"))
     val sh = toks.filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
-        .as("s5s"))
-      .select(col("doc_id"), Dedup.md5Hash48(col("s5s")).as("s5"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, size(toks) - 4)")).as("i"))
+      .select(col("doc_id"), Dedup.md5Hash48(
+        expr("concat_ws(' ', slice(toks, i, 5))")).as("s5"))
       .distinct()
     val contaminated = sh.filter(col("doc_id") >= 25)
       .join(broadcast(sh.filter(col("doc_id") < 25).select(col("s5")).distinct()), "s5")

@@ -275,13 +275,16 @@ object Extended4Queries {
   private def tx08Contamination(s: SparkSession, dir: String): DataFrame = {
     // Shingles hash to 48-bit longs before the distinct: the only
     // shuffle in the query carries 8-byte keys, not 5-gram strings.
+    // Positions exploded + per-row slice, NOT explode(transform(...)):
+    // the materializing shape is ~2.5× slower per giant-doc token and
+    // OOMs ~3× earlier (GramShapeAB, SCALE.md r12 session 4).
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
-        .as("sh5s"))
-      .select(col("doc_id"), graft.dedup.Dedup.md5Hash48(col("sh5s")).as("sh5"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, size(toks) - 4)")).as("i"))
+      .select(col("doc_id"), graft.dedup.Dedup.md5Hash48(
+        expr("concat_ws(' ', slice(toks, i, 5))")).as("sh5"))
       .distinct()
     val bench = sh.filter(col("doc_id") < 25).select(col("sh5")).distinct()
       .withColumn("hit", lit(1))
@@ -367,9 +370,9 @@ object Extended4Queries {
     Tables.documents(s, dir)
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))"))
-        .as("bg"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, size(toks) - 1)")).as("i"))
+      .select(col("doc_id"), expr("concat_ws(' ', slice(toks, i, 2))").as("bg"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), countDistinct(col("bg")).as("n_distinct"))
       .withColumn("dup_frac", round(lit(1) - col("n_distinct") / col("n_bigrams"), 4))
@@ -866,16 +869,16 @@ object Extended4Queries {
       .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"),
         TextStats.tokenCount(col("text")).as("n_tokens"))
     val rep = toks.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))"))
-        .as("bg"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, size(toks) - 1)")).as("i"))
+      .select(col("doc_id"), expr("concat_ws(' ', slice(toks, i, 2))").as("bg"))
       .groupBy("doc_id")
       .agg((lit(1) - countDistinct(col("bg")) / count(lit(1))).as("dup_frac"))
     val sh = toks.filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
-        .as("s5s"))
-      .select(col("doc_id"), graft.dedup.Dedup.md5Hash48(col("s5s")).as("s5"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, size(toks) - 4)")).as("i"))
+      .select(col("doc_id"), graft.dedup.Dedup.md5Hash48(
+        expr("concat_ws(' ', slice(toks, i, 5))")).as("s5"))
       .distinct()
     val contaminated = sh.filter(col("doc_id") >= 25)
       .join(broadcast(sh.filter(col("doc_id") < 25).select(col("s5")).distinct()), "s5")

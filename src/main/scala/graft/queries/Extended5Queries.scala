@@ -434,18 +434,18 @@ object Extended5Queries {
     val quality = docs.filter(TextStats.tokenCount(col("text")) > 0)
       .select(col("doc_id"), (TextStats.qualityScore(col("text")) >= 0.5).as("q_ok"))
     val rep = toks.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))"))
-        .as("bg"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, size(toks) - 1)")).as("i"))
+      .select(col("doc_id"), expr("concat_ws(' ', slice(toks, i, 2))").as("bg"))
       .groupBy(col("doc_id"))
       .agg(((lit(1) - countDistinct(col("bg")) / count(lit(1))) <= 0.4).as("rep_ok"))
     // 48-bit hashed shingles: the distinct shuffles 8-byte longs and
     // the broadcast benchmark set is ~5× smaller than with raw strings.
     val sh = toks.filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
-        .as("s5s"))
-      .select(col("doc_id"), graft.dedup.Dedup.md5Hash48(col("s5s")).as("s5"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, size(toks) - 4)")).as("i"))
+      .select(col("doc_id"), graft.dedup.Dedup.md5Hash48(
+        expr("concat_ws(' ', slice(toks, i, 5))")).as("s5"))
       .distinct()
     val contaminated = sh.filter(col("doc_id") >= 25)
       .join(broadcast(sh.filter(col("doc_id") < 25).select(col("s5")).distinct()), "s5")
@@ -601,10 +601,10 @@ object Extended5Queries {
     val inv = Tables.documents(s, dir)
       .select(col("source"), TextStats.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 5)
-      .select(col("source"), explode(expr(
-        "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
-        .as("s5s"))
-      .select(col("source"), graft.dedup.Dedup.md5Hash48(col("s5s")).as("s5"))
+      .select(col("source"), col("toks"),
+        explode(expr("sequence(1, size(toks) - 4)")).as("i"))
+      .select(col("source"), graft.dedup.Dedup.md5Hash48(
+        expr("concat_ws(' ', slice(toks, i, 5))")).as("s5"))
       .distinct()
     val sizes = inv.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     inv.toDF("source_a", "s5")

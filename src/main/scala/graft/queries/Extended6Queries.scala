@@ -414,10 +414,10 @@ object Extended6Queries {
       .groupBy(col("source"))
       .agg((countDistinct(col("w")) / count(lit(1))).as("ttr_raw"))
     val tris = toks.filter(size(col("toks")) >= 3)
-      .select(col("source"), explode(expr(
-        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
-        .as("t3s"))
-      .select(col("source"), graft.dedup.Dedup.md5Hash48(col("t3s")).as("t3"))
+      .select(col("source"), col("toks"),
+        explode(expr("sequence(1, size(toks) - 2)")).as("i"))
+      .select(col("source"), graft.dedup.Dedup.md5Hash48(
+        expr("concat_ws(' ', slice(toks, i, 3))")).as("t3"))
       .groupBy(col("source"))
       .agg((countDistinct(col("t3")) / count(lit(1))).as("tri_raw"))
     base.join(words, "source").join(tris, "source")

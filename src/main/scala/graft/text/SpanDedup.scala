@@ -163,22 +163,26 @@ object SpanDedup {
   def decontaminateSpans(corpus: DataFrame, bench: DataFrame, window: Int,
       n: Int = 5): DataFrame = {
     import graft.dedup.Dedup
+    // n-gram streams via exploded POSITIONS + a per-row slice, never
+    // explode(transform(...)): the transform shape materializes the
+    // whole per-doc gram array as one value, which is ~2.5× slower and
+    // hits the task heap wall ~3× earlier on a giant document
+    // (GramShapeAB probe, SCALE.md round-12 session 4)
     val bsh = bench
       .select(TextStats.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(explode(expr(
-        s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
-        .as("s"))
-      .select(Dedup.md5Hash48(col("s")).as("h"))
+      .select(col("toks"),
+        explode(expr(s"sequence(1, size(toks) - ${n - 1})")).as("i"))
+      .select(Dedup.md5Hash48(
+        expr(s"concat_ws(' ', slice(toks, i, $n))")).as("h"))
       .distinct()
     val hits = corpus
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${n - 1}), " +
-          s"p -> struct(p AS p, concat_ws(' ', slice(toks, p, $n)) AS s))"))
-        .as("g"))
-      .select(col("doc_id"), col("g.p").as("p"), Dedup.md5Hash48(col("g.s")).as("h"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(1, size(toks) - ${n - 1})")).as("p"))
+      .select(col("doc_id"), col("p"), Dedup.md5Hash48(
+        expr(s"concat_ws(' ', slice(toks, p, $n))")).as("h"))
       .join(broadcast(bsh), Seq("h"), "left_semi")
       // the n-gram at p covers tokens [p, p+n-1]; excise every span it
       // overlaps (span_idx is 0-based over window-token tiles)

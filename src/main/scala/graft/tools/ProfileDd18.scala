@@ -32,10 +32,10 @@ object ProfileDd18 {
         Tables.documents(spark, dir)
           .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
           .filter(size(col("toks")) >= 3)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
-            .as("t3"))
-          .select(col("doc_id"), graft.dedup.Dedup.md5Hash48(col("t3")).as("tok"))
+          .select(col("doc_id"), col("toks"),
+            explode(expr("sequence(1, size(toks) - 2)")).as("i"))
+          .select(col("doc_id"), graft.dedup.Dedup.md5Hash48(
+            expr("concat_ws(' ', slice(toks, i, 3))")).as("tok"))
           .distinct()
       }
       time("toks-count")(println("  n=" + toks.count()))
