@@ -41,6 +41,24 @@ object Guards {
     * query's oracle SQL, so results agree on any input.
     */
   val SpineCapHours = 20000
+
+  /** PII patterns (tx09) apply per whitespace token, and only to
+    * tokens of at most this many characters. Two bounds in one, both
+    * SEMANTIC and mirrored verbatim in the oracle: (1) the PII
+    * regexes' character classes exclude whitespace, so a match can
+    * never span tokens — per-token scanning finds the identical match
+    * set; (2) Java's backtracking regex engine is O(len²) on
+    * class-run text that feeds `local+@domain+\.tld` without
+    * completing it (RegexBlast probe: the full-text formulation costs
+    * 10.6/36/145 s at 25k/50k/100k chars of `a@bbb…` — a 10 MB blob
+    * token would pin one task for ~2 weeks), so unbounded tokens must
+    * not reach the engine. An RFC-total email is ≤ 254 chars; 320
+    * leaves margin, and a longer run is a blob (base64, minified JS),
+    * not a redactable contact artifact. The cap is a contract: PII
+    * embedded INSIDE a >320-char blob token is left unredacted, on
+    * both engines, by design.
+    */
+  val MaxPiiTokenChars = 320
 }
 
 object Catalog {

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -325,10 +325,20 @@ object Extended4Queries {
     * redaction itself is a pure codegen'd projection — no shuffle at
     * any scale. The fingerprint column proves the redacted text
     * matches byte-for-byte across engines.
+    *
+    * The patterns apply PER WHITESPACE TOKEN, gated at
+    * `Guards.MaxPiiTokenChars`, never to the full text: the classes
+    * exclude whitespace so the match set is identical, and the
+    * full-text formulation is O(len²) in Java's backtracking engine
+    * on adversarial class runs (`a@bbb…` — RegexBlast probe, SCALE.md
+    * r12 session 4; 145 s for ONE 100 KB doc). The fingerprint is over
+    * the single-space rejoin of the redacted token stream — mirrored
+    * in the oracle, like every whitespace contract in the text family.
     */
   private def tx09PiiRedact(s: SparkSession, dir: String): DataFrame = {
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phoneRe = "\\+1-555-[0-9]{4}"
+    val cap = Guards.MaxPiiTokenChars
     val aug = concat(
       lit("contact user"), col("doc_id").cast("string"), lit("@example.com tel +1-555-"),
       lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" "),
@@ -337,28 +347,41 @@ object Extended4Queries {
     Tables.documents(s, dir)
       .select(col("doc_id"), aug.as("aug"))
       .select(col("doc_id"),
-        regexp_count(col("aug"), lit(emailRe)).as("n_email"),
-        regexp_count(col("aug"), lit(phoneRe)).as("n_phone"),
-        md5(regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
-          phoneRe, "<PHONE>")).as("red_fp"))
+        TextStats.countMatchesTokenGated(col("aug"), emailRe, cap).as("n_email"),
+        TextStats.countMatchesTokenGated(col("aug"), phoneRe, cap).as("n_phone"),
+        md5(TextStats.replaceTokenGated(col("aug"),
+          Seq(emailRe -> "<EMAIL>", phoneRe -> "<PHONE>"), cap)).as("red_fp"))
       .orderBy(col("doc_id"))
   }
 
-  private val tx09Sql =
-    """WITH aug AS (
+  private val tx09Sql = {
+    val cap = Guards.MaxPiiTokenChars
+    s"""WITH aug AS (
       |  SELECT doc_id,
       |    'contact user' || CAST(doc_id AS VARCHAR) || '@example.com tel +1-555-' ||
       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ||
       |    CASE WHEN doc_id % 3 = 0 THEN 'cc admin@test.org ' ELSE '' END || text AS aug
-      |  FROM documents)
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(aug, '${graft.text.TextStats.WsClass}+'),
+      |      t -> t != '') AS toks
+      |  FROM aug)
       |SELECT doc_id,
-      |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
-      |  CAST(len(regexp_extract_all(aug, '\+1-555-[0-9]{4}')) AS INTEGER) AS n_phone,
-      |  md5(regexp_replace(regexp_replace(aug,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |    '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS red_fp
-      |FROM aug
+      |  CAST(list_sum(list_transform(toks, t -> CASE WHEN length(t) <= $cap
+      |    THEN len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+      |    ELSE 0 END)) AS INTEGER) AS n_email,
+      |  CAST(list_sum(list_transform(toks, t -> CASE WHEN length(t) <= $cap
+      |    THEN len(regexp_extract_all(t, '\\+1-555-[0-9]{4}'))
+      |    ELSE 0 END)) AS INTEGER) AS n_phone,
+      |  md5(array_to_string(list_transform(toks, t -> CASE WHEN length(t) <= $cap
+      |    THEN regexp_replace(regexp_replace(t,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\\+1-555-[0-9]{4}', '<PHONE>', 'g')
+      |    ELSE t END), ' ')) AS red_fp
+      |FROM toks
       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Gopher-style repetition score: fraction of duplicated word
     * bigrams per document (1 − distinct/total), the standard

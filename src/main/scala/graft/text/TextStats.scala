@@ -72,6 +72,37 @@ object TextStats {
   def wordHitCount(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isInCollection(words)))
 
+  /** Per-token, length-gated regex application — the PII-scan shape
+    * (tx09). The pattern is applied to each whitespace token of at
+    * most `cap` characters; longer tokens pass through untouched.
+    * Both bounds are semantic AND load-bearing for scale: PII
+    * character classes exclude whitespace, so per-token scanning
+    * finds the identical match set to a full-text scan — but Java's
+    * backtracking regex engine is O(len²) on adversarial class runs
+    * (`a@` + megabytes of `b`: the RegexBlast probe measured 145 s
+    * for ONE 100 KB document through the full-text formulation), so
+    * the scan unit must be bounded. An RFC-total email is ≤ 254
+    * chars; a longer run is a blob (base64, minified JS), not a
+    * redactable artifact. NULL text → NULL, like every stat here.
+    */
+  def countMatchesTokenGated(text: Column, pattern: String, cap: Int): Column =
+    aggregate(transform(tokens(text),
+        t => when(length(t) <= cap, regexp_count(t, lit(pattern))).otherwise(lit(0))),
+      lit(0), (a, x) => a + x)
+
+  /** Redacted single-space rejoin of the token stream: each
+    * gate-passing token has every `(pattern, tag)` replacement applied
+    * in order ([[countMatchesTokenGated]]'s contract; whitespace runs
+    * normalize to one space, mirrored in the oracle like every
+    * whitespace contract in this family).
+    */
+  def replaceTokenGated(text: Column, replacements: Seq[(String, String)],
+      cap: Int): Column =
+    array_join(transform(tokens(text),
+      t => when(length(t) <= cap,
+        replacements.foldLeft(t) { case (c, (p, tag)) => regexp_replace(c, p, tag) })
+        .otherwise(t)), " ")
+
   /** Ratio of punctuation characters to total characters. NULL for the
     * empty string (0/0 — see [[typeTokenRatio]]'s ANSI note).
     */

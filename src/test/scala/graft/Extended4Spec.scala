@@ -137,6 +137,29 @@ class Extended4Spec extends SparkSpec {
     assert(out.nonEmpty && out.forall(_ > 0.0))
   }
 
+  test("PII scan is token-gated: matches in blob tokens are skipped, not scanned") {
+    import graft.text.TextStats
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    // a well-formed email INSIDE a >cap blob token: the gate must skip
+    // it entirely — reverting to a full-text (or ungated per-token)
+    // scan redacts it and turns this red. This is the semantic half of
+    // the O(len²)-backtracking fix (RegexBlast, SCALE.md r12 s4); the
+    // performance half is the probe itself.
+    val blob = "x" * 400 + "hidden@inside.com"
+    val docs = Seq(
+      (1L, "mail me a@b.co today"),
+      (2L, s"prefix $blob suffix"),
+      (3L, "tabs\tand\n newlines a@b.co")).toDF("id", "text")
+    val out = docs.select($"id",
+      TextStats.countMatchesTokenGated($"text", emailRe, 320).as("n"),
+      TextStats.replaceTokenGated($"text", Seq(emailRe -> "<EMAIL>"), 320).as("red"))
+      .as[(Long, Int, String)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 1, "mail me <EMAIL> today")))
+    assert(out(1)._2 === 0 && out(1)._3 === s"prefix $blob suffix")
+    // whitespace runs normalize to single spaces in the redacted rejoin
+    assert(out(2) === ((3L, 1, "tabs and newlines <EMAIL>")))
+  }
+
   test("mix: every source keeps at most ~min-source-count docs and the smallest keeps all") {
     val out = Catalog.queries("mx02_mix")(spark, Sf0001)
       .select($"source", $"n_total", $"n_kept").as[(String, Long, Long)].collect()
