@@ -751,7 +751,14 @@ object Dedup {
       centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
     import graft.functions.VectorExprs
     import graft.similarity.Ann
+    // Shape/finiteness screen against the quantizer's own width (r12
+    // chaos-parity drive): a +Inf element made cdist −Inf, so the
+    // corrupt vector became its cell's RANK-1 CANONICAL and every
+    // clean member was compared against it. Corrupt rows are
+    // unclusterable — dropped from kept output like every index fit.
+    val dim = centroids.head.size
     val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(VectorExprs.isShapedVec(col("v"), dim))
       .withColumn("assigned", Ann.nearestCell(col("v"), centroids))
       .select(col("id"), col("v"),
         col("assigned.cell").as("cell"), col("assigned.dist").as("cdist"))

@@ -110,11 +110,22 @@ object VectorExprs {
     * poisoned vector would silently take rank 1 in EVERY query's
     * top-k and pass every similarity threshold (NaN >= t is true).
     * nanvl folds it into the same inert-NULL contract.
+    *
+    * NULL also for a LENGTH-MISMATCHED pair (r12 chaos-parity drive):
+    * the [[DotProduct]] kernel is deliberately total — it folds over
+    * min(len) rather than throwing — so without this guard a truncated
+    * embedding (half-written shard) would be scored by a silent
+    * PREFIX dot against full-length norms: a real-looking cosine that
+    * can crack a top-k. Shape is part of validity (same contract as
+    * [[isShapedVec]] at fit time); a mismatched pair is corruption and
+    * goes inert, not ranked. Two array-length reads per pair — free
+    * next to the O(d) dot.
     */
   def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column = {
-    import org.apache.spark.sql.functions.{lit, nanvl, nullif}
-    nanvl(dot(a, b) / nullif(normA * normB, lit(0.0)),
-      lit(null).cast("double"))
+    import org.apache.spark.sql.functions.{lit, nanvl, nullif, size, when}
+    when(size(a) === size(b),
+      nanvl(dot(a, b) / nullif(normA * normB, lit(0.0)),
+        lit(null).cast("double")))
   }
 
   /** TRUE iff every element of the vector is finite (no NaN, no ±Inf)

@@ -28,7 +28,7 @@ object DedupQueries {
       |)
       |SELECT doc_id, canonical_id, group_size,
       |  CAST(doc_id != canonical_id AS INTEGER) AS is_dup
-      |FROM fp JOIN g USING (fp)
+      |FROM fp JOIN g ON fp.fp IS NOT DISTINCT FROM g.fp
       |ORDER BY doc_id""".stripMargin
 
   /** Exact 3-gram Jaccard near-dup pairs at threshold 0.5. */
@@ -149,10 +149,11 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   private val dd05Sql =
-    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+    s"""WITH e AS (SELECT vec_id, v FROM ${OracleVec.EmbScreened} t)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(${OracleVec.cos("a.v", "b.v")}, 4) AS cosine
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE ${OracleVec.cos("a.v", "b.v")} >= 0.35
       |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash near-dup pairs within hamming distance 3 via banded
@@ -602,7 +603,7 @@ object DedupQueries {
     * the VectorExprs kernel bit-for-bit (dd05-proven parity).
     */
   private val dd12Sql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, v FROM ${OracleVec.EmbScreened} t),
       |cent AS (SELECT vec_id AS cell0, v AS cv FROM e WHERE vec_id < 8),
       |assign AS (
       |  SELECT e.vec_id, e.v, c.cell0,
@@ -620,7 +621,7 @@ object DedupQueries {
       |  SELECT DISTINCT b.vec_id
       |  FROM ranked a JOIN ranked b
       |    ON a.cell = b.cell AND a.cell_rank < b.cell_rank
-      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
+      |  WHERE ${OracleVec.cos("a.v", "b.v")} >= 0.35)
       |SELECT r.vec_id AS id, CAST(r.cell AS INTEGER) AS cell, r.cell_rank
       |FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
       |WHERE d.vec_id IS NULL

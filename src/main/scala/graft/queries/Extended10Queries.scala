@@ -155,8 +155,17 @@ object Extended10Queries {
     */
   private def sim10Mips(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val corpus = emb.filter(col("vec_id") >= 5)
-    val queries = emb.filter(col("vec_id") < 5)
+    // Shape/finiteness screen on both sides (r12 chaos-parity drive):
+    // this ranking is on the RAW dot, which has no zero-norm NULL fold
+    // — one NaN embedding took rank 1 in EVERY query (Spark orders NaN
+    // above all numbers in desc), a +Inf one took rank 2, and the max
+    // self-dot scalar m2 went NaN, so every aug_cos was NaN. Corrupt
+    // rows are unscoreable, same contract as the cosine tails.
+    val dim = graft.functions.VectorExprs.dominantDim(emb, "embedding")
+    val shaped = emb.filter(
+      graft.functions.VectorExprs.isShapedVec(col("embedding"), dim))
+    val corpus = shaped.filter(col("vec_id") >= 5)
+    val queries = shaped.filter(col("vec_id") < 5)
     val m2 = corpus
       .agg(max(graft.functions.VectorExprs.dot(col("embedding"), col("embedding")))
         .as("m2"))
@@ -171,9 +180,14 @@ object Extended10Queries {
         graft.functions.VectorExprs.dot(col("q.embedding"), col("q.embedding"))
           .as("qn2"),
         col("m2"))
-      // augmented corpus vector has norm M exactly; query keeps its norm
+      // augmented corpus vector has norm M exactly; query keeps its
+      // norm. nullif: a zero-magnitude query (shaped + finite, so the
+      // screen keeps it) would make this 0/0 — an ANSI DIVIDE_BY_ZERO
+      // job abort — instead of the inert NULL every other scoring
+      // path degrades to.
       .select(col("query_id"), col("neighbor_id"), col("dp"),
-        (col("dp") / (sqrt(col("m2")) * sqrt(col("qn2")))).as("aug_cos"))
+        (col("dp") / nullif(sqrt(col("m2")) * sqrt(col("qn2")), lit(0.0)))
+          .as("aug_cos"))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(round(col("dp"), 6).desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(wr))
@@ -185,20 +199,22 @@ object Extended10Queries {
   }
 
   private val sim10Sql =
-    """WITH corpus AS (SELECT * FROM embeddings WHERE vec_id >= 5),
-      |queries AS (SELECT * FROM embeddings WHERE vec_id < 5),
+    s"""WITH e AS (SELECT vec_id, v FROM ${OracleVec.EmbScreened} t),
+      |corpus AS (SELECT * FROM e WHERE vec_id >= 5),
+      |queries AS (SELECT * FROM e WHERE vec_id < 5),
       |m AS (
-      |  SELECT max(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS m2
+      |  SELECT max(list_dot_product(v, v)) AS m2
       |  FROM corpus),
       |pairs AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |    list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS dp,
-      |    list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS qn2,
+      |    list_dot_product(q.v, c.v) AS dp,
+      |    list_dot_product(q.v, q.v) AS qn2,
       |    m.m2
       |  FROM queries q CROSS JOIN corpus c CROSS JOIN m),
       |ranked AS (
       |  SELECT query_id, neighbor_id, dp,
-      |    dp / (sqrt(m2) * sqrt(qn2)) AS aug_cos,
+      |    CASE WHEN m2 * qn2 = 0 THEN NULL
+      |      ELSE dp / (sqrt(m2) * sqrt(qn2)) END AS aug_cos,
       |    row_number() OVER (
       |      PARTITION BY query_id ORDER BY round(dp, 6) DESC, neighbor_id) AS rank
       |  FROM pairs)

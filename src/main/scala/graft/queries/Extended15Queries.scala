@@ -104,12 +104,16 @@ object Extended15Queries {
     val pairs = broadcast(test.as("q")).crossJoin(corpus.as("c"))
       .select(col("q.vec_id").as("query_id"), col("q.label").as("actual"),
         col("c.vec_id").as("neighbor_id"), col("c.label").as("vote"),
-        // nullif: a zero-magnitude embedding yields NULL cosine (ranks
-        // last) instead of an ANSI DIVIDE_BY_ZERO job abort; nanvl: a
-        // NaN element would otherwise rank FIRST in every vote window
-        round(nanvl(dot(col("q.embedding"), col("c.embedding")) /
-          nullif(norm(col("q.embedding")) * norm(col("c.embedding")), lit(0.0)),
-          lit(null).cast("double")), 6).as("cos"))
+        // cosineWithNorms' full inert-NULL contract: zero-magnitude →
+        // NULL (not an ANSI DIVIDE_BY_ZERO abort), NaN element → NULL
+        // (would rank FIRST in every vote window), length-mismatched →
+        // NULL (a truncated vector's silent prefix cosine could crack
+        // the vote — the r12 chaos-parity class)
+        round(graft.functions.VectorExprs.cosineWithNorms(
+          col("q.embedding"), col("c.embedding"),
+          norm(col("q.embedding")), norm(col("c.embedding"))), 6).as("cos"))
+      // unscoreable pairs are dropped, not ranked (Ann tail contract)
+      .filter(col("cos").isNotNull)
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     val top5 = pairs.withColumn("rk", row_number().over(wr))
@@ -125,18 +129,19 @@ object Extended15Queries {
   }
 
   private val ml17Sql =
-    """WITH test AS (SELECT * FROM embeddings WHERE vec_id < 20),
-      |corpus AS (SELECT * FROM embeddings WHERE vec_id >= 20),
+    s"""WITH e AS (SELECT vec_id, label, v FROM ${OracleVec.EmbScreened} t),
+      |test AS (SELECT * FROM e WHERE vec_id < 20),
+      |corpus AS (SELECT * FROM e WHERE vec_id >= 20),
       |pairs AS (
       |  SELECT q.vec_id AS query_id, q.label AS actual,
       |    c.vec_id AS neighbor_id, c.label AS vote,
-      |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+      |    round(${OracleVec.cos("q.v", "c.v")}, 6) AS cos
       |  FROM test q CROSS JOIN corpus c),
       |top5 AS (
       |  SELECT * FROM (
       |    SELECT *, row_number() OVER (
       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
-      |    FROM pairs)
+      |    FROM pairs WHERE cos IS NOT NULL)
       |  WHERE rk <= 5),
       |votes AS (
       |  SELECT query_id, actual, vote, count(*) AS n_votes

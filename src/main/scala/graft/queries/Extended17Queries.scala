@@ -46,18 +46,21 @@ object Extended17Queries {
       |  SELECT user_id, event_id, ts, event_type
       |  FROM events WHERE user_id < 100),
       |marked AS (
+      |  -- NULLS FIRST explicitly: Spark ASC defaults nulls-first,
+      |  -- DuckDB nulls-last — a NULL-ts event otherwise lands at
+      |  -- opposite ends of the version history (r12 chaos parity)
       |  SELECT *, lag(event_type) OVER (
-      |    PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |    PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev_type
       |  FROM e),
       |changes AS (
       |  SELECT * FROM marked
       |  WHERE prev_type IS NULL OR prev_type != event_type)
       |SELECT user_id,
-      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
       |    AS INTEGER) AS version,
       |  event_type AS state,
       |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
-      |  strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |  strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id),
       |    '%Y-%m-%d %H:%M:%S') AS valid_to
       |FROM changes
       |ORDER BY user_id, version""".stripMargin

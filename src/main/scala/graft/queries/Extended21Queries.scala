@@ -206,11 +206,15 @@ object Extended21Queries {
       |  FROM users u LEFT JOIN conv c USING (user_id)
       |  GROUP BY arm),
       |zz AS (
+      |  -- pooled terms sum arms 0 and 1 ONLY, like the engine's
+      |  -- (c0+c1)/(n0+n1): a NULL user_id hashes to a NULL arm whose
+      |  -- per_arm row must not enter the pooled proportion (r12
+      |  -- chaos-parity drive; no-op when every user_id is non-NULL)
       |  SELECT (
       |    (sum(CASE WHEN arm = 0 THEN n_converted END) / CAST(sum(CASE WHEN arm = 0 THEN n_users END) AS DOUBLE)
       |     - sum(CASE WHEN arm = 1 THEN n_converted END) / CAST(sum(CASE WHEN arm = 1 THEN n_users END) AS DOUBLE))
-      |    / sqrt(sum(n_converted) / CAST(sum(n_users) AS DOUBLE)
-      |        * (1 - sum(n_converted) / CAST(sum(n_users) AS DOUBLE))
+      |    / sqrt(sum(CASE WHEN arm IN (0, 1) THEN n_converted END) / CAST(sum(CASE WHEN arm IN (0, 1) THEN n_users END) AS DOUBLE)
+      |        * (1 - sum(CASE WHEN arm IN (0, 1) THEN n_converted END) / CAST(sum(CASE WHEN arm IN (0, 1) THEN n_users END) AS DOUBLE))
       |        * (1.0 / sum(CASE WHEN arm = 0 THEN n_users END)
       |           + 1.0 / sum(CASE WHEN arm = 1 THEN n_users END)))) AS z
       |  FROM per_arm)

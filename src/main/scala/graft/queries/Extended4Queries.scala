@@ -48,17 +48,22 @@ object Extended4Queries {
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us")),
       gapUs = 1800000000L)
 
+  // NULLS FIRST, explicitly (r12 chaos-parity drive): Spark's ASC
+  // default is nulls-first, DuckDB's is nulls-last — invisible on
+  // clean data, but one NULL-ts event moved the session boundaries of
+  // its whole user between engines. Window ORDER BYs over nullable
+  // keys pin the null end explicitly in every oracle here.
   private val q62Sql =
     """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
       |f AS (
       |  SELECT user_id, event_id, us,
-      |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
-      |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+      |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us NULLS FIRST, event_id) IS NULL
+      |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us NULLS FIRST, event_id) > 1800000000
       |         THEN 1 ELSE 0 END AS is_new
       |  FROM e),
       |sess AS (
       |  SELECT user_id, us,
-      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us NULLS FIRST, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM f)
       |SELECT user_id, session_seq, count(*) AS n_events,
@@ -1004,12 +1009,23 @@ object Extended4Queries {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
-        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("win_end"),
+        // ltrim('+'): a year-9999 event's EXCLUSIVE window end lands in
+        // year 10000, which Spark's date_format prints '+10000-…' while
+        // DuckDB's strftime prints '10000-…' (r12 chaos parity) — the
+        // sign is a formatter artifact, not information; no-op for any
+        // 4-digit year
+        ltrim(date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss"), "+").as("win_end"),
         col("n_events"))
       .orderBy(col("user_id"), col("win_start"))
 
+  // us IS NOT NULL (r12 chaos-parity drive): Spark's session_window
+  // DROPS a NULL-timestamp row (a time window over no time is
+  // undefined), while this manual gap derivation would give it a
+  // session of its own — the one-row divergence the degenerate shard
+  // exposed. No-op on clean data.
   private val q76Sql =
-    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      |           WHERE ts IS NOT NULL),
       |f AS (
       |  SELECT user_id, us,
       |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL

@@ -138,13 +138,14 @@ object Extended5Queries {
   }
 
   private val sim04Sql =
-    """WITH s AS (
+    s"""WITH e AS (SELECT vec_id, embedding FROM ${OracleVec.EmbScreened} t),
+      |s AS (
       |  SELECT 127.0 / CAST(max(list_max(list_transform(embedding, x -> abs(x)))) AS DOUBLE) AS scale
-      |  FROM embeddings),
+      |  FROM e),
       |qz AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * scale + 0.5)) AS qv
-      |  FROM embeddings, s),
+      |  FROM e, s),
       |pairs AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |    CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS qdot
@@ -377,8 +378,15 @@ object Extended5Queries {
   private def tx17QualityPercentile(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
+    // unscored docs (NULL text → NULL quality) leave the percentile
+    // POPULATION, not just the output: before this filter the NULL
+    // group rode the cumulative at the Spark end (nulls-first) and the
+    // DuckDB end (nulls-last) of the histogram, shifting every real
+    // bucket's pct_le by 1/total on exactly one engine (r12 chaos
+    // parity). No-op when every doc scores.
     val q = docs.select(col("doc_id"),
       round(TextStats.qualityScore(col("text")), 4).as("quality"))
+      .filter(col("quality").isNotNull)
     val hist = q.groupBy(col("quality")).agg(count(lit(1)).as("nq"))
     val cum = hist.withColumn("cum", sum(col("nq")).over(
       Window.orderBy(col("quality")).rowsBetween(Window.unboundedPreceding, 0)))
@@ -406,15 +414,16 @@ object Extended5Queries {
       |            / CAST(len(toks) AS DOUBLE)), 1.0), 4)
       |    END AS quality
       |  FROM t),
-      |hist AS (SELECT quality, count(*) AS nq FROM q GROUP BY 1),
+      |qs AS (SELECT * FROM q WHERE quality IS NOT NULL),
+      |hist AS (SELECT quality, count(*) AS nq FROM qs GROUP BY 1),
       |cum AS (
       |  SELECT quality, sum(nq) OVER (ORDER BY quality
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM hist),
-      |total AS (SELECT count(*) AS total FROM q)
-      |SELECT q.doc_id, q.quality, round(c.cum / CAST(t.total AS DOUBLE), 4) AS pct_le
-      |FROM q JOIN cum c USING (quality) CROSS JOIN total t
-      |ORDER BY q.doc_id""".stripMargin
+      |total AS (SELECT count(*) AS total FROM qs)
+      |SELECT qs.doc_id, qs.quality, round(c.cum / CAST(t.total AS DOUBLE), 4) AS pct_le
+      |FROM qs JOIN cum c USING (quality) CROSS JOIN total t
+      |ORDER BY qs.doc_id""".stripMargin
 
   /** Curation-funnel observability: how many docs survive each gate
     * of the mx05 pipeline (eligibility → exact-dedup canonical →
@@ -574,7 +583,8 @@ object Extended5Queries {
       |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
       |seq AS (
       |  SELECT user_id, event_type,
-      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY us NULLS FIRST, event_id) AS prev
       |  FROM e),
       |trans AS (
       |  SELECT prev, event_type AS next, count(*) AS n

@@ -252,19 +252,21 @@ object Extended6Queries {
   }
 
   private val q87Sql =
-    """SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, neg_label,
-      |  round(cosine, 4) AS cosine
-      |FROM (
+    s"""WITH e AS (SELECT vec_id, label, v FROM ${OracleVec.EmbScreened} t),
+      |pairs AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |    c.label AS neg_label,
-      |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
-      |    row_number() OVER (
-      |      PARTITION BY q.vec_id
-      |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-      |               c.vec_id) AS rank
-      |  FROM embeddings q JOIN embeddings c
+      |    ${OracleVec.cos("q.v", "c.v")} AS cosine
+      |  FROM e q JOIN e c
       |    ON q.vec_id != c.vec_id AND q.label != c.label
-      |  WHERE q.vec_id < 10
+      |  WHERE q.vec_id < 10)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, neg_label,
+      |  round(cosine, 4) AS cosine
+      |FROM (
+      |  SELECT query_id, neighbor_id, neg_label, cosine,
+      |    row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM pairs WHERE cosine IS NOT NULL
       |)
       |WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin

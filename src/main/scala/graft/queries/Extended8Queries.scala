@@ -141,9 +141,18 @@ object Extended8Queries {
     * row, partitioned per user, never global.
     */
   private def q93Interp(s: SparkSession, dir: String): DataFrame = {
+    // Non-finite readings fold to inert NULL BEFORE the hourly avg
+    // (r12 chaos-parity drive): one NaN sensor value otherwise makes
+    // the hour's avg NaN, the cumulative fills smear it across the
+    // user's whole spine, and Spark's floor(NaN).toLong lands the
+    // entire series on 0.0 while DuckDB keeps NaN — silent corruption
+    // on one engine, poison on the other. NULL keeps the HOUR on the
+    // spine (interpolated like any unobserved hour), losing only the
+    // poisoned reading. x * 0 is NaN exactly for NaN/±Inf.
     val obs = Tables.events(s, dir).filter(col("user_id") < 20)
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
-      .agg(round(avg(col("value")), 4).as("v"))
+      .agg(round(avg(when(isnan(col("value") * lit(0.0)),
+        lit(null).cast("double")).otherwise(col("value"))), 4).as("v"))
     // spine clamp (Guards.SpineCapHours): before the clamp, one
     // corrupted timestamp pair (year 0001 + 9999, r11 chaos shard)
     // generated an ~87M-row hourly spine for a single user — mirrored
@@ -195,7 +204,8 @@ object Extended8Queries {
 
   private val q93Sql =
     s"""WITH obs AS (
-      |  SELECT user_id, date_trunc('hour', ts) AS h, round(avg(value), 4) AS v
+      |  SELECT user_id, date_trunc('hour', ts) AS h,
+      |    round(avg(CASE WHEN isnan(value * 0) THEN NULL ELSE value END), 4) AS v
       |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
       |spans AS (SELECT user_id, min(h) AS h0,
       |            least(max(h), min(h) + INTERVAL ${Guards.SpineCapHours} HOURS) AS h1

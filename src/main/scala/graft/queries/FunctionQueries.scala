@@ -131,13 +131,21 @@ object FunctionQueries {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  // json_valid guard (r12 chaos-parity drive): DuckDB's ->> THROWS on
+  // a truncated document ('{"k":' — the malformed-producer chaos row)
+  // where Spark's get_json_object is NULL-safe; the guard makes the
+  // oracle degrade to the same NULL. No-op on well-formed props.
   private val q35Sql =
-    """SELECT event_type,
-      |  count(TRY_CAST(props->>'$.k' AS INTEGER)) AS n_with_k,
-      |  round(avg(TRY_CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
-      |  CAST(min(TRY_CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS min_k,
-      |  CAST(max(TRY_CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k
-      |FROM events
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    TRY_CAST((CASE WHEN json_valid(props) THEN props->>'$.k' END) AS INTEGER) AS k
+      |  FROM events)
+      |SELECT event_type,
+      |  count(k) AS n_with_k,
+      |  round(avg(k), 4) AS avg_k,
+      |  CAST(min(k) AS INTEGER) AS min_k,
+      |  CAST(max(k) AS INTEGER) AS max_k
+      |FROM ev
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 

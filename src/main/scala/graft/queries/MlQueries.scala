@@ -133,10 +133,16 @@ object MlQueries {
         "ev_frac_valid_ok", "ev_frac_sum_ok", "orthonormal_ok")
   }
 
+  // dims_uniform_ok computed honestly (r12 chaos-parity drive): the
+  // constant-TRUE pin silently reported a shape-corrupt corpus
+  // uniform; the eigen-gate booleans stay oracle-side pins (the
+  // engine's solver invariants hold regardless of screened-out rows).
   private val ml05cSql =
     """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
       |  CAST(max(len(embedding)) AS INTEGER) AS dims,
-      |  TRUE AS dims_uniform_ok, TRUE AS ev_desc_ok,
+      |  min(len(embedding)) IS NOT DISTINCT FROM max(len(embedding))
+      |    AS dims_uniform_ok,
+      |  TRUE AS ev_desc_ok,
       |  TRUE AS ev_frac_valid_ok, TRUE AS ev_frac_sum_ok,
       |  TRUE AS orthonormal_ok
       |FROM embeddings""".stripMargin
@@ -188,7 +194,14 @@ object MlQueries {
        |    CAST(count(DISTINCT v.bucket) AS INTEGER) AS nnz
        |  FROM toks t JOIN vocab v USING (tok)
        |  GROUP BY t.doc_id)
-       |SELECT d.doc_id, coalesce(a.l1, 0.0::DOUBLE) AS l1, coalesce(a.nnz, 0) AS nnz
+       |SELECT d.doc_id,
+       |  -- NULL text → NULL embedding (the engine's deliberate
+       |  -- NULL-restore contract, r11), NOT a zero vector: only a
+       |  -- non-NULL token-less doc collapses to l1=0/nnz=0
+       |  CASE WHEN d.text IS NULL THEN NULL
+       |    ELSE coalesce(a.l1, 0.0::DOUBLE) END AS l1,
+       |  CAST(CASE WHEN d.text IS NULL THEN NULL
+       |    ELSE coalesce(a.nnz, 0) END AS INTEGER) AS nnz
        |FROM documents d LEFT JOIN agg a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
@@ -302,9 +315,14 @@ object MlQueries {
     // iteration formulation cost 16 tiny scheduled jobs (2.4 s at
     // sf0.1); this shape is ~1 s and scan-bound.
     val (vec, _) = powerIterate(gram64(s, dir))
+    // corrupt rows (shape/finiteness — the same screen the Gram
+    // applied) project to NULL, keeping the row: a truncated vector's
+    // prefix dot is a real-looking but wrong coordinate, and a NaN
+    // element is NaN contagion downstream (r12 chaos-parity drive)
     Tables.embeddings(s, dir).select(col("vec_id"),
-        round(graft.functions.VectorExprs.dot(col("embedding"),
-          array(vec.map(lit).toIndexedSeq: _*)), 4).as("pc1"))
+        when(graft.functions.VectorExprs.isShapedVec(col("embedding"), 64),
+          round(graft.functions.VectorExprs.dot(col("embedding"),
+            array(vec.map(lit).toIndexedSeq: _*)), 4)).as("pc1"))
       .orderBy(col("vec_id"))
   }
 
@@ -350,10 +368,12 @@ object MlQueries {
       }
       v
     }
+    // corrupt rows project to NULL, keeping the row — ml08's contract
     Tables.embeddings(s, dir).select(col("vec_id") +:
         dirs.zipWithIndex.map { case (v, c) =>
-          round(graft.functions.VectorExprs.dot(col("embedding"),
-            array(v.map(lit).toIndexedSeq: _*)), 4).as(s"pc_$c")
+          when(graft.functions.VectorExprs.isShapedVec(col("embedding"), 64),
+            round(graft.functions.VectorExprs.dot(col("embedding"),
+              array(v.map(lit).toIndexedSeq: _*)), 4)).as(s"pc_$c")
         }: _*)
       .orderBy(col("vec_id"))
   }
@@ -391,7 +411,7 @@ object MlQueries {
       if (c < 3) comp(c, gSrc) + ",\n" + deflate(c, gSrc)
       else comp(c, gSrc)
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, v FROM ${OracleVec.EmbScreened} t),
        |x AS MATERIALIZED (
        |  SELECT vec_id, i, v[i] AS xi
        |  FROM (SELECT vec_id, v, unnest(range(1, 65)) AS i FROM e)),
@@ -405,19 +425,22 @@ object MlQueries {
        |  SELECT g.i, g.j, g.gv - sa.si * sb.si / nr.n AS gv
        |  FROM g JOIN sums sa ON g.i = sa.i JOIN sums sb ON g.j = sb.i
        |  CROSS JOIN nr),
-       |$body
-       |SELECT x.vec_id,
-       |  round(sum(x.xi * d0.vval), 4) AS pc_0,
-       |  round(sum(x.xi * d1.vval), 4) AS pc_1,
-       |  round(sum(x.xi * d2.vval), 4) AS pc_2,
-       |  round(sum(x.xi * d3.vval), 4) AS pc_3
-       |FROM x
-       |JOIN c0_v8 d0 ON x.i = d0.i
-       |JOIN c1_v8 d1 ON x.i = d1.i
-       |JOIN c2_v8 d2 ON x.i = d2.i
-       |JOIN c3_v8 d3 ON x.i = d3.i
-       |GROUP BY x.vec_id
-       |ORDER BY x.vec_id""".stripMargin
+       |$body,
+       |proj AS (
+       |  SELECT x.vec_id,
+       |    round(sum(x.xi * d0.vval), 4) AS pc_0,
+       |    round(sum(x.xi * d1.vval), 4) AS pc_1,
+       |    round(sum(x.xi * d2.vval), 4) AS pc_2,
+       |    round(sum(x.xi * d3.vval), 4) AS pc_3
+       |  FROM x
+       |  JOIN c0_v8 d0 ON x.i = d0.i
+       |  JOIN c1_v8 d1 ON x.i = d1.i
+       |  JOIN c2_v8 d2 ON x.i = d2.i
+       |  JOIN c3_v8 d3 ON x.i = d3.i
+       |  GROUP BY x.vec_id)
+       |SELECT a.vec_id, p.pc_0, p.pc_1, p.pc_2, p.pc_3
+       |FROM embeddings a LEFT JOIN proj p USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
   }
 
   private val ml08Sql: String = {
@@ -429,7 +452,7 @@ object MlQueries {
          |n$t AS (SELECT sqrt(sum(w * w)) AS nrm FROM w$t),
          |v$t AS (SELECT i, round(w / nrm, 8) AS vval FROM w$t, n$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, v FROM ${OracleVec.EmbScreened} t),
        |x AS (
        |  SELECT vec_id, i, v[i] AS xi
        |  FROM (SELECT vec_id, v, unnest(range(1, 65)) AS i FROM e)),
@@ -438,11 +461,14 @@ object MlQueries {
        |  FROM x a JOIN x b USING (vec_id)
        |  GROUP BY 1, 2),
        |v0 AS (SELECT unnest(range(1, 65)) AS i, 1.0::DOUBLE AS vval),
-       |$iters
-       |SELECT x.vec_id, round(sum(x.xi * v8.vval), 4) AS pc1
-       |FROM x JOIN v8 ON x.i = v8.i
-       |GROUP BY x.vec_id
-       |ORDER BY x.vec_id""".stripMargin
+       |$iters,
+       |proj AS (
+       |  SELECT x.vec_id, round(sum(x.xi * v8.vval), 4) AS pc1
+       |  FROM x JOIN v8 ON x.i = v8.i
+       |  GROUP BY x.vec_id)
+       |SELECT a.vec_id, p.pc1
+       |FROM embeddings a LEFT JOIN proj p USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
   }
 
   /** Decision-stump split search over the order features — the

@@ -23,17 +23,19 @@ object SimilarityQueries {
   }
 
   private val sim01Sql =
-    """SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+    s"""WITH e AS (SELECT vec_id, v FROM ${OracleVec.EmbScreened} t),
+      |pairs AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ${OracleVec.cos("q.v", "c.v")} AS cosine
+      |  FROM e q JOIN e c ON q.vec_id != c.vec_id
+      |  WHERE q.vec_id < 10)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
       |  round(cosine, 4) AS cosine
       |FROM (
-      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+      |  SELECT query_id, neighbor_id, cosine,
       |    row_number() OVER (
-      |      PARTITION BY q.vec_id
-      |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-      |               c.vec_id) AS rank
-      |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-      |  WHERE q.vec_id < 10
+      |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM pairs WHERE cosine IS NOT NULL
       |)
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
@@ -63,21 +65,21 @@ object SimilarityQueries {
       val arr = p.map(_.toString).mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString("\n      + ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, v FROM ${OracleVec.EmbScreened} t),
        |sig AS (
        |  SELECT vec_id, v,
        |    $sigExpr AS bucket
        |  FROM e),
        |pairs AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    list_cosine_similarity(q.v, c.v) AS cosine
+       |    ${OracleVec.cos("q.v", "c.v")} AS cosine
        |  FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
        |  WHERE q.vec_id < 10),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
        |    CAST(row_number() OVER (
        |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-       |  FROM pairs)
+       |  FROM pairs WHERE cosine IS NOT NULL)
        |SELECT query_id, rank, neighbor_id, round(cosine, 4) AS cosine
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
@@ -109,7 +111,7 @@ object SimilarityQueries {
     * the exact comparator Ann.centroidDists builds.
     */
   private val sim03Sql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, v FROM ${OracleVec.EmbScreened} t),
       |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
       |assign AS (
       |  SELECT e.vec_id, e.v, c.cell,
@@ -126,14 +128,14 @@ object SimilarityQueries {
       |  FROM e, cent c WHERE e.vec_id < 10),
       |pairs AS (
       |  SELECT q.query_id, s.vec_id AS neighbor_id,
-      |    list_cosine_similarity(q.qv, s.v) AS cosine
+      |    ${OracleVec.cos("q.qv", "s.v")} AS cosine
       |  FROM (SELECT query_id, qv, cell FROM probes WHERE rn <= 4) q
       |  JOIN cells s ON q.cell = s.cell AND q.query_id != s.vec_id),
       |ranked AS (
       |  SELECT query_id, neighbor_id, cosine,
       |    CAST(row_number() OVER (
       |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-      |  FROM pairs)
+      |  FROM pairs WHERE cosine IS NOT NULL)
       |SELECT query_id, rank, neighbor_id, round(cosine, 4) AS cosine
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
@@ -252,7 +254,7 @@ object SimilarityQueries {
       .mkString("\n  ")
     val slices = (0 until m).map(j => s"k$j.v[${j * sub + 1}:${(j + 1) * sub}]")
       .mkString(", ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, v FROM ${OracleVec.EmbScreened} t),
        |cent AS (SELECT vec_id AS ci, v FROM e WHERE vec_id < 8),
        |$assigns,
        |recon AS (
@@ -261,15 +263,17 @@ object SimilarityQueries {
        |  $joins),
        |scored AS (
        |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-       |    list_dot_product(q.v, r.rv)
-       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(r.rv, r.rv)))
-       |      AS score
+       |    CASE WHEN list_dot_product(q.v, q.v) = 0 OR list_dot_product(r.rv, r.rv) = 0
+       |      THEN NULL
+       |      ELSE list_dot_product(q.v, r.rv)
+       |        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(r.rv, r.rv)))
+       |      END AS score
        |  FROM e q JOIN recon r ON q.vec_id < 10 AND q.vec_id != r.vec_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, score,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
        |      AS INTEGER) AS rank
-       |  FROM scored)
+       |  FROM scored WHERE score IS NOT NULL)
        |SELECT query_id, rank, neighbor_id, round(score, 4) AS score
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
@@ -311,7 +315,7 @@ object SimilarityQueries {
       .mkString("\n  ")
     val slices = (0 until m).map(j => s"k$j.v[${j * sub + 1}:${(j + 1) * sub}]")
       .mkString(", ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, v FROM ${OracleVec.EmbScreened} t),
        |cent AS (SELECT vec_id AS ci, v FROM e WHERE vec_id < 8),
        |coarse AS (
        |  SELECT e.vec_id, c.ci,
@@ -330,9 +334,11 @@ object SimilarityQueries {
        |  $joins),
        |scored AS (
        |  SELECT p.query_id, r.vec_id AS neighbor_id,
-       |    list_dot_product(q.v, r.rv)
-       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(r.rv, r.rv)))
-       |      AS score
+       |    CASE WHEN list_dot_product(q.v, q.v) = 0 OR list_dot_product(r.rv, r.rv) = 0
+       |      THEN NULL
+       |      ELSE list_dot_product(q.v, r.rv)
+       |        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(r.rv, r.rv)))
+       |      END AS score
        |  FROM probes p
        |  JOIN e q ON q.vec_id = p.query_id
        |  JOIN cellof cf ON cf.cell = p.cell
@@ -342,7 +348,7 @@ object SimilarityQueries {
        |  SELECT query_id, neighbor_id, score,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
        |      AS INTEGER) AS rank
-       |  FROM scored)
+       |  FROM scored WHERE score IS NOT NULL)
        |SELECT query_id, rank, neighbor_id, round(score, 4) AS score
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
@@ -359,7 +365,7 @@ object SimilarityQueries {
   }
 
   private val sim08Sql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, v FROM ${OracleVec.EmbScreened} t),
       |sig AS (
       |  SELECT vec_id,
       |    bit_or(CASE WHEN i <= 32 AND v[i] > 0 THEN 1::BIGINT << (i - 1)
@@ -396,7 +402,7 @@ object SimilarityQueries {
   }
 
   private val sim09Sql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, v FROM ${OracleVec.EmbScreened} t),
       |sig AS (
       |  SELECT vec_id,
       |    bit_or(CASE WHEN i <= 32 AND v[i] > 0 THEN 1::BIGINT << (i - 1)
@@ -415,7 +421,7 @@ object SimilarityQueries {
       |  WHERE rnk <= 50),
       |scored AS (
       |  SELECT p.query_id, p.neighbor_id,
-      |    list_cosine_similarity(q.v, c.v) AS cosine
+      |    ${OracleVec.cos("q.v", "c.v")} AS cosine
       |  FROM pre p
       |  JOIN e q ON q.vec_id = p.query_id
       |  JOIN e c ON c.vec_id = p.neighbor_id),
@@ -423,7 +429,7 @@ object SimilarityQueries {
       |  SELECT query_id, neighbor_id, cosine,
       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
       |      AS INTEGER) AS rank
-      |  FROM scored)
+      |  FROM scored WHERE cosine IS NOT NULL)
       |SELECT query_id, rank, neighbor_id, round(cosine, 4) AS cosine
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin

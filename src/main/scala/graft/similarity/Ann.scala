@@ -48,6 +48,12 @@ object Ann {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
+      // unscoreable pairs (zero-magnitude / NaN / length-mismatched →
+      // NULL cosine) are DROPPED, not ranked: a NULL would only ever
+      // pad a top-k when fewer than k scoreable candidates exist, and
+      // a padded junk row is worse than a short result. Same contract
+      // in every ranking tail below (r12 chaos-parity drive).
+      .filter(col("cosine").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -122,6 +128,7 @@ object Ann {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
+      .filter(col("cosine").isNotNull) // bruteForceTopK's drop contract
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -204,12 +211,21 @@ object Ann {
     */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    // Shape/finiteness screen on BOTH sides (r12 chaos-parity drive):
+    // the scale below is a GLOBAL max — one NaN element in one corpus
+    // row made it NaN (Spark's max orders NaN above every number), so
+    // every quantized code went NaN and the whole ranking silently
+    // collapsed to zeros. Corrupt rows are unquantizable, same
+    // exclusion contract as the PQ/IVF/Hamming index fits.
+    val dim = graft.functions.VectorExprs.dominantDim(corpus, vecCol)
+    val corpusC = corpus.filter(graft.functions.VectorExprs.isShapedVec(col(vecCol), dim))
+    val queriesC = queries.filter(graft.functions.VectorExprs.isShapedVec(col(vecCol), dim))
     // The global max-|x| rides along as a broadcast scalar (the mx07
     // totals pattern) instead of a separate driver first() job — the
     // composed path stays one plan, and ReuseExchange shares the
     // corpus aggregate between the two crossJoins. An all-zero corpus
     // raises in-plan rather than via a driver require.
-    val mx = corpus
+    val mx = corpusC
       .agg(max(array_max(transform(col(vecCol), x => abs(x))))
         .cast("double").as("__maxabs"))
     val scale = when(col("__maxabs") > 0d, lit(127.0) / col("__maxabs"))
@@ -218,9 +234,9 @@ object Ann {
     // engine, unlike round()'s dialect-dependent tie rules
     def quant(v: Column): Column =
       transform(v, x => floor(x.cast("double") * scale + lit(0.5)).cast("float"))
-    val c = corpus.crossJoin(broadcast(mx))
+    val c = corpusC.crossJoin(broadcast(mx))
       .select(col(idCol).as("neighbor_id"), quant(col(vecCol)).as("qc"))
-    val q = queries.crossJoin(broadcast(mx))
+    val q = queriesC.crossJoin(broadcast(mx))
       .select(col(idCol).as("query_id"), quant(col(vecCol)).as("qq"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -252,6 +268,7 @@ object Ann {
         col("query_id") =!= col("neighbor_id") && col("q_label") =!= col("neg_label"))
       .select(col("query_id"), col("neighbor_id"), col("neg_label"),
         cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
+      .filter(col("cosine").isNotNull) // bruteForceTopK's drop contract
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -283,6 +300,7 @@ object Ann {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
+      .filter(col("cosine").isNotNull) // bruteForceTopK's drop contract
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -356,6 +374,7 @@ object Ann {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("rv"), col("qn"), col("rn")).as("score"))
+      .filter(col("score").isNotNull) // bruteForceTopK's drop contract
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
@@ -469,6 +488,7 @@ object Ann {
     val scored = cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
+      .filter(col("cosine").isNotNull) // bruteForceTopK's drop contract
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

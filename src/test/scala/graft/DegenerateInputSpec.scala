@@ -142,16 +142,27 @@ class DegenerateInputSpec extends SparkSpec {
     val corpus = vecs(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.8f, 0.2f)),
       (3L, Array(0.0f, 0.0f)), (4L, Array(0.0f, 1.0f)))
-    // zero vector in the CORPUS: cosine NULL → ranks last, never top-k
+    // zero vector in the CORPUS: cosine NULL → the pair is DROPPED
+    // pre-rank (r12 chaos-parity contract), never top-k
     val asCorpus = Ann.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 1),
       "vec_id", "embedding", k = 2).collect()
     assert(asCorpus.map(_.getLong(2)).toSet === Set(2L, 4L))
-    // zero vector as the QUERY: every cosine NULL — no crash, and the
-    // top-k window still returns rows (all-NULL scores, deterministic
-    // neighbor order); callers see rows, not an aborted job
+    // zero vector as the QUERY: every cosine NULL — no crash, and no
+    // rows either: unscoreable pairs are dropped rather than padding a
+    // top-k with junk (r12: the pre-rank isNotNull filter; before, the
+    // window returned k all-NULL rows — a result that LOOKED like
+    // neighbors). A caller distinguishes "no scoreable neighbor" from
+    // "aborted job" by the query id's absence, not a fake row.
     val asQuery = Ann.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 3),
       "vec_id", "embedding", k = 2).collect()
-    assert(asQuery.length === 2 && asQuery.forall(_.isNullAt(3)))
+    assert(asQuery.isEmpty)
+    // length-mismatched pair (truncated shard): also NULL → dropped,
+    // never a silent prefix-cosine neighbor (cosineWithNorms guard)
+    val mixed = vecs((1L, Array(1.0f, 0.0f)), (2L, Array(0.8f, 0.2f)),
+      (5L, Array(0.9f)))
+    val short = Ann.bruteForceTopK(mixed, mixed.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 2).collect()
+    assert(short.map(_.getLong(2)).toSet === Set(2L))
   }
 
   test("bruteForceTopK: a NaN-poisoned vector never takes rank 1") {
@@ -169,6 +180,42 @@ class DegenerateInputSpec extends SparkSpec {
         vecs((1L, Array(1.0f, 0.0f)), (2L, Array(Float.NaN, 0.0f))),
         "vec_id", "embedding", threshold = 0.5)
     assert(pairs.isEmpty) // NaN cosine fails the threshold, no crash
+  }
+
+  test("quantizedTopK: one NaN element must not poison the global scale") {
+    // r12 chaos-parity find: the 127/max|x| scale is GLOBAL — before
+    // the screen, Spark's max ordered NaN above every number, the
+    // scale went NaN, every quantized code went NaN, and CAST(NaN AS
+    // LONG) collapsed every qdot to 0: the whole ranking silently
+    // degenerated to neighbor-id order, rc=0 throughout.
+    val corpus = vecs(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(Float.NaN, 1.0f)), (4L, Array(0.1f, 0.9f)))
+    val got = Ann.quantizedTopK(corpus, corpus.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 2).orderBy(col("rank")).collect()
+    // scale from clean rows only: |x|max = 1.0, codes are real ints,
+    // vec 2 (aligned) must beat vec 4 (orthogonal-ish); the NaN row is
+    // screened out entirely
+    assert(got.map(_.getLong(2)).toSeq === Seq(2L, 4L))
+    assert(got.forall(r => !r.isNullAt(3)))
+    assert(got.head.getLong(3) > got.last.getLong(3))
+  }
+
+  test("semanticDedup: a +Inf vector must not become its cell's canonical") {
+    // r12 chaos-parity find: the +Inf element made cdist −Inf, so the
+    // corrupt vector out-ranked every clean member of its cell and
+    // became the leader they were all compared against.
+    val emb = vecs(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)),
+      (3L, Array(Float.PositiveInfinity, 0.0f)), (4L, Array(0.0f, 1.0f)))
+    val kept = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), threshold = 0.95)
+      .collect()
+    val ids = kept.map(_.getLong(0)).toSet
+    // corrupt row screened (unclusterable); vec 2 deduped against the
+    // CLEAN leader vec 1 (cosine ≈ 0.9999); vec 4 its own cell
+    assert(ids === Set(1L, 4L))
+    assert(kept.forall(_.getInt(2) === 1)) // every kept row is a leader
   }
 
   test("bruteForceTopK: k larger than the corpus returns what exists") {

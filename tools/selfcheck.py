@@ -23,8 +23,13 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        if os.path.isdir(p):
+            # Spark-written table: a directory of part files (the chaos
+            # shard is built this way); driver testdata is single-file.
+            p = f"{p}/*.parquet"
+        elif not os.path.exists(p):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     # declared-vs-written diff: a query that threw writes no parquet and
