@@ -608,7 +608,9 @@ object Dedup {
       threshold: Double): DataFrame = {
     import graft.functions.VectorExprs
     val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("norm", VectorExprs.l2Norm(col("v")))
+      // scoringNorm: NULL for NULL/NaN/±Inf elements → NULL cosine →
+      // the pair fails the threshold, never a fabricated near-dup
+      .withColumn("norm", VectorExprs.scoringNorm(col("v")))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         VectorExprs.cosineWithNorms(col("a.v"), col("b.v"),
@@ -756,13 +758,22 @@ object Dedup {
     // corrupt vector became its cell's RANK-1 CANONICAL and every
     // clean member was compared against it. Corrupt rows are
     // unclusterable — dropped from kept output like every index fit.
+    // The width comes from the quantizer, so the quantizer must be
+    // sound: a corrupt or ragged centroid set would silently screen
+    // out the entire healthy corpus (review find) — fail NAMED, like
+    // dominantDim's empty-corpus contract.
+    require(centroids.nonEmpty, "semanticDedup: empty centroid set")
+    require(centroids.forall(_.size == centroids.head.size),
+      s"semanticDedup: ragged centroid widths ${centroids.map(_.size).distinct.sorted.mkString(",")}")
+    require(centroids.forall(_.forall(x => !x.isNaN && !x.isInfinite)),
+      "semanticDedup: centroid with NaN/Inf element — screen the seed collect")
     val dim = centroids.head.size
     val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(VectorExprs.isShapedVec(col("v"), dim))
       .withColumn("assigned", Ann.nearestCell(col("v"), centroids))
       .select(col("id"), col("v"),
         col("assigned.cell").as("cell"), col("assigned.dist").as("cdist"))
-      .withColumn("norm", VectorExprs.l2Norm(col("v")))
+      .withColumn("norm", VectorExprs.scoringNorm(col("v")))
     val ranked = v.withColumn("cell_rank",
       row_number().over(Window.partitionBy(col("cell"))
         .orderBy(col("cdist"), col("id"))))

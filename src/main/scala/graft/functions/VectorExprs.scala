@@ -128,23 +128,40 @@ object VectorExprs {
         lit(null).cast("double")))
   }
 
-  /** TRUE iff every element of the vector is finite (no NaN, no ±Inf)
-    * and the vector itself is non-NULL. `x * 0` is 0 for any finite x
-    * and NaN for both NaN and ±Inf, so one isnan covers both bad
-    * classes. `exists` is a HigherOrderFunction (interpreted, outside
-    * whole-stage codegen — the same property that keeps HOFs off this
-    * engine's scoring hot paths), which is fine HERE because this is a
-    * FIT-TIME screen: one linear pass when a decomposition/index is
-    * built, never per candidate pair. Rationale: one non-finite
-    * embedding (failed decode, upstream 0/0) otherwise poisons a
-    * corpus-wide Gram matrix into all-NaN — MLlib PCA's eigensolver
-    * then THROWS NotConvergedException (found by the ChaosSmoke
-    * catalog sweep) and a k-means quantizer silently degrades to NaN
-    * centroids.
+  /** TRUE iff every element of the vector is present (non-NULL) and
+    * finite (no NaN, no ±Inf), and the vector itself is non-NULL.
+    * `x * 0` is 0 for any finite x and NaN for both NaN and ±Inf, so
+    * one isnan covers both bad classes; the explicit isNull arm is
+    * NOT redundant — Spark's `isnan(NULL)` is FALSE (not NULL), so
+    * without it a NULL element slipped every screen and the DotProduct
+    * kernel read its slot as 0.0: a fabricated, real-looking score
+    * (r12 chaos-parity review find). `exists` is a
+    * HigherOrderFunction (interpreted, outside whole-stage codegen —
+    * the same property that keeps HOFs off this engine's scoring hot
+    * paths), which is fine HERE because this runs once per ROW (fit
+    * screens, [[scoringNorm]] staging), never per candidate pair.
+    * Rationale: one non-finite embedding (failed decode, upstream
+    * 0/0) otherwise poisons a corpus-wide Gram matrix into all-NaN —
+    * MLlib PCA's eigensolver then THROWS NotConvergedException (found
+    * by the ChaosSmoke catalog sweep) and a k-means quantizer
+    * silently degrades to NaN centroids.
     */
   def isFiniteVec(v: Column): Column = {
     import org.apache.spark.sql.functions.{exists, isnan, lit, not}
-    v.isNotNull && not(exists(v, x => isnan(x * lit(0))))
+    v.isNotNull && not(exists(v, x => x.isNull || isnan(x * lit(0))))
+  }
+
+  /** ‖v‖₂ for SCORING-side staging: NULL — so every downstream cosine
+    * is NULL and the pair is dropped pre-rank — unless the vector is
+    * fully present and finite. Staged once per row next to the norm
+    * it guards (linear, not per-pair), this closes the last scoring
+    * hole: a NaN/±Inf element previously reached the cosine as NaN
+    * (folded by nanvl), but a NULL element was read as 0.0 by the
+    * kernel and produced a fabricated score no fold could catch.
+    */
+  def scoringNorm(v: Column): Column = {
+    import org.apache.spark.sql.functions.when
+    when(isFiniteVec(v), l2Norm(v))
   }
 
   /** TRUE iff the vector is finite AND has exactly `dim` elements.

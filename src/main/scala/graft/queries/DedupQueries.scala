@@ -149,11 +149,11 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   private val dd05Sql =
-    s"""WITH e AS (SELECT vec_id, v FROM ${OracleVec.EmbScreened} t)
+    s"""WITH e AS (SELECT vec_id, v FROM ${OracleVec.EmbFinite} t)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  round(${OracleVec.cos("a.v", "b.v")}, 4) AS cosine
+      |  round(${OracleVec.cosPair("a.v", "b.v")}, 4) AS cosine
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE ${OracleVec.cos("a.v", "b.v")} >= 0.35
+      |WHERE ${OracleVec.cosPair("a.v", "b.v")} >= 0.35
       |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash near-dup pairs within hamming distance 3 via banded
@@ -590,7 +590,16 @@ object DedupQueries {
     */
   private def dd12SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val centroids = emb.filter(col("vec_id") < 8)
+    // seed screen (r12 review find): quantizer seeds picked "by id"
+    // from an unscreened corpus would admit a corrupt centroid — a
+    // NaN/−Inf leader every clean member is compared against, the
+    // exact bug class the member-side screen fixed. Same screen as
+    // the members', BEFORE the id cut, so both engines derive the
+    // identical seed set from the identical screened relation.
+    val dim = graft.functions.VectorExprs.dominantDim(emb, "embedding")
+    val centroids = emb
+      .filter(graft.functions.VectorExprs.isShapedVec(col("embedding"), dim))
+      .filter(col("vec_id") < 8)
       .orderBy(col("vec_id")).select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     Dedup.semanticDedup(emb, "vec_id", "embedding", centroids, threshold = 0.35)
@@ -604,7 +613,13 @@ object DedupQueries {
     */
   private val dd12Sql =
     s"""WITH e AS (SELECT vec_id, v FROM ${OracleVec.EmbScreened} t),
-      |cent AS (SELECT vec_id AS cell0, v AS cv FROM e WHERE vec_id < 8),
+      |-- cell ids are POSITIONAL over the screened seed set (the
+      |-- engine zipWithIndex's its collected centroids), not raw
+      |-- vec_ids: identical on clean data, but a screened-out seed
+      |-- (the planted NaN at vec_id 5) shifts every later id
+      |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+      |           AS cell0, v AS cv
+      |         FROM e WHERE vec_id < 8),
       |assign AS (
       |  SELECT e.vec_id, e.v, c.cell0,
       |    list_dot_product(c.cv, c.cv) - 2.0::DOUBLE * list_dot_product(e.v, c.cv) AS dist,

@@ -95,8 +95,8 @@ object Extended15Queries {
     val emb = Tables.embeddings(s, dir)
     val test = emb.filter(col("vec_id") < 20)
     val corpus = emb.filter(col("vec_id") >= 20)
-    import graft.functions.VectorExprs.dot
-    def norm(c: org.apache.spark.sql.Column) = sqrt(dot(c, c))
+    def norm(c: org.apache.spark.sql.Column) =
+      graft.functions.VectorExprs.scoringNorm(c)
     // the bounded side is ALWAYS the test set (20 rows) — broadcast it
     // explicitly rather than trusting the planner's size estimate;
     // the corpus side must never be broadcast (it scales with data).
@@ -129,13 +129,13 @@ object Extended15Queries {
   }
 
   private val ml17Sql =
-    s"""WITH e AS (SELECT vec_id, label, v FROM ${OracleVec.EmbScreened} t),
+    s"""WITH e AS (SELECT vec_id, label, v FROM ${OracleVec.EmbFinite} t),
       |test AS (SELECT * FROM e WHERE vec_id < 20),
       |corpus AS (SELECT * FROM e WHERE vec_id >= 20),
       |pairs AS (
       |  SELECT q.vec_id AS query_id, q.label AS actual,
       |    c.vec_id AS neighbor_id, c.label AS vote,
-      |    round(${OracleVec.cos("q.v", "c.v")}, 6) AS cos
+      |    round(${OracleVec.cosPair("q.v", "c.v")}, 6) AS cos
       |  FROM test q CROSS JOIN corpus c),
       |top5 AS (
       |  SELECT * FROM (

@@ -252,11 +252,11 @@ object Extended6Queries {
   }
 
   private val q87Sql =
-    s"""WITH e AS (SELECT vec_id, label, v FROM ${OracleVec.EmbScreened} t),
+    s"""WITH e AS (SELECT vec_id, label, v FROM ${OracleVec.EmbFinite} t),
       |pairs AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |    c.label AS neg_label,
-      |    ${OracleVec.cos("q.v", "c.v")} AS cosine
+      |    ${OracleVec.cosPair("q.v", "c.v")} AS cosine
       |  FROM e q JOIN e c
       |    ON q.vec_id != c.vec_id AND q.label != c.label
       |  WHERE q.vec_id < 10)

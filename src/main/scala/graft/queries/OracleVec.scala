@@ -43,4 +43,28 @@ object OracleVec {
   def cos(a: String, b: String): String =
     s"CASE WHEN list_dot_product($a, $a) = 0 OR list_dot_product($b, $b) = 0 " +
       s"THEN NULL ELSE list_cosine_similarity($a, $b) END"
+
+  /** Finiteness-only screen for the PAIRWISE cosine family (sim01,
+    * dd05, ml17, q87 — the dim-free exact baselines): any length is
+    * admissible, because the engine's contract there is pairwise —
+    * `cosineWithNorms` scores any SAME-length finite pair, so two
+    * identically-truncated vectors legitimately pair with each other
+    * (the data defines their space) while never pairing with the
+    * full-width corpus. Length agreement is enforced per pair by
+    * [[cosPair]], not here. NULL rows, NULL elements, and NaN/±Inf
+    * elements screen out exactly as in [[EmbScreened]].
+    */
+  val EmbFinite: String =
+    "(SELECT vec_id, label, embedding, embedding::DOUBLE[] AS v FROM embeddings " +
+      "WHERE embedding IS NOT NULL " +
+      "AND len(list_filter(embedding, x -> NOT isnan(x * 0))) = len(embedding))"
+
+  /** [[cos]] plus the per-pair length guard — the exact SQL of
+    * `cosineWithNorms`' contract: NULL (dropped pre-rank) for a
+    * length-mismatched or zero-magnitude pair.
+    */
+  def cosPair(a: String, b: String): String =
+    s"CASE WHEN len($a) != len($b) " +
+      s"OR list_dot_product($a, $a) = 0 OR list_dot_product($b, $b) = 0 " +
+      s"THEN NULL ELSE list_cosine_similarity($a, $b) END"
 }

@@ -23,10 +23,10 @@ object SimilarityQueries {
   }
 
   private val sim01Sql =
-    s"""WITH e AS (SELECT vec_id, v FROM ${OracleVec.EmbScreened} t),
+    s"""WITH e AS (SELECT vec_id, v FROM ${OracleVec.EmbFinite} t),
       |pairs AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |    ${OracleVec.cos("q.v", "c.v")} AS cosine
+      |    ${OracleVec.cosPair("q.v", "c.v")} AS cosine
       |  FROM e q JOIN e c ON q.vec_id != c.vec_id
       |  WHERE q.vec_id < 10)
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
@@ -96,7 +96,14 @@ object SimilarityQueries {
     */
   private def sim03IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val centroids = emb.filter(col("vec_id") < 16)
+    // seed screen (r12 review find): a corrupt vector in the id<16
+    // seed range would become a NaN/−Inf centroid that reorders every
+    // cell assignment — screen BEFORE the id cut, mirroring the
+    // oracle's screened cent CTE
+    val dim = graft.functions.VectorExprs.dominantDim(emb, "embedding")
+    val centroids = emb
+      .filter(graft.functions.VectorExprs.isShapedVec(col("embedding"), dim))
+      .filter(col("vec_id") < 16)
       .orderBy(col("vec_id")).select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     Ann.ivfTopKFixed(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -221,7 +228,12 @@ object SimilarityQueries {
     */
   private def sim06PqTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val base = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+    // seed screen before the id cut — sim03's rationale; the codebook
+    // slicing below additionally assumes the seeds' full width
+    val dim6 = graft.functions.VectorExprs.dominantDim(emb, "embedding")
+    val base = emb
+      .filter(graft.functions.VectorExprs.isShapedVec(col("embedding"), dim6))
+      .filter(col("vec_id") < 8).orderBy(col("vec_id"))
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     val codebooks = (0 until 8).map(j => base.map(v => v.slice(j * 8, j * 8 + 8)))
@@ -286,7 +298,11 @@ object SimilarityQueries {
     */
   private def sim07IvfPqTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val base = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+    // seed screen before the id cut — sim03/sim06's rationale
+    val dim7 = graft.functions.VectorExprs.dominantDim(emb, "embedding")
+    val base = emb
+      .filter(graft.functions.VectorExprs.isShapedVec(col("embedding"), dim7))
+      .filter(col("vec_id") < 8).orderBy(col("vec_id"))
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     val codebooks = (0 until 8).map(j => base.map(v => v.slice(j * 8, j * 8 + 8)))

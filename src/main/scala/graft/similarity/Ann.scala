@@ -25,8 +25,11 @@ object Ann {
   // codegen'd vector kernel (graft.functions.DotProduct) — the
   // interpreted zip_with/aggregate formulation was ~20× slower on the
   // O(n²·d) scan; float inputs are widened in-loop, so results are
-  // bit-identical to the double fold.
-  private def norm(v: Column): Column = graft.functions.VectorExprs.l2Norm(v)
+  // bit-identical to the double fold. The norm staging is the
+  // per-ROW guard point: scoringNorm is NULL for a vector with any
+  // NULL/NaN/±Inf element, so every cosine against it is NULL and the
+  // pair is dropped pre-rank — per-row cost, never per-pair.
+  private def norm(v: Column): Column = graft.functions.VectorExprs.scoringNorm(v)
   private def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
   // NULL (not DIVIDE_BY_ZERO — ANSI throws) for a zero-magnitude
   // vector; NULL sorts last under the desc rank windows below, so a
@@ -210,14 +213,17 @@ object Ann {
     * bit-exact, and casting to long loses nothing.
     */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, dimHint: Int = -1): DataFrame = {
     // Shape/finiteness screen on BOTH sides (r12 chaos-parity drive):
     // the scale below is a GLOBAL max — one NaN element in one corpus
     // row made it NaN (Spark's max orders NaN above every number), so
     // every quantized code went NaN and the whole ranking silently
     // collapsed to zeros. Corrupt rows are unquantizable, same
-    // exclusion contract as the PQ/IVF/Hamming index fits.
-    val dim = graft.functions.VectorExprs.dominantDim(corpus, vecCol)
+    // exclusion contract as the PQ/IVF/Hamming index fits. dimHint
+    // skips the election job when the caller knows the width
+    // (signLshTopK's composed-pipeline escape hatch).
+    val dim = if (dimHint > 0) dimHint
+      else graft.functions.VectorExprs.dominantDim(corpus, vecCol)
     val corpusC = corpus.filter(graft.functions.VectorExprs.isShapedVec(col(vecCol), dim))
     val queriesC = queries.filter(graft.functions.VectorExprs.isShapedVec(col(vecCol), dim))
     // The global max-|x| rides along as a broadcast scalar (the mx07
@@ -286,14 +292,21 @@ object Ann {
       seed: Long = 42L, dimHint: Int = -1): DataFrame = {
     // dimHint avoids the extra driver-side probe job when the caller
     // already knows the embedding width (VERDICT r4: composed pipelines
-    // shouldn't pay a first() per call)
+    // shouldn't pay a first() per call). Without a hint the width is
+    // ELECTED (dominantDim), not read off an arbitrary first row — a
+    // truncated first row would have sized the hyperplanes to the
+    // corruption and screened out the healthy majority (r12 review).
     val dim = if (dimHint > 0) dimHint
-      else corpus.select(size(col(vecCol))).first().getInt(0)
+      else graft.functions.VectorExprs.dominantDim(corpus, vecCol)
     val planes = hyperplanes(nBits, dim, seed)
+    // shape screen both sides, like hammingTopK: a truncated vector's
+    // prefix signature would bucket it as if whole (r12 chaos parity)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .filter(graft.functions.VectorExprs.isShapedVec(col("cv"), dim))
       .withColumn("cn", norm(col("cv")))
       .withColumn("bucket", signature(col("cv"), planes))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(graft.functions.VectorExprs.isShapedVec(col("qv"), dim))
       .withColumn("qn", norm(col("qv")))
       .withColumn("bucket", signature(col("qv"), planes))
     val scored = c.join(broadcast(q), Seq("bucket"))

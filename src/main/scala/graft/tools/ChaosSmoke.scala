@@ -86,11 +86,38 @@ object ChaosSmoke {
       (900001L, zero, 0), (900002L, nan, 1),
       (900003L, short, 0), (900004L, inf, 1),
       (900005L, Array.empty[Float], 0),
-      (900006L, null.asInstanceOf[Array[Float]], 1))
+      (900006L, null.asInstanceOf[Array[Float]], 1),
+      // chaos-parity wave 3 (r12): two finite vectors truncated to the
+      // SAME length — the systematic shard-truncation mode. The
+      // pairwise cosine family (dd05/sim01/ml17/q87) legitimately
+      // scores them against EACH OTHER (the data defines their space)
+      // while they never pair with the full-width corpus
+      (900008L, Array.tabulate(math.max(1, dim / 2))(i => if (i == 0) 0.3f else 0.2f), 0),
+      (900009L, Array.fill(math.max(1, dim / 2))(0.2f), 1))
       .toDF("vec_id", "embedding", "label")
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
         col("label"))
-    emb.unionByName(badEmb).coalesce(1)
+    // chaos-parity wave 3 (r12): a right-length vector with one NULL
+    // ELEMENT — schema-legal for parquet (containsNull), invisible to
+    // a naive isnan screen (Spark's isnan(NULL) is FALSE), and read
+    // as 0.0 by an unguarded kernel: the fabricated-score class.
+    // Built via Option so the encoder emits containsNull=true.
+    val nullElem = Seq((900007L, Seq.tabulate(dim)(i =>
+        if (i == 2) None else Some(0.1f)): Seq[Option[Float]], 0))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+    // chaos-parity wave 3 (r12): a corrupt vector INSIDE the quantizer
+    // seed range — vec_id 5 is re-written with a NaN element, so the
+    // sim03/sim06/sim07/dd12 "first N ids" seed collects must SCREEN
+    // it or build a NaN centroid that reorders every cell assignment
+    val nanSeed = Seq((5L,
+        Array.tabulate(dim)(i => if (i == 1) Float.NaN else 0.15f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+    emb.filter(col("vec_id") =!= 5L)
+      .unionByName(nanSeed).unionByName(badEmb).unionByName(nullElem).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
 
     // events + NULL ts / user / type / value rows (written back as
