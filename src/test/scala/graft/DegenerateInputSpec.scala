@@ -182,6 +182,29 @@ class DegenerateInputSpec extends SparkSpec {
     assert(pairs.isEmpty) // NaN cosine fails the threshold, no crash
   }
 
+  test("a NULL element is corruption, not a 0.0 — screened from scoring and fits") {
+    // Spark's isnan(NULL) is FALSE, so before r12 a right-length
+    // vector with one NULL element passed isFiniteVec and the dot
+    // kernel read the slot as 0.0 — a fabricated score. Red-gate:
+    // reverting the isNull arm in isFiniteVec turns this test red.
+    import graft.functions.VectorExprs
+    import spark.implicits._
+    val withNull = Seq(
+      (1L, Seq[Option[Float]](Some(1.0f), Some(0.0f))),
+      (2L, Seq[Option[Float]](Some(0.9f), Some(0.1f))),
+      (3L, Seq[Option[Float]](Some(1.0f), None)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val fin = withNull.select(col("vec_id"),
+      VectorExprs.isFiniteVec(col("embedding")).as("ok"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(fin(1L) && fin(2L) && !fin(3L))
+    // and end-to-end: the null-element vector is never a neighbor
+    val got = Ann.bruteForceTopK(withNull, withNull.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 3).collect()
+    assert(got.map(_.getLong(2)).toSet === Set(2L))
+  }
+
   test("quantizedTopK: one NaN element must not poison the global scale") {
     // r12 chaos-parity find: the 127/max|x| scale is GLOBAL — before
     // the screen, Spark's max ordered NaN above every number, the
