@@ -762,11 +762,7 @@ object Dedup {
     // sound: a corrupt or ragged centroid set would silently screen
     // out the entire healthy corpus (review find) — fail NAMED, like
     // dominantDim's empty-corpus contract.
-    require(centroids.nonEmpty, "semanticDedup: empty centroid set")
-    require(centroids.forall(_.size == centroids.head.size),
-      s"semanticDedup: ragged centroid widths ${centroids.map(_.size).distinct.sorted.mkString(",")}")
-    require(centroids.forall(_.forall(x => !x.isNaN && !x.isInfinite)),
-      "semanticDedup: centroid with NaN/Inf element — screen the seed collect")
+    VectorExprs.validateCentroids(centroids, "semanticDedup")
     val dim = centroids.head.size
     val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(VectorExprs.isShapedVec(col("v"), dim))

@@ -178,6 +178,23 @@ object VectorExprs {
     isFiniteVec(v) && size(v) === lit(dim)
   }
 
+  /** Fail-fast validation for a CALLER-SUPPLIED quantizer (fixed
+    * centroids, PQ codebooks): empty, ragged, or non-finite seeds are
+    * config/bootstrap errors that must abort NAMED — a −Inf centroid
+    * otherwise wins every nearest-cell comparison and silently
+    * collapses the whole index into one cell, and a wrong width would
+    * screen out the entire healthy corpus (r12 review). Shared by
+    * semanticDedup and every Ann fixed-quantizer entry point.
+    */
+  def validateCentroids(centroids: Seq[Seq[Double]], who: String): Unit = {
+    require(centroids.nonEmpty, s"$who: empty centroid set")
+    require(centroids.forall(_.size == centroids.head.size),
+      s"$who: ragged centroid widths " +
+        centroids.map(_.size).distinct.sorted.mkString(","))
+    require(centroids.forall(_.forall(x => !x.isNaN && !x.isInfinite)),
+      s"$who: centroid with NaN/Inf element — screen the seed collect")
+  }
+
   /** Modal share below which [[dominantDim]] warns (ADVICE r11): the
     * modal election is only trustworthy when the modal length clearly
     * IS the corpus's real dimensionality. A consistent shard-level

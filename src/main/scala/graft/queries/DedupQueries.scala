@@ -590,18 +590,8 @@ object DedupQueries {
     */
   private def dd12SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    // seed screen (r12 review find): quantizer seeds picked "by id"
-    // from an unscreened corpus would admit a corrupt centroid — a
-    // NaN/−Inf leader every clean member is compared against, the
-    // exact bug class the member-side screen fixed. Same screen as
-    // the members', BEFORE the id cut, so both engines derive the
-    // identical seed set from the identical screened relation.
-    val dim = graft.functions.VectorExprs.dominantDim(emb, "embedding")
-    val centroids = emb
-      .filter(graft.functions.VectorExprs.isShapedVec(col("embedding"), dim))
-      .filter(col("vec_id") < 8)
-      .orderBy(col("vec_id")).select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val centroids =
+      graft.similarity.Ann.screenedSeedVectors(emb, "vec_id", "embedding", 8)
     Dedup.semanticDedup(emb, "vec_id", "embedding", centroids, threshold = 0.35)
       .orderBy(col("id"))
   }

@@ -93,10 +93,14 @@ object Extended15Queries {
     */
   private def ml17Knn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
+    // norms (and with them the scoringNorm corruption screen — an
+    // interpreted per-element pass) are staged PER ROW before the
+    // crossJoin, the Ann/cosinePairs staging discipline: inside the
+    // post-join projection they would evaluate once per PAIR
     val test = emb.filter(col("vec_id") < 20)
+      .withColumn("qn", graft.functions.VectorExprs.scoringNorm(col("embedding")))
     val corpus = emb.filter(col("vec_id") >= 20)
-    def norm(c: org.apache.spark.sql.Column) =
-      graft.functions.VectorExprs.scoringNorm(c)
+      .withColumn("cn", graft.functions.VectorExprs.scoringNorm(col("embedding")))
     // the bounded side is ALWAYS the test set (20 rows) — broadcast it
     // explicitly rather than trusting the planner's size estimate;
     // the corpus side must never be broadcast (it scales with data).
@@ -105,13 +109,13 @@ object Extended15Queries {
       .select(col("q.vec_id").as("query_id"), col("q.label").as("actual"),
         col("c.vec_id").as("neighbor_id"), col("c.label").as("vote"),
         // cosineWithNorms' full inert-NULL contract: zero-magnitude →
-        // NULL (not an ANSI DIVIDE_BY_ZERO abort), NaN element → NULL
-        // (would rank FIRST in every vote window), length-mismatched →
+        // NULL (not an ANSI DIVIDE_BY_ZERO abort), NaN/NULL element →
+        // NULL (via the staged scoringNorm), length-mismatched →
         // NULL (a truncated vector's silent prefix cosine could crack
         // the vote — the r12 chaos-parity class)
         round(graft.functions.VectorExprs.cosineWithNorms(
           col("q.embedding"), col("c.embedding"),
-          norm(col("q.embedding")), norm(col("c.embedding"))), 6).as("cos"))
+          col("q.qn"), col("c.cn")), 6).as("cos"))
       // unscoreable pairs are dropped, not ranked (Ann tail contract)
       .filter(col("cos").isNotNull)
     val wr = Window.partitionBy(col("query_id"))

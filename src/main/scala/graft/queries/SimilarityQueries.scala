@@ -96,16 +96,7 @@ object SimilarityQueries {
     */
   private def sim03IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    // seed screen (r12 review find): a corrupt vector in the id<16
-    // seed range would become a NaN/−Inf centroid that reorders every
-    // cell assignment — screen BEFORE the id cut, mirroring the
-    // oracle's screened cent CTE
-    val dim = graft.functions.VectorExprs.dominantDim(emb, "embedding")
-    val centroids = emb
-      .filter(graft.functions.VectorExprs.isShapedVec(col("embedding"), dim))
-      .filter(col("vec_id") < 16)
-      .orderBy(col("vec_id")).select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val centroids = Ann.screenedSeedVectors(emb, "vec_id", "embedding", 16)
     Ann.ivfTopKFixed(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, centroids = centroids, nProbe = 4)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -228,14 +219,11 @@ object SimilarityQueries {
     */
   private def sim06PqTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    // seed screen before the id cut — sim03's rationale; the codebook
-    // slicing below additionally assumes the seeds' full width
-    val dim6 = graft.functions.VectorExprs.dominantDim(emb, "embedding")
-    val base = emb
-      .filter(graft.functions.VectorExprs.isShapedVec(col("embedding"), dim6))
-      .filter(col("vec_id") < 8).orderBy(col("vec_id"))
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val base = Ann.screenedSeedVectors(emb, "vec_id", "embedding", 8)
+    // the 8×8 codebook layout assumes the 64-dim fixture; a corpus
+    // electing another width must fail NAMED here, not mis-slice
+    require(base.forall(_.size == 64),
+      s"sim06 codebooks assume the 64-dim fixture, got widths ${base.map(_.size).distinct.mkString(",")}")
     val codebooks = (0 until 8).map(j => base.map(v => v.slice(j * 8, j * 8 + 8)))
     Ann.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, codebooks = codebooks)
@@ -298,13 +286,9 @@ object SimilarityQueries {
     */
   private def sim07IvfPqTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    // seed screen before the id cut — sim03/sim06's rationale
-    val dim7 = graft.functions.VectorExprs.dominantDim(emb, "embedding")
-    val base = emb
-      .filter(graft.functions.VectorExprs.isShapedVec(col("embedding"), dim7))
-      .filter(col("vec_id") < 8).orderBy(col("vec_id"))
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val base = Ann.screenedSeedVectors(emb, "vec_id", "embedding", 8)
+    require(base.forall(_.size == 64),
+      s"sim07 codebooks assume the 64-dim fixture, got widths ${base.map(_.size).distinct.mkString(",")}")
     val codebooks = (0 until 8).map(j => base.map(v => v.slice(j * 8, j * 8 + 8)))
     Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, coarse = base, codebooks = codebooks, nProbe = 3)

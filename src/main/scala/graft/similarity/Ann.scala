@@ -64,6 +64,25 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Deterministic "first ids" quantizer seeds, SCREENED: the shared
+    * collect behind the gate queries' fixed quantizers (sim03 IVF
+    * centroids, sim06/sim07 PQ codebook bases, dd12 semantic-dedup
+    * cells). The shape/finiteness screen runs BEFORE the id cut —
+    * one corrupt low-id vector would otherwise become a NaN/−Inf
+    * centroid that reorders every cell assignment (r12 chaos-parity
+    * review find) — and the screen width is ELECTED from the data
+    * (dominantDim), mirroring the oracles' screened cent CTEs. One
+    * helper so the seed contract lives in one place.
+    */
+  def screenedSeedVectors(emb: DataFrame, idCol: String, vecCol: String,
+      maxId: Long): Seq[Seq[Double]] = {
+    val dim = graft.functions.VectorExprs.dominantDim(emb, vecCol)
+    emb.filter(graft.functions.VectorExprs.isShapedVec(col(vecCol), dim))
+      .filter(col(idCol) < maxId)
+      .orderBy(col(idCol)).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+  }
+
   /** Deterministic random hyperplanes: nBits × dim doubles in [-1, 1).
     * nBits is capped at 31 because [[signature]] packs one bit per plane
     * into a positive Int.
@@ -188,6 +207,7 @@ object Ann {
     */
   def ivfTopKFixed(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Seq[Seq[Double]], nProbe: Int = 4): DataFrame = {
+    graft.functions.VectorExprs.validateCentroids(centroids, "ivfTopKFixed")
     val indexed = centroids.zipWithIndex
     val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cell", nearestCell(col("cv"), centroids).getField("cell"))
@@ -350,6 +370,10 @@ object Ann {
     */
   private def pqEncodeRecon(corpus: DataFrame, idCol: String, vecCol: String,
       codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(codebooks.nonEmpty, "pqEncodeRecon: empty codebook set")
+    codebooks.zipWithIndex.foreach { case (cb, j) =>
+      graft.functions.VectorExprs.validateCentroids(cb, s"pqEncodeRecon codebook $j")
+    }
     val m = codebooks.size
     val subDim = codebooks.head.head.size
     require(codebooks.forall(_.forall(_.size == subDim)),
@@ -419,6 +443,7 @@ object Ann {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
       nProbe: Int = 4): DataFrame = {
+    graft.functions.VectorExprs.validateCentroids(coarse, "ivfPqTopK coarse")
     val cells = pqEncodeRecon(corpus, idCol, vecCol, codebooks)
       .withColumn("cell", nearestCell(col("cv"), coarse).getField("cell"))
     val qProbed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))

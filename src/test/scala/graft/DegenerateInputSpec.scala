@@ -224,6 +224,21 @@ class DegenerateInputSpec extends SparkSpec {
     assert(got.head.getLong(3) > got.last.getLong(3))
   }
 
+  test("quantizedTopK: dimHint path matches the elected path, wrong hint is loud emptiness") {
+    val corpus = vecs((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (4L, Array(0.1f, 0.9f)))
+    val q = corpus.filter(col("vec_id") === 1)
+    val elected = Ann.quantizedTopK(corpus, q, "vec_id", "embedding", k = 2)
+      .orderBy(col("rank")).collect()
+    val hinted = Ann.quantizedTopK(corpus, q, "vec_id", "embedding", k = 2,
+      dimHint = 2).orderBy(col("rank")).collect()
+    assert(elected.map(_.toSeq).toSeq === hinted.map(_.toSeq).toSeq)
+    // a hint that disagrees with the data screens every row — an
+    // empty result (visible, debuggable), never junk codes
+    assert(Ann.quantizedTopK(corpus, q, "vec_id", "embedding", k = 2,
+      dimHint = 64).isEmpty)
+  }
+
   test("semanticDedup: a +Inf vector must not become its cell's canonical") {
     // r12 chaos-parity find: the +Inf element made cdist −Inf, so the
     // corrupt vector out-ranked every clean member of its cell and
