@@ -29,6 +29,22 @@ class BenchGuardSpec extends AnyFunSuite {
       declared = Set("imdb_pipeline_synth", "ml03_gbt_eval")))
   }
 
+  test("host-cal kernel: deterministic hash pin and frozen iteration count") {
+    // The final splitmix64 state depends only on the iteration count,
+    // so pinning it at a cheap count makes any silent edit to the loop
+    // body loud — and a changed body or count would break the
+    // round-over-round comparability of BENCH's host_cal field.
+    // (Value independently derived with 64-bit wrapping arithmetic.)
+    assert(Bench.hostCal(1000L)._2 === -4070892016833039931L)
+    assert(Bench.CalIters === 200000000L,
+      "CalIters is frozen: changing it re-bases every future host_cal reading")
+  }
+
+  test("host-cal kernel: timed pass reports positive wall time") {
+    val (sec, _) = Bench.hostCal(1000000L)
+    assert(sec > 0.0 && sec < 60.0)
+  }
+
   test("silent for genuine host-load spikes and sub-floor jitter") {
     // a spike on rep-1 of a real ~1 s query is noise, not a memo (3×)
     assert(!Bench.memoDrift("dd04_minhash_lsh", Seq(3.02, 1.0, 0.9)))
