@@ -176,17 +176,19 @@ object Dedup {
     // for the union, and partial aggregation collapses a boilerplate
     // cluster on the MAP side, before its K copies ever hit the wire
     // (the window formulation this replaces shuffled all K).
-    // NULL-id rows pass through individually — in the UNCOLLAPSED path
-    // every id-keyed join/anti-join drops them, so a NULL-id doc always
-    // survives keepCanonical no matter how many identical copies exist;
-    // collapsing it (or electing it rep via min_by over a NULL
-    // ordering) would diverge. Their pass-through key only needs
-    // per-row uniqueness, not stability, so monotonically_increasing_id
-    // is safe: whatever value it takes, the row keeps itself. The key
+    // EVERY pass-through row — short/NULL-text docs AND NULL-id docs —
+    // keys on monotonically_increasing_id: per-row unique, so each row
+    // keeps exactly itself. Keying non-collapsible rows on their id
+    // (the formulation before ADVICE r12) silently merged two
+    // pass-through rows that shared a duplicate non-NULL id, diverging
+    // from the uncollapsed path, which keeps both; a corrupt shard
+    // (the chaos-parity regime) is exactly where duplicate ids occur.
+    // The key only needs per-row uniqueness, not stability, and the
+    // result is checkpointed immediately, so the nondeterministic
+    // column can never be re-evaluated to a different value. The key
     // is TWO grouping columns, not a string concat: a concat namespace
-    // ("n"+id vs "n"+"x"+rowid) can collide for a string-typed id
-    // column whose values start with the sentinel — two columns make
-    // cross-kind collision structurally impossible for any id type.
+    // ("c"+fp vs "x"+rowid) can collide for adversarial text — two
+    // columns make cross-kind collision structurally impossible.
     // The result is materialized (localCheckpoint, the jaccardPairs
     // precedent above): every caller feeds it to 2-3 subtrees (pair
     // generation + the docs side of canonical-keep), and exchange
@@ -198,11 +200,9 @@ object Dedup {
     keyed
       .withColumn("__ckind",
         when(col("__collapsible") && col(idCol).isNotNull, lit("c"))
-          .when(col(idCol).isNotNull, lit("n"))
           .otherwise(lit("x")))
       .withColumn("__ckeyval",
         when(col("__ckind") === "c", col("__cfp"))
-          .when(col("__ckind") === "n", col(idCol).cast("string"))
           .otherwise(monotonically_increasing_id().cast("string")))
       .groupBy(col("__ckind"), col("__ckeyval"))
       // ordering wrapped in a one-field struct: min_by IGNORES rows
@@ -214,21 +214,6 @@ object Dedup {
       .agg(min_by(struct(outCols.map(col): _*), struct(col(idCol))).as("__row"))
       .select(outCols.map(c => col(s"__row.$c").as(c)): _*)
       .localCheckpoint()
-  }
-
-  /** Every shingle-able doc mapped to its byte-identical group's min-id
-    * representative — the re-expansion side of
-    * [[collapseIdenticalTexts]], for outputs that enumerate cluster
-    * MEMBERS (dd08) rather than keep canonicals: run the pairwise
-    * stage on the collapsed corpus, then join members back through
-    * this mapping. One fingerprint shuffle.
-    */
-  def identicalTextMembership(docs: DataFrame, idCol: String, textCol: String,
-      minTokens: Int = 3): DataFrame = {
-    val w = Window.partitionBy(col("__cfp"))
-    collapseKeyed(docs, textCol, minTokens)
-      .filter(col("__collapsible") && col(idCol).isNotNull)
-      .select(col(idCol), min(col(idCol)).over(w).as("rep"))
   }
 
   /** Incremental exact dedup: drop incoming docs whose normalized-text
@@ -336,14 +321,23 @@ object Dedup {
     * mh_0..mh_{k-1}.
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 32, seed: Long = 42L): DataFrame = {
+      n: Int = 3, k: Int = 32, seed: Long = 42L): DataFrame =
+    signaturesFromShingles(hashedShingleRows(docs, idCol, textCol, n), k, seed)
+
+  /** [[minHashSignatures]] from an ALREADY-built (doc, s) distinct
+    * hashed-shingle frame — the staging entry for pipelines that need
+    * the inverted index anyway ([[minHashCuratedCorpus]] feeds both
+    * its candidate generation and its exact verification from ONE
+    * materialized index; VERDICT r12 #4: the signature side was a
+    * second full tokenize+md5+shingle pass over the corpus).
+    */
+  private[graft] def signaturesFromShingles(inv: DataFrame, k: Int,
+      seed: Long): DataFrame = {
     val coeffs = minHashCoeffs(k, seed)
-    val hashed = hashedShingleRows(docs, idCol, textCol, n)
-      .withColumnRenamed("s", "h")
     val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime31))).as(s"mh_$i")
+      min(pmod(col("s") * lit(a) + lit(b), lit(MersennePrime31))).as(s"mh_$i")
     }
-    hashed.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+    inv.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding over MinHash signatures: signature split into `bands`
@@ -359,8 +353,13 @@ object Dedup {
     * concatenation collisions).
     */
   def bandedSignatureKeys(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
-    val sig = minHashSignatures(docs, idCol, textCol, n, bands * rowsPerBand, seed)
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame =
+    bandKeysFromSignatures(
+      minHashSignatures(docs, idCol, textCol, n, bands * rowsPerBand, seed),
+      bands, rowsPerBand)
+
+  private def bandKeysFromSignatures(sig: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val bandKeys = (0 until bands).map { b =>
       concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
     }
@@ -368,15 +367,17 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
   }
 
-  def minHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
-    val banded = bandedSignatureKeys(docs, idCol, textCol, n, bands, rowsPerBand, seed)
+  private def candidatePairsFromBandKeys(banded: DataFrame): DataFrame =
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-  }
+
+  def minHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame =
+    candidatePairsFromBandKeys(
+      bandedSignatureKeys(docs, idCol, textCol, n, bands, rowsPerBand, seed))
 
   /** Duplicate-cluster assignment from near-dup pairs: connected
     * components by iterative min-label propagation, the canonical
@@ -674,8 +675,21 @@ object Dedup {
   def minHashCuratedCorpus(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5,
       seed: Long = 42L): DataFrame = {
-    val cand = minHashCandidatePairs(docs, idCol, textCol, n, bands, rowsPerBand, seed)
+    // ONE tokenize+md5+shingle pass, materialized (VERDICT r12 #4):
+    // the index feeds FOUR subtrees — minhash signatures (candidate
+    // generation), both sides of the verification join, and the
+    // per-doc size agg. Measured NEUTRAL at sf0.1 (ProfileDd14:
+    // exchange reuse was already deduplicating the distinct's shuffle
+    // across the subtrees), but the single-pass property is now
+    // structural rather than an optimizer artifact — ReuseExchange
+    // depends on plan-fragment identity that a version bump or a
+    // caller-side alias can silently break, and at 100 TB a second
+    // full tokenize+md5 scan is a real pass over the corpus. Same
+    // localCheckpoint precedent as jaccardPairs' inverted index.
     val inv = hashedShingleRows(docs, idCol, textCol, n) // (doc, s) distinct rows
+      .localCheckpoint()
+    val cand = candidatePairsFromBandKeys(bandKeysFromSignatures(
+      signaturesFromShingles(inv, bands * rowsPerBand, seed), bands, rowsPerBand))
     val sizes = inv.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(inv.toDF("doc_a", "s"), "doc_a")

@@ -340,6 +340,24 @@ class DedupSpec extends SparkSpec {
       .filter(col("text").isNull).count() === 0L)
   }
 
+  test("collapse keeps BOTH pass-through rows sharing a duplicate non-NULL id (ADVICE r12)") {
+    // The uncollapsed pairwise path never pairs sub-gate docs, so two
+    // short docs that happen to share a (corrupt, duplicated) id both
+    // survive it. Keying pass-throughs on their id would min_by-merge
+    // them into one row; the rowid keying must keep both — including
+    // when their TEXTS differ, where a merge would also pick an
+    // arbitrary survivor text.
+    val docs = Seq(
+      (9L, "two tokens"), (9L, "other short"),
+      (1L, "alpha beta gamma delta epsilon common tail words"),
+      (2L, "alpha beta gamma delta epsilon common tail words"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.collapseIdenticalTexts(docs, "doc_id", "text", minTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(out === Seq((1L, "alpha beta gamma delta epsilon common tail words"),
+      (9L, "other short"), (9L, "two tokens")))
+  }
+
   test("exact-first minHashCuratedCorpus ≡ uncollapsed on the adversarial corpus") {
     def keep(input: org.apache.spark.sql.DataFrame): Set[Long] =
       Dedup.minHashCuratedCorpus(input, "doc_id", "text",
