@@ -373,12 +373,24 @@ object Extended4Queries {
       |      t -> t != '') AS toks
       |  FROM aug)
       |SELECT doc_id,
-      |  CAST(list_sum(list_transform(toks, t -> CASE WHEN length(t) <= $cap
-      |    THEN len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-      |    ELSE 0 END)) AS INTEGER) AS n_email,
-      |  CAST(list_sum(list_transform(toks, t -> CASE WHEN length(t) <= $cap
-      |    THEN len(regexp_extract_all(t, '\\+1-555-[0-9]{4}'))
-      |    ELSE 0 END)) AS INTEGER) AS n_phone,
+      |  -- toks-conditional coalesce (ADVICE r12): DuckDB's list_sum
+      |  -- over an EMPTY token list is NULL where the engine's
+      |  -- aggregate(..., 0, ...) is 0 for non-NULL whitespace-only
+      |  -- text — unreachable on this aug (always prefixed
+      |  -- non-whitespace) but pinned so reuse of this gated-count/
+      |  -- oracle pair on raw text cannot silently diverge. The
+      |  -- coalesce must stay INSIDE a toks-NULL guard: for NULL text
+      |  -- both engines contract to NULL (aggregate over a NULL array
+      |  -- is NULL — the chaos shard witnesses this arm), and a bare
+      |  -- coalesce would fold that NULL to 0 oracle-side only.
+      |  CAST(CASE WHEN toks IS NULL THEN NULL ELSE
+      |    coalesce(list_sum(list_transform(toks, t -> CASE WHEN length(t) <= $cap
+      |      THEN len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+      |      ELSE 0 END)), 0) END AS INTEGER) AS n_email,
+      |  CAST(CASE WHEN toks IS NULL THEN NULL ELSE
+      |    coalesce(list_sum(list_transform(toks, t -> CASE WHEN length(t) <= $cap
+      |      THEN len(regexp_extract_all(t, '\\+1-555-[0-9]{4}'))
+      |      ELSE 0 END)), 0) END AS INTEGER) AS n_phone,
       |  md5(array_to_string(list_transform(toks, t -> CASE WHEN length(t) <= $cap
       |    THEN regexp_replace(regexp_replace(t,
       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),

@@ -77,4 +77,23 @@ class TextSpec extends SparkSpec {
       max(TextStats.qualityScore($"text")).as("hi")).first()
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
   }
+
+  test("gated match count: 0 for whitespace-only text, NULL for NULL text (ADVICE r12)") {
+    // The degenerate-arm contract every gated-count ORACLE must mirror:
+    // a non-NULL but token-less document counts ZERO matches (the
+    // aggregate's 0 seed over an empty array), while NULL text
+    // propagates to NULL — DuckDB's bare list_sum yields NULL for BOTH,
+    // so tx09's oracle wraps it in a toks-conditional coalesce. This
+    // pin keeps the engine side of that contract from drifting.
+    val df = Seq(("ws", " \t \n "), ("none", null.asInstanceOf[String]),
+      ("hit", "mail a@b.co now")).toDF("id", "text")
+    val pat = "[A-Za-z]+@[A-Za-z.]+\\.[A-Za-z]{2,}"
+    val r = df.select($"id",
+        TextStats.countMatchesTokenGated($"text", pat, 320).as("n"))
+      .collect().map(x => x.getString(0) -> (if (x.isNullAt(1)) None else Some(x.getInt(1))))
+      .toMap
+    assert(r("ws") === Some(0))
+    assert(r("none") === None)
+    assert(r("hit") === Some(1))
+  }
 }
