@@ -367,17 +367,60 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
   }
 
-  private def candidatePairsFromBandKeys(banded: DataFrame): DataFrame =
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
+  /** Candidate pairs from (doc, band, band_key) rows. `starCap` is the
+    * NEAR-identical boilerplate guard (NearDupBlast probe, SCALE.md
+    * r13): a crawl cluster of K same-page-different-session-id copies
+    * defeats the byte-identical collapse (distinct md5s) yet shares
+    * virtually every shingle, so all K land together in EVERY band
+    * bucket and the self-join emits O(K²) candidates — measured 14.5 s
+    * at K=1000 on the dd14 shape, ~K² beyond. Buckets larger than
+    * `starCap` therefore emit only STAR candidates — (bucket-min doc,
+    * member) — K−1 per bucket instead of K(K−1)/2. For the only
+    * realistic way a minhash band bucket gets huge (a genuine near-dup
+    * cluster) the star edges verify like any pair and the connected
+    * component — hence the curated output — is unchanged; the
+    * documented approximation is a GIANT bucket of mutually-dissimilar
+    * docs (band-hash collision at adversarial scale), where non-star
+    * true pairs inside the bucket are not generated. Default
+    * Int.MaxValue short-circuits to the exact path — byte-identical
+    * plans for every existing caller (the catalog's oracles mirror the
+    * exact Σ bucket² candidate set).
+    */
+  private def candidatePairsFromBandKeys(banded: DataFrame,
+      starCap: Int = Int.MaxValue): DataFrame = {
+    if (starCap == Int.MaxValue) {
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+        .distinct()
+    } else {
+      require(starCap >= 2, s"starCap must be >= 2, got $starCap")
+      // one extra hash-agg on the band key (linear, map-side combined),
+      // joined back so every member row knows its bucket's size and min
+      val stats = banded.groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("__bsz"), min(col("doc")).as("__bmin"))
+      val sized = banded.join(stats, Seq("band", "band_key"))
+      val small = sized.filter(col("__bsz") <= starCap)
+        .select(col("band"), col("band_key"), col("doc"))
+      val fullPairs = small.as("a").join(small.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      // __bmin IS the bucket minimum, so (doc_a, doc_b) = (__bmin, doc)
+      // keeps the a < b pair contract without a least/greatest swap
+      val starPairs = sized.filter(col("__bsz") > starCap && col("doc") =!= col("__bmin"))
+        .select(col("__bmin").as("doc_a"), col("doc").as("doc_b"))
+      fullPairs.unionByName(starPairs).distinct()
+    }
+  }
 
   def minHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame =
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L,
+      starCapBucketSize: Int = Int.MaxValue): DataFrame =
     candidatePairsFromBandKeys(
-      bandedSignatureKeys(docs, idCol, textCol, n, bands, rowsPerBand, seed))
+      bandedSignatureKeys(docs, idCol, textCol, n, bands, rowsPerBand, seed),
+      starCapBucketSize)
 
   /** Duplicate-cluster assignment from near-dup pairs: connected
     * components by iterative min-label propagation, the canonical
@@ -672,9 +715,19 @@ object Dedup {
     * Output: the curated corpus — (doc_id, n_chars), canonical and
     * unclustered docs only.
     */
+  /** `starCapBucketSize` (default off — exact candidates, oracle-
+    * mirrored): see [[minHashCandidatePairs]]. For THIS composition the
+    * cap is especially safe: every candidate is exact-Jaccard-verified
+    * against the threshold before clustering, so the star never adds a
+    * false pair — it only risks missing non-star pairs inside a giant
+    * MIXED bucket, and a sub-threshold star center cannot mask them
+    * (they'd re-bucket together in other bands). Measured on the
+    * NearDupBlast shard: identical curated output with the K² term
+    * gone (SCALE.md r13).
+    */
   def minHashCuratedCorpus(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, starCapBucketSize: Int = Int.MaxValue): DataFrame = {
     // ONE tokenize+md5+shingle pass, materialized (VERDICT r12 #4):
     // the index feeds FOUR subtrees — minhash signatures (candidate
     // generation), both sides of the verification join, and the
@@ -689,7 +742,8 @@ object Dedup {
     val inv = hashedShingleRows(docs, idCol, textCol, n) // (doc, s) distinct rows
       .localCheckpoint()
     val cand = candidatePairsFromBandKeys(bandKeysFromSignatures(
-      signaturesFromShingles(inv, bands * rowsPerBand, seed), bands, rowsPerBand))
+      signaturesFromShingles(inv, bands * rowsPerBand, seed), bands, rowsPerBand),
+      starCapBucketSize)
     val sizes = inv.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(inv.toDF("doc_a", "s"), "doc_a")

@@ -358,6 +358,54 @@ class DedupSpec extends SparkSpec {
       (9L, "other short"), (9L, "two tokens")))
   }
 
+  test("star-capped LSH: subset candidates, same curated output on a near-dup blast") {
+    // The NearDupBlast class (r13): K near-identical copies — same
+    // body, one unique trailing session token — share virtually every
+    // shingle, defeat the byte-identical collapse (distinct md5s), and
+    // flood every band bucket, so exact candidate generation is O(K²).
+    // The star cap must (1) only ever REMOVE candidates (star pairs are
+    // a subset of the bucket's full pairs), and (2) keep the curated
+    // output identical here, because every star edge verifies and the
+    // component stays connected through the bucket minimum.
+    val base = (1 to 12).map(i => s"word$i").mkString(" ")
+    val corpus = ((0 until 30).map(i => (100L + i, s"$base sid$i")) ++ Seq(
+      (500L, "totally different content about nothing shared with others"),
+      (501L, "another unrelated standalone document sitting right here"))).toDF("doc_id", "text")
+    val exact = Dedup.minHashCandidatePairs(corpus, "doc_id", "text")
+    val capped = Dedup.minHashCandidatePairs(corpus, "doc_id", "text",
+      starCapBucketSize = 4)
+    assert(capped.exceptAll(exact).isEmpty, "capped candidates must be a subset")
+    val exactN = exact.count()
+    val cappedN = capped.count()
+    // 30-copy cluster: full pairs ≈ 435; the star arm collapses every
+    // oversized bucket to K−1 rows (observed 65 vs 432 — the cluster
+    // splits across a few buckets per band when the sid token wins a
+    // minhash min, and sub-cap buckets legitimately stay exact)
+    assert(exactN > 400L && cappedN < exactN / 3, s"exact=$exactN capped=$cappedN")
+    def kept(cap: Int): Set[Long] =
+      Dedup.minHashCuratedCorpus(corpus, "doc_id", "text",
+          starCapBucketSize = cap)
+        .select("doc_id").as[Long].collect().toSet
+    assert(kept(4) === kept(Int.MaxValue))
+    assert(kept(4).contains(100L) && !kept(4).contains(129L)) // min survives the cluster
+    assert(kept(4).contains(500L) && kept(4).contains(501L))
+  }
+
+  test("star cap default is the exact path; degenerate caps are rejected") {
+    val docs = Seq((1L, "alpha beta gamma delta shared body"),
+      (2L, "alpha beta gamma delta shared body extra")).toDF("doc_id", "text")
+    val a = Dedup.minHashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.minHashCandidatePairs(docs, "doc_id", "text",
+        starCapBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      Dedup.minHashCandidatePairs(docs, "doc_id", "text", starCapBucketSize = 1)
+        .count()
+    }
+  }
+
   test("exact-first minHashCuratedCorpus ≡ uncollapsed on the adversarial corpus") {
     def keep(input: org.apache.spark.sql.DataFrame): Set[Long] =
       Dedup.minHashCuratedCorpus(input, "doc_id", "text",

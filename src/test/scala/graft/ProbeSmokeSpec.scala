@@ -40,6 +40,29 @@ class ProbeSmokeSpec extends SparkSpec {
     }
   }
 
+  test("NearDupBlast regime: distinct-byte copies defeat the collapse; star cap keeps output") {
+    inTempShard("graft_smoke_neardup_") { dir =>
+      NearDupBlast.build(spark, Sf0001, dir, k = 100)
+      val docs = Tables.documents(spark, dir)
+      // The regime's premise: every blast copy has distinct bytes (one
+      // unique session token), so the byte-identical collapse passes
+      // ALL of them through — the quadratic candidate pressure the
+      // probe measures is real, not absorbed upstream.
+      val collapsed = Dedup.collapseIdenticalTexts(docs, "doc_id", "text", minTokens = 3)
+      assert(collapsed.filter(col("doc_id") >= 900000L).count() === 100L)
+      // And the star cap's contract on this shard: identical curated
+      // output to the exact candidate set, from a strict subset of
+      // candidates (the structural property behind the 297s -> 5.4s
+      // K=4000 receipt in SCALE.md).
+      def keptIds(cap: Int): Set[Long] =
+        graft.dedup.Dedup.minHashCuratedCorpus(collapsed, "doc_id", "text",
+            n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5,
+            starCapBucketSize = cap)
+          .select("doc_id").as[Long].collect().toSet
+      assert(keptIds(16) === keptIds(Int.MaxValue))
+    }
+  }
+
   test("RegexBlast regime: the PII token gate changes no match set on adversarial text") {
     inTempShard("graft_smoke_regex_") { dir =>
       RegexBlast.build(spark, Sf0001, dir, n = 1000)
