@@ -85,9 +85,17 @@ object DocStream {
     * precomputed); this loop recomputes them for plumbing simplicity
     * at test scale and documents the seam.
     */
+  /** `starCapBucketSize` (default off): a LIVE boilerplate flood — the
+    * same page body with per-request mutations arriving thousands of
+    * times inside one micro-batch — is the streaming face of the
+    * NearDupBlast pathology, and a single O(K²) batch stalls the whole
+    * query (micro-batches are sequential). See
+    * [[graft.dedup.Dedup.minHashCandidatePairs]] for the contract.
+    */
   def incrementalNearDupIngest(docs: DataFrame, corpusDir: String,
       outDir: String, checkpointDir: String, n: Int = 3, bands: Int = 8,
-      rowsPerBand: Int = 4, threshold: Double = 0.5): StreamingQuery =
+      rowsPerBand: Int = 4, threshold: Double = 0.5,
+      starCapBucketSize: Int = Int.MaxValue): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -96,7 +104,8 @@ object DocStream {
         val b = batch.select(col("doc_id"), col("text"), col("source")).localCheckpoint()
         // within-batch canonical keep, then the cross-store gate
         val inBatchKept = b.join(
-          Dedup.minHashCuratedCorpus(b, "doc_id", "text", n, bands, rowsPerBand, threshold)
+          Dedup.minHashCuratedCorpus(b, "doc_id", "text", n, bands, rowsPerBand,
+              threshold, starCapBucketSize = starCapBucketSize)
             .select(col("doc_id")), "doc_id")
         val store = try spark.read.parquet(corpusDir).select(col("doc_id"), col("text"))
           catch { case _: org.apache.spark.sql.AnalysisException => null }
