@@ -396,11 +396,19 @@ object Dedup {
         .distinct()
     } else {
       require(starCap >= 2, s"starCap must be >= 2, got $starCap")
+      // Materialize the band rows once: unlike the exact arm, whose two
+      // self-join subtrees are plan-identical (ReuseExchange dedupes
+      // them), the capped arm reads `banded` from THREE distinct
+      // subtrees (the size/min agg, the sized join's probe side, and —
+      // through `sized` — both pair arms), and each would re-run the
+      // full signature agg + posexplode (the jaccardPairs staging
+      // precedent).
+      val b = banded.localCheckpoint()
       // one extra hash-agg on the band key (linear, map-side combined),
       // joined back so every member row knows its bucket's size and min
-      val stats = banded.groupBy(col("band"), col("band_key"))
+      val stats = b.groupBy(col("band"), col("band_key"))
         .agg(count(lit(1)).as("__bsz"), min(col("doc")).as("__bmin"))
-      val sized = banded.join(stats, Seq("band", "band_key"))
+      val sized = b.join(stats, Seq("band", "band_key"))
       val small = sized.filter(col("__bsz") <= starCap)
         .select(col("band"), col("band_key"), col("doc"))
       val fullPairs = small.as("a").join(small.as("b"),
