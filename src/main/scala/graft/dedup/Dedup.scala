@@ -381,7 +381,13 @@ object Dedup {
     * component — hence the curated output — is unchanged; the
     * documented approximation is a GIANT bucket of mutually-dissimilar
     * docs (band-hash collision at adversarial scale), where non-star
-    * true pairs inside the bucket are not generated. Default
+    * true pairs inside the bucket are not generated. For canonical-keep
+    * pipelines the error is ONE-SIDED: star candidates ⊆ exact
+    * candidates, fewer verified edges can only SPLIT components, and a
+    * split part keeps its own minimum — so the capped path never drops
+    * a doc the exact path keeps (DedupSpec's seeded sweep pins this);
+    * the cap errs exclusively toward keeping, a bounded recall loss,
+    * never a wrong drop. Default
     * Int.MaxValue short-circuits to the exact path — byte-identical
     * plans for every existing caller (the catalog's oracles mirror the
     * exact Σ bucket² candidate set).

@@ -391,6 +391,44 @@ class DedupSpec extends SparkSpec {
     assert(kept(4).contains(500L) && kept(4).contains(501L))
   }
 
+  test("star cap one-sided error: never drops a doc the exact path keeps (seeded sweep)") {
+    // The cap's provable safety direction: star candidates are a
+    // SUBSET of exact candidates, fewer verified edges can only SPLIT
+    // connected components, and a split part keeps its own minimum —
+    // so any doc the capped path drops has a smaller verified near-dup
+    // in its (larger) exact component and is dropped there too. The
+    // cap errs exclusively toward KEEPING (a bounded recall loss in
+    // dedup terms), never toward a wrong drop. Swept over seeded
+    // random corpora that mix planted near-dup families (shared body,
+    // per-member mutations at both ends), short pass-throughs, and
+    // unrelated noise docs, with an aggressive cap so both star and
+    // exact buckets occur.
+    for (seed <- Seq(7L, 23L)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 40).map(i => s"tok$i")
+      def sentence(n: Int): String =
+        Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val families = (0 until 6).flatMap { f =>
+        val body = sentence(10 + rnd.nextInt(6))
+        (0 until 3 + rnd.nextInt(6)).map { m =>
+          val mutated =
+            if (rnd.nextBoolean()) s"$body fam${f}m$m" else s"fam${f}m$m $body"
+          (1000L * f + m, mutated)
+        }
+      }
+      val noise = (0 until 25).map(i => (9000L + i, sentence(8 + rnd.nextInt(8))))
+      val shorts = (0 until 5).map(i => (9900L + i, s"short $i"))
+      val corpus = (families ++ noise ++ shorts).toDF("doc_id", "text")
+      val exactKept = Dedup.minHashCuratedCorpus(corpus, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      val cappedKept = Dedup.minHashCuratedCorpus(corpus, "doc_id", "text",
+          starCapBucketSize = 3)
+        .select("doc_id").as[Long].collect().toSet
+      assert(exactKept.subsetOf(cappedKept),
+        s"seed=$seed: capped path dropped exact-kept docs ${exactKept -- cappedKept}")
+    }
+  }
+
   test("star cap default is the exact path; degenerate caps are rejected") {
     val docs = Seq((1L, "alpha beta gamma delta shared body"),
       (2L, "alpha beta gamma delta shared body extra")).toDF("doc_id", "text")
