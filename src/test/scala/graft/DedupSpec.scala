@@ -418,7 +418,15 @@ class DedupSpec extends SparkSpec {
       }
       val noise = (0 until 25).map(i => (9000L + i, sentence(8 + rnd.nextInt(8))))
       val shorts = (0 until 5).map(i => (9900L + i, s"short $i"))
-      val corpus = (families ++ noise ++ shorts).toDF("doc_id", "text")
+      // byte-identical groups alongside the near-identical families: a
+      // real crawl carries BOTH pathologies at once, and the shipping
+      // composition chains the exact-first collapse before the capped
+      // LSH — the invariant must survive the full chain
+      val exactDups = (0 until 3).flatMap { g =>
+        val body = sentence(12)
+        (0 until 4).map(m => (8000L + 10 * g + m, body))
+      }
+      val corpus = (families ++ noise ++ shorts ++ exactDups).toDF("doc_id", "text")
       val exactKept = Dedup.minHashCuratedCorpus(corpus, "doc_id", "text")
         .select("doc_id").as[Long].collect().toSet
       val cappedKept = Dedup.minHashCuratedCorpus(corpus, "doc_id", "text",
@@ -426,6 +434,17 @@ class DedupSpec extends SparkSpec {
         .select("doc_id").as[Long].collect().toSet
       assert(exactKept.subsetOf(cappedKept),
         s"seed=$seed: capped path dropped exact-kept docs ${exactKept -- cappedKept}")
+      // full shipping chain: collapse byte-identical first, then capped
+      // LSH. Collapse only removes docs the exact path also drops
+      // (jaccard-1 non-min members), and exact-on-collapsed ≡ exact-on-
+      // raw is pinned above — so the composition inherits the same
+      // one-sided guarantee.
+      val chainKept = Dedup.minHashCuratedCorpus(
+          Dedup.collapseIdenticalTexts(corpus, "doc_id", "text"),
+          "doc_id", "text", starCapBucketSize = 3)
+        .select("doc_id").as[Long].collect().toSet
+      assert(exactKept.subsetOf(chainKept),
+        s"seed=$seed: collapse+cap chain dropped exact-kept docs ${exactKept -- chainKept}")
     }
   }
 
