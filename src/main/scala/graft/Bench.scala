@@ -53,9 +53,69 @@ object Bench {
     * an adjudication case, not a baseline) + per-entry
     * name+quotes+colon+comma+8 digit chars. Keeps the list honest at
     * build time instead of discovering a truncated BENCH_r{N}.json.
+    *
+    * The fixed overhead is DERIVED from a worst-case-formatted frame
+    * instead of a hand-counted constant (ADVICE r13: the old 255
+    * assumed single-digit host_cal seconds — a ≥10 s calibration
+    * reading on a pathologically slow host widens the real line past
+    * the estimate). Pathological widths throughout: five-digit total,
+    * double-digit cal readings, a rep_spread hi map FULL at its cap
+    * with the longest headline names at three-digit ratios.
     */
-  private def lineBudgetOk: Boolean =
-    255 + headline.map(_.length + 12).sum < 1500
+  private[graft] def lineBudgetOk: Boolean = {
+    val worstHi = Seq.fill(RepSpreadHiCap)(headline.maxBy(_.length) -> 999.99)
+    val frame = s"""{"metric":"total","value":99999.999,"unit":"sec","warmup":"v6-median3","host_cal":{"pre":99.999,"post":99.999},"rep_spread":${repSpreadJson(worstHi)},"n_failed":0,"failed":[],"memo_warn":[],"queries":{},"sf":"/root/testdata/sf0.1"}"""
+    frame.length + headline.map(_.length + 12).sum < 1500
+  }
+
+  /** Per-headline rep-scatter statistic (VERDICT r13 #2): host_cal's
+    * kernel is SINGLE-threaded, so it catches the CPU-frequency/steal
+    * class of host slowness but not multi-core scheduler contention —
+    * whose artifact signature is broad rep scatter across UNRELATED
+    * queries (builder ledger, r13: synth read 7.56 s under a flat
+    * 0.89 s cal while its same-HEAD siblings read 5.25-5.58). The
+    * statistic is max(reps)/median(reps) per headline query, over ALL
+    * fresh reps (a failed rep's duration is diagnostic scatter too);
+    * the same lower-median convention as the reported seconds. Queries
+    * whose median sits below 1 ms report 1.0 — a ratio over scheduler
+    * jitter at that scale is noise, not contention signal.
+    */
+  private[graft] def repRatio(reps: Seq[Double]): Double = {
+    if (reps.isEmpty) return 1.0
+    val sorted = reps.sorted
+    val med = sorted((sorted.size - 1) / 2)
+    if (med < 0.001) 1.0 else sorted.last / med
+  }
+
+  private[graft] val RepSpreadHiCap = 4
+  private[graft] val RepSpreadHiThreshold = 1.5
+
+  /** The printed `"rep_spread"` field: median and max of the per-query
+    * ratios plus the top offenders at ≥ [[RepSpreadHiThreshold]],
+    * bounded at [[RepSpreadHiCap]] entries (descending, ties broken by
+    * name for a deterministic line) so the line budget holds even
+    * under total contention. CALIBRATED reading (r14 quiet-host drive,
+    * SCALE.md): a quiet drive reads med ≈ 1.2–1.4, NOT 1.0 — rep-1
+    * pays per-query codegen/JIT that reps 2–3 reuse from the janino
+    * cache, so every query carries a structural rep-1 premium, and
+    * sub-second queries add scheduler jitter on top (the r14 receipt's
+    * hi names were 0.2 s queries at ratio ~2.3 on a drive whose
+    * multi-second queries all sat in band). The contention signature
+    * is med ≳ 1.7 across the board WITH multi-second queries in hi —
+    * scatter that codegen cannot explain — adjudicable from the
+    * artifact alone, without target/bench_detail.json (which the
+    * driver never ships).
+    */
+  private[graft] def repSpreadJson(ratios: Seq[(String, Double)]): String = {
+    def r2(v: Double): Double = math.round(v * 100.0) / 100.0
+    val rs = ratios.map(_._2).sorted
+    val med = if (rs.isEmpty) 1.0 else rs((rs.size - 1) / 2)
+    val mx = if (rs.isEmpty) 1.0 else rs.last
+    val hi = ratios.filter(_._2 >= RepSpreadHiThreshold)
+      .sortBy { case (n, v) => (-v, n) }.take(RepSpreadHiCap)
+      .map { case (n, v) => s""""$n":${r2(v)}""" }.mkString("{", ",", "}")
+    s"""{"med":${r2(med)},"max":${r2(mx)},"hi":$hi}"""
+  }
 
   /** Queries served from a session memo after their first execution:
     * their memo-hit cost is ALSO recorded (one extra timed run without
@@ -349,7 +409,8 @@ object Bench {
     // bench_detail.json say where).
     val calPost = hostCal()._1
     val hostCalJson = s"""{"pre":${r3(calPre)},"post":${r3(calPost)}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"v6-median3","host_cal":$hostCalJson,"n_failed":${failed.size},"failed":$failedJson,"memo_warn":$memoWarnJson,"queries":$qs,"sf":"$sfDir"}""")
+    val repSpread = repSpreadJson(hs.map { case (k, o) => k -> repRatio(o.reps) })
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"v6-median3","host_cal":$hostCalJson,"rep_spread":$repSpread,"n_failed":${failed.size},"failed":$failedJson,"memo_warn":$memoWarnJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // A bench with any failed query is not a measurement — make the
     // process exit status itself red so no downstream consumer can

@@ -381,7 +381,12 @@ object Dedup {
     * component — hence the curated output — is unchanged; the
     * documented approximation is a GIANT bucket of mutually-dissimilar
     * docs (band-hash collision at adversarial scale), where non-star
-    * true pairs inside the bucket are not generated. For canonical-keep
+    * true pairs inside the bucket are not generated — no longer
+    * hypothetical: DedupSpec's giant-MIXED-bucket witness (r14)
+    * constructs it via a searched dominator prefix that forces
+    * identical 32-row signatures onto dissimilar docs, and pins the
+    * exact loss (a planted non-star pair's member survives curation
+    * that the exact path drops). For canonical-keep
     * pipelines the error is ONE-SIDED: star candidates ⊆ exact
     * candidates, fewer verified edges can only SPLIT components, and a
     * split part keeps its own minimum — so the capped path never drops
@@ -734,10 +739,21 @@ object Dedup {
     * cap is especially safe: every candidate is exact-Jaccard-verified
     * against the threshold before clustering, so the star never adds a
     * false pair — it only risks missing non-star pairs inside a giant
-    * MIXED bucket, and a sub-threshold star center cannot mask them
-    * (they'd re-bucket together in other bands). Measured on the
-    * NearDupBlast shard: identical curated output with the K² term
-    * gone (SCALE.md r13).
+    * MIXED bucket. A sub-threshold star center USUALLY cannot mask
+    * them, because a true pair's members usually re-bucket together in
+    * some other band — but not always (ADVICE r13): when the bucket
+    * collision itself repeats across every band (members share their
+    * full signature without sharing shingles), the same oversized
+    * bucket recurs in all bands and the non-star pair is generated
+    * nowhere. That degenerate class is CONSTRUCTIBLE — DedupSpec's
+    * giant-MIXED-bucket witness builds mutually-dissimilar docs whose
+    * 32-row signatures are forced identical by a searched dominator
+    * prefix, plants a true pair off the bucket minimum, and pins the
+    * exact loss: the capped run keeps the pair's non-canonical member
+    * the exact run drops (recall loss), while remaining a superset of
+    * the exact kept set (the one-sided guarantee is unconditional).
+    * Measured on the NearDupBlast shard: identical curated output with
+    * the K² term gone (SCALE.md r13).
     */
   def minHashCuratedCorpus(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5,

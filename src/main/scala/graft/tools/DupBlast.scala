@@ -29,13 +29,21 @@ object DupBlast {
     val out = java.nio.file.Paths.get(outDir)
     org.apache.commons.io.FileUtils.deleteQuietly(out.toFile)
     java.nio.file.Files.createDirectories(out)
+    // layout-aware copy (ADVICE r13, via NearDupBlast): the source may
+    // be a single parquet file (driver testdata) or a Spark-written
+    // directory of part files — a bare Files.copy on the latter copies
+    // only the empty directory entry
+    def copyTable(t: String): Unit = {
+      val src = java.nio.file.Paths.get(s"$srcDir/$t.parquet")
+      if (java.nio.file.Files.isDirectory(src))
+        org.apache.commons.io.FileUtils.copyDirectory(
+          src.toFile, out.resolve(s"$t.parquet").toFile)
+      else
+        java.nio.file.Files.copy(src, out.resolve(s"$t.parquet"))
+    }
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
-      .foreach { t =>
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$srcDir/$t.parquet"), out.resolve(s"$t.parquet"))
-      }
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$srcDir/events.parquet"), out.resolve("events.parquet"))
+      .foreach(copyTable)
+    copyTable("events")
 
     // the blast cluster replicates ONE real row (all columns), so it
     // passes every quality/shingle screen a synthetic string might

@@ -45,6 +45,41 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(sec > 0.0 && sec < 60.0)
   }
 
+  test("rep_spread: ratio is max over lower-median, with a sub-ms floor") {
+    // same lower-median convention as the reported seconds
+    assert(Bench.repRatio(Seq(1.0, 2.0, 4.0)) === 2.0)
+    // lower median with an even count: (size-1)/2 picks the smaller mid
+    assert(Bench.repRatio(Seq(1.0, 3.0)) === 3.0)
+    // sub-ms medians report 1.0 — scheduler jitter there is not signal
+    assert(Bench.repRatio(Seq(0.0005, 0.0004, 0.01)) === 1.0)
+    assert(Bench.repRatio(Nil) === 1.0)
+    assert(Bench.repRatio(Seq(1.2)) === 1.0)
+  }
+
+  test("rep_spread: printed format, hi threshold, and hi cap (VERDICT r13 #2)") {
+    // quiet drive: hi stays empty, med/max carry the summary
+    assert(Bench.repSpreadJson(Seq("a" -> 1.0, "b" -> 1.04, "c" -> 1.1)) ===
+      """{"med":1.04,"max":1.1,"hi":{}}""")
+    // contended drive: offenders at ≥ 1.5 listed descending, capped at
+    // 4 entries so the printed line stays bounded under total contention
+    val contended = Seq("q1" -> 2.0, "q2" -> 1.6, "q3" -> 3.1, "q4" -> 1.51,
+      "q5" -> 1.49, "q6" -> 2.5, "q7" -> 1.8)
+    assert(Bench.repSpreadJson(contended) ===
+      """{"med":1.8,"max":3.1,"hi":{"q3":3.1,"q6":2.5,"q1":2.0,"q7":1.8}}""")
+    assert(Bench.RepSpreadHiCap === 4 && Bench.RepSpreadHiThreshold === 1.5,
+      "hi cap/threshold are part of the artifact's round-over-round contract")
+    // degenerate: an empty headline set still prints a parseable field
+    assert(Bench.repSpreadJson(Nil) === """{"med":1.0,"max":1.0,"hi":{}}""")
+  }
+
+  test("printed line budget holds with the rep_spread field at worst-case width") {
+    // lineBudgetOk now derives its fixed overhead from a formatted
+    // frame with pathological widths (ADVICE r13) — this keeps the
+    // check itself exercised, so a headline addition that overflows
+    // the driver's ~1500-char buffer fails HERE, not in the artifact
+    assert(Bench.lineBudgetOk)
+  }
+
   test("silent for genuine host-load spikes and sub-floor jitter") {
     // a spike on rep-1 of a real ~1 s query is noise, not a memo (3×)
     assert(!Bench.memoDrift("dd04_minhash_lsh", Seq(3.02, 1.0, 0.9)))

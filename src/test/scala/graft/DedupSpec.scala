@@ -463,6 +463,128 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("giant MIXED bucket witness: the cap's one documented loss, constructed (VERDICT r13 #3)") {
+    // The star cap's only approximation class — "a band bucket of
+    // mutually-dissimilar docs where non-star true pairs are never
+    // generated" — previously had no constructible witness. This builds
+    // one deterministically, exploiting that a doc's signature is the
+    // per-row MIN over its shingle hashes: a shared DOMINATOR PREFIX
+    // whose shingles achieve an extremely small affine value in every
+    // one of the 32 rows forces every doc containing it to the same
+    // full signature (hence the same bucket in ALL 8 bands — the
+    // degenerate case ADVICE r13 flagged, where "other bands recover
+    // the pair" fails because the bucket collision repeats in every
+    // band), while large private suffixes keep pairwise Jaccard well
+    // below threshold. The search replicates the library's exact hash
+    // chain (md5h48 → mod p → positional shingle fold → affine rows)
+    // in plain Scala; the Spark signature is cross-checked against the
+    // replica, so the construction can't silently drift from the
+    // shipped arithmetic.
+    val P = 2147483647L
+    val C = Dedup.ShingleMixer
+    def tokHash(t: String): Long =
+      graft.functions.HashKernels.hash48(t.getBytes("UTF-8")) % P
+    def shingleSet(toks: Seq[String]): Set[Long] =
+      toks.map(tokHash).sliding(3)
+        .map(w => ((w(0) * C + w(1)) % P * C + w(2)) % P).toSet
+    val coeffs = Dedup.minHashCoeffs(32).toArray
+    def signature(sh: Set[Long]): Seq[Long] =
+      coeffs.toSeq.map { case (a, b) => sh.iterator.map(s => (s * a + b) % P).min }
+
+    // Search: 4M random token triples from a 20k pool; keep each row's
+    // argmin triple. Deterministic (fixed seed), ~1-2 s of long
+    // arithmetic. Expected per-row minimum ≈ p/4M ≈ 540, so the ~800
+    // private shingles below beat a dominator row with probability
+    // ≈ 32·800·540/2³¹ ≈ 0.6% — and the assertion underneath makes the
+    // outcome a checked fact, not a probability.
+    val rnd = new java.util.Random(20260815L)
+    val pool = Array.tabulate(20000)(i => s"w$i")
+    val poolH = pool.map(tokHash)
+    val bestVal = Array.fill(32)(Long.MaxValue)
+    val bestTriple = Array.fill(32)(0)
+    val samples = 4000000
+    val sampleIdx = new Array[Int](3 * samples)
+    java.util.Arrays.setAll(sampleIdx, (_: Int) => rnd.nextInt(pool.length))
+    var i = 0
+    while (i < samples) {
+      val x = sampleIdx(3 * i); val y = sampleIdx(3 * i + 1); val z = sampleIdx(3 * i + 2)
+      val s = ((poolH(x) * C + poolH(y)) % P * C + poolH(z)) % P
+      var r = 0
+      while (r < 32) {
+        val v = (s * coeffs(r)._1 + coeffs(r)._2) % P
+        if (v < bestVal(r)) { bestVal(r) = v; bestTriple(r) = i }
+        r += 1
+      }
+      i += 1
+    }
+    val prefix: Seq[String] = bestTriple.distinct.toSeq.flatMap(i =>
+      Seq(pool(sampleIdx(3 * i)), pool(sampleIdx(3 * i + 1)), pool(sampleIdx(3 * i + 2))))
+    val domSig = signature(shingleSet(prefix))
+
+    // 12 docs (> cap 8), ids 100..111: shared dominator prefix + 70
+    // private tokens each (disjoint per-doc vocabularies), so shared
+    // prefix shingles / union stays well under the 0.5 threshold for
+    // every pair — EXCEPT the planted true pair: doc 107 = doc 105
+    // plus one trailing token (Jaccard ≈ n/(n+1)). Neither 105 nor 107
+    // is the bucket minimum (100), so the pair is a NON-STAR candidate.
+    val ids = (100L to 111L).toSeq
+    def priv(j: Long): Seq[String] = (0 until 70).map(k => s"p${j}x$k")
+    val toksOf: Map[Long, Seq[String]] = ids.map { j =>
+      j -> (j match {
+        case 107L => prefix ++ priv(105L) :+ "plantedextra"
+        case _    => prefix ++ priv(j)
+      })
+    }.toMap
+
+    // construction checks in the plain-Scala replica: (a) the dominator
+    // holds — every doc's full 32-row signature equals the prefix's
+    // (no private shingle beat any row); (b) Jaccard structure is
+    // exactly one above-threshold pair, off the minimum
+    toksOf.foreach { case (id, toks) =>
+      assert(signature(shingleSet(toks)) === domSig,
+        s"doc $id: a private shingle beat a dominator row — widen the search")
+    }
+    def jac(a: Set[Long], b: Set[Long]): Double =
+      a.intersect(b).size.toDouble / a.union(b).size
+    for (a <- ids; b <- ids if a < b) {
+      val j = jac(shingleSet(toksOf(a)), shingleSet(toksOf(b)))
+      if ((a, b) == ((105L, 107L))) assert(j >= 0.9, s"planted pair j=$j")
+      else assert(j < 0.45, s"pair ($a,$b) unexpectedly similar: j=$j")
+    }
+
+    val corpus = ids.map(j => (j, toksOf(j).mkString(" "))).toDF("doc_id", "text")
+    // Spark agrees with the replica: one distinct signature across the
+    // corpus, and it IS the dominator signature
+    val sigRows = Dedup.minHashSignatures(corpus, "doc_id", "text")
+      .drop("doc").distinct().collect()
+    assert(sigRows.length === 1, "all docs must share one full signature")
+    assert((0 until 32).map(k => sigRows.head.getLong(k)) === domSig)
+
+    // capped candidates are stars only: (bucket min, member) — the
+    // planted pair is generated by the exact arm but NOT the capped arm
+    val capped = Dedup.minHashCandidatePairs(corpus, "doc_id", "text",
+        starCapBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === ids.filter(_ != 100L).map(j => (100L, j)).toSet)
+    val exact = Dedup.minHashCandidatePairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((105L, 107L)) && !capped.contains((105L, 107L)))
+
+    // the quantified end-to-end loss: exact curation drops the planted
+    // pair's non-canonical member; the capped run misses exactly that
+    // one drop — and stays a superset (the one-sided guarantee holds
+    // even on its own worst case)
+    def kept(cap: Int): Set[Long] =
+      Dedup.minHashCuratedCorpus(corpus, "doc_id", "text",
+          starCapBucketSize = cap)
+        .select("doc_id").as[Long].collect().toSet
+    val exactKept = kept(Int.MaxValue)
+    val cappedKept = kept(8)
+    assert(exactKept === ids.toSet - 107L)
+    assert(cappedKept === ids.toSet)
+    assert(exactKept.subsetOf(cappedKept))
+  }
+
   test("exact-first minHashCuratedCorpus ≡ uncollapsed on the adversarial corpus") {
     def keep(input: org.apache.spark.sql.DataFrame): Set[Long] =
       Dedup.minHashCuratedCorpus(input, "doc_id", "text",
