@@ -342,7 +342,13 @@ object DedupQueries {
     * every star edge verifies and the component stays connected through
     * the bucket minimum. A hash mismatch here would mean the capped arm
     * regressed, which is exactly what this key exists to catch every
-    * round.
+    * round — with one adjudication caveat for the future: if a
+    * regenerated testdata shard ever DID grow a >64-member band bucket
+    * of mutually-dissimilar docs (the giant-MIXED class DedupSpec's
+    * witness constructs), dd14b keeping MORE docs than dd14 would be
+    * the cap working as designed, not a regression — re-adjudicate
+    * against DedupSpec's equality and one-sided pins before touching
+    * the code.
     */
   private def dd14bMinhashStar(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashCuratedCorpus(
