@@ -63,9 +63,35 @@ object Bench {
     * with the longest headline names at three-digit ratios.
     */
   private[graft] def lineBudgetOk: Boolean = {
-    val worstHi = Seq.fill(RepSpreadHiCap)(headline.maxBy(_.length) -> 999.99)
-    val frame = s"""{"metric":"total","value":99999.999,"unit":"sec","warmup":"v6-median3","host_cal":{"pre":99.999,"post":99.999},"rep_spread":${repSpreadJson(worstHi)},"n_failed":0,"failed":[],"memo_warn":[],"queries":{},"sf":"/root/testdata/sf0.1"}"""
+    // The certified class is the rc=0 line — the r1 failure mode was a
+    // HEALTHY run coming back parsed:null. memo_warn can be non-empty
+    // at rc=0 (it is a warning, not a failure), so the frame carries it
+    // at its printed bound with the longest headline names; failed
+    // non-empty implies rc=1 (bounded too via boundedNames, but a red
+    // line is diagnostic, not a baseline, and is not certified here).
+    // The sf path gets a 40-char allowance — the env var is
+    // caller-controlled, not fixed to the driver's default.
+    val longest = headline.maxBy(_.length)
+    val worstHi = Seq.fill(RepSpreadHiCap)(longest -> 999.99)
+    val worstMemo = boundedNames(Seq.fill(MaxWarnNames + 1)(longest), MaxWarnNames)
+    val frame = s"""{"metric":"total","value":99999.999,"unit":"sec","warmup":"v6-median3","host_cal":{"pre":99.999,"post":99.999},"rep_spread":${repSpreadJson(worstHi)},"n_failed":0,"failed":[],"memo_warn":$worstMemo,"queries":{},"sf":"${"x" * 40}"}"""
     frame.length + headline.map(_.length + 12).sum < 1500
+  }
+
+  /** Bounded JSON name-list for the printed line: the first `bound`
+    * names plus a "+N more" marker when truncated. memo_warn and
+    * failed were unbounded through r13 — a mass tripwire firing (or a
+    * mass failure) could push the one line the driver parses past its
+    * buffer, truncating the artifact exactly when it matters most. The
+    * true counts stay in-artifact (n_failed; the marker's N), and the
+    * full lists go to stderr at the call sites.
+    */
+  private[graft] val MaxWarnNames = 2
+  private[graft] val MaxFailedNames = 5
+  private[graft] def boundedNames(names: Seq[String], bound: Int): String = {
+    val shown = names.take(bound) ++
+      (if (names.size > bound) Seq(s"+${names.size - bound} more") else Nil)
+    shown.map("\"" + _ + "\"").mkString("[", ",", "]")
   }
 
   /** Per-headline rep-scatter statistic (VERDICT r13 #2): host_cal's
@@ -87,7 +113,7 @@ object Bench {
     if (med < 0.001) 1.0 else sorted.last / med
   }
 
-  private[graft] val RepSpreadHiCap = 4
+  private[graft] val RepSpreadHiCap = 3
   private[graft] val RepSpreadHiThreshold = 1.5
 
   /** The printed `"rep_spread"` field: median and max of the per-query
@@ -107,7 +133,11 @@ object Bench {
     * driver never ships).
     */
   private[graft] def repSpreadJson(ratios: Seq[(String, Double)]): String = {
-    def r2(v: Double): Double = math.round(v * 100.0) / 100.0
+    // printed ratios capped at 999.99: beyond three digits the value
+    // carries no extra adjudication signal, and an uncapped ratio (a
+    // 10 s rep over a just-above-floor median prints 7+ chars) would
+    // erode the line-budget arithmetic the guard below certifies
+    def r2(v: Double): Double = math.min(math.round(v * 100.0) / 100.0, 999.99)
     val rs = ratios.map(_._2).sorted
     val med = if (rs.isEmpty) 1.0 else rs((rs.size - 1) / 2)
     val mx = if (rs.isEmpty) 1.0 else rs.last
@@ -399,8 +429,12 @@ object Bench {
     // v6 (r11) times headline queries median-of-3 with memos dropped
     // between reps — a host-load spike now costs one rep, not the
     // round's reading.
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val memoWarnJson = memoWarn.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = boundedNames(failed, MaxFailedNames)
+    val memoWarnJson = boundedNames(memoWarn, MaxWarnNames)
+    if (failed.size > MaxFailedNames)
+      System.err.println(s"[bench] failed (full list): ${failed.mkString(",")}")
+    if (memoWarn.size > MaxWarnNames)
+      System.err.println(s"[bench] memo_warn (full list): ${memoWarn.mkString(",")}")
     // Post-drive calibration: same kernel after the last query (Spark
     // still up but idle). Reading the pair: both near the machine's
     // r13-established band → host fine, any query drift is code; both

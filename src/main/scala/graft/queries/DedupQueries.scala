@@ -317,7 +317,12 @@ object DedupQueries {
     * verification, recursive components) so any recall miss would
     * surface as a hash mismatch.
     */
-  private def dd14MinhashCurated(s: SparkSession, dir: String): DataFrame =
+  /** The dd14 chain, shared VERBATIM by dd14 (exact candidates) and
+    * dd14b (star cap engaged) — one body so "dd14b is dd14's exact
+    * chain with the cap" is structural: retuning any knob here retunes
+    * both keys together, preserving the shared-oracle justification.
+    */
+  private def dd14Chain(s: SparkSession, dir: String, starCap: Int): DataFrame =
     // byte-identical collapse before the LSH chain (r12): identical
     // docs share every band, so a K-copy cluster floods the band
     // buckets with O(K²) candidates; collapsed, the chain sees one
@@ -325,8 +330,12 @@ object DedupQueries {
     Dedup.minHashCuratedCorpus(
         Dedup.collapseIdenticalTexts(Tables.documents(s, dir), "doc_id", "text",
           minTokens = 3),
-        "doc_id", "text", n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+        "doc_id", "text", n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5,
+        starCapBucketSize = starCap)
       .orderBy(col("doc_id"))
+
+  private def dd14MinhashCurated(s: SparkSession, dir: String): DataFrame =
+    dd14Chain(s, dir, Int.MaxValue)
 
   /** dd14's exact chain with the star cap ENGAGED (starCapBucketSize =
     * 64) — the r13 scale feature under the driver's hash gate instead
@@ -351,12 +360,7 @@ object DedupQueries {
     * the code.
     */
   private def dd14bMinhashStar(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashCuratedCorpus(
-        Dedup.collapseIdenticalTexts(Tables.documents(s, dir), "doc_id", "text",
-          minTokens = 3),
-        "doc_id", "text", n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5,
-        starCapBucketSize = 64)
-      .orderBy(col("doc_id"))
+    dd14Chain(s, dir, starCap = 64)
 
   private val dd14Sql: String = {
     val bands = 8; val rowsPerBand = 4

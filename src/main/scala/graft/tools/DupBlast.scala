@@ -18,6 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object DupBlast {
 
+  /** Layout-aware parquet copy shared by the blast probes (ADVICE r13):
+    * the source may be a single parquet file (driver testdata) or a
+    * Spark-written directory of part files — a bare Files.copy on the
+    * latter copies only the empty directory entry, leaving confusing
+    * downstream read failures.
+    */
+  private[tools] def copyParquetTable(srcDir: String, t: String,
+      out: java.nio.file.Path): Unit = {
+    val src = java.nio.file.Paths.get(s"$srcDir/$t.parquet")
+    if (java.nio.file.Files.isDirectory(src))
+      org.apache.commons.io.FileUtils.copyDirectory(
+        src.toFile, out.resolve(s"$t.parquet").toFile)
+    else {
+      java.nio.file.Files.copy(src, out.resolve(s"$t.parquet"))
+      ()
+    }
+  }
+
   private val probeQueries = Seq(
     "dd01_exact_dedup", "dd02_jaccard_pairs", "dd03_simhash",
     "dd04_minhash_lsh", "dd06_simhash_pairs", "dd08_dup_clusters",
@@ -29,21 +47,9 @@ object DupBlast {
     val out = java.nio.file.Paths.get(outDir)
     org.apache.commons.io.FileUtils.deleteQuietly(out.toFile)
     java.nio.file.Files.createDirectories(out)
-    // layout-aware copy (ADVICE r13, via NearDupBlast): the source may
-    // be a single parquet file (driver testdata) or a Spark-written
-    // directory of part files — a bare Files.copy on the latter copies
-    // only the empty directory entry
-    def copyTable(t: String): Unit = {
-      val src = java.nio.file.Paths.get(s"$srcDir/$t.parquet")
-      if (java.nio.file.Files.isDirectory(src))
-        org.apache.commons.io.FileUtils.copyDirectory(
-          src.toFile, out.resolve(s"$t.parquet").toFile)
-      else
-        java.nio.file.Files.copy(src, out.resolve(s"$t.parquet"))
-    }
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
-      .foreach(copyTable)
-    copyTable("events")
+      .foreach(t => DupBlast.copyParquetTable(srcDir, t, out))
+    DupBlast.copyParquetTable(srcDir, "events", out)
 
     // the blast cluster replicates ONE real row (all columns), so it
     // passes every quality/shingle screen a synthetic string might

@@ -34,19 +34,7 @@ object NearDupBlast {
     java.nio.file.Files.createDirectories(out)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "embeddings")
-      .foreach { t =>
-        // ADVICE r13: Files.copy on a DIRECTORY-style parquet dataset
-        // (a Spark-written table of part files) copies only the empty
-        // directory entry, leaving confusing downstream read failures.
-        // Driver testdata is single-file, but the shard source is an
-        // env var — handle both layouts.
-        val src = java.nio.file.Paths.get(s"$srcDir/$t.parquet")
-        if (java.nio.file.Files.isDirectory(src))
-          org.apache.commons.io.FileUtils.copyDirectory(
-            src.toFile, out.resolve(s"$t.parquet").toFile)
-        else
-          java.nio.file.Files.copy(src, out.resolve(s"$t.parquet"))
-      }
+      .foreach(t => DupBlast.copyParquetTable(srcDir, t, out))
     // the blast cluster replicates ONE real long doc with a unique
     // trailing token per copy ("sid<i>"): distinct bytes (the collapse
     // must NOT merge them), near-total shingle overlap (every pairwise

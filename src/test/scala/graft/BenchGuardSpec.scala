@@ -61,15 +61,20 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.repSpreadJson(Seq("a" -> 1.0, "b" -> 1.04, "c" -> 1.1)) ===
       """{"med":1.04,"max":1.1,"hi":{}}""")
     // contended drive: offenders at ≥ 1.5 listed descending, capped at
-    // 4 entries so the printed line stays bounded under total contention
+    // 3 entries so the printed line stays bounded under total contention
     val contended = Seq("q1" -> 2.0, "q2" -> 1.6, "q3" -> 3.1, "q4" -> 1.51,
       "q5" -> 1.49, "q6" -> 2.5, "q7" -> 1.8)
     assert(Bench.repSpreadJson(contended) ===
-      """{"med":1.8,"max":3.1,"hi":{"q3":3.1,"q6":2.5,"q1":2.0,"q7":1.8}}""")
-    assert(Bench.RepSpreadHiCap === 4 && Bench.RepSpreadHiThreshold === 1.5,
+      """{"med":1.8,"max":3.1,"hi":{"q3":3.1,"q6":2.5,"q1":2.0}}""")
+    assert(Bench.RepSpreadHiCap === 3 && Bench.RepSpreadHiThreshold === 1.5,
       "hi cap/threshold are part of the artifact's round-over-round contract")
     // degenerate: an empty headline set still prints a parseable field
     assert(Bench.repSpreadJson(Nil) === """{"med":1.0,"max":1.0,"hi":{}}""")
+    // printed ratios are width-capped at 999.99 — an absurd ratio (10 s
+    // rep over a just-above-floor median) must not erode the certified
+    // line-budget arithmetic
+    assert(Bench.repSpreadJson(Seq("a" -> 12345.6)) ===
+      """{"med":999.99,"max":999.99,"hi":{"a":999.99}}""")
   }
 
   test("printed line budget holds with the rep_spread field at worst-case width") {
@@ -78,6 +83,17 @@ class BenchGuardSpec extends AnyFunSuite {
     // check itself exercised, so a headline addition that overflows
     // the driver's ~1500-char buffer fails HERE, not in the artifact
     assert(Bench.lineBudgetOk)
+  }
+
+  test("memo_warn/failed name lists are bounded in the printed line") {
+    // unbounded through r13: a mass tripwire firing could push the one
+    // line the driver parses past its buffer exactly when it matters
+    assert(Bench.boundedNames(Seq("a", "b"), 2) === """["a","b"]""")
+    assert(Bench.boundedNames(Seq("a", "b", "c", "d"), 2) ===
+      """["a","b","+2 more"]""")
+    assert(Bench.boundedNames(Nil, 2) === "[]")
+    assert(Bench.MaxWarnNames === 2 && Bench.MaxFailedNames === 5,
+      "printed-line bounds are part of the budget arithmetic")
   }
 
   test("silent for genuine host-load spikes and sub-floor jitter") {
