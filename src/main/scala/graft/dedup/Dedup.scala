@@ -752,6 +752,12 @@ object Dedup {
     * exact loss: the capped run keeps the pair's non-canonical member
     * the exact run drops (recall loss), while remaining a superset of
     * the exact kept set (the one-sided guarantee is unconditional).
+    * Note what the construction REQUIRES: the witness search
+    * brute-forces row minima against the banding `seed`, so the
+    * adversarial form of this class presumes a KNOWN seed — a
+    * production run that rotates `seed` per corpus denies it — and the
+    * organic form needs a many-way minhash collision repeating across
+    * all bands simultaneously (never observed in any real shard here).
     * Measured on the NearDupBlast shard: identical curated output with
     * the K² term gone (SCALE.md r13).
     */
