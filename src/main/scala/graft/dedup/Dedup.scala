@@ -690,14 +690,48 @@ object Dedup {
     * index persists between ingest batches.
     *
     * Returns the kept incoming rows (doc_id only, dd07's contract).
+    *
+    * `corpusBucketCap` (default off — exact candidates): the TWO-SIDED
+    * face of the near-identical boilerplate wall (IngestBlast probe,
+    * SCALE.md r14). The candidate set is bIn ⋈ bC per (band, band_key),
+    * so K_in incoming copies of a page whose K_c mutated copies sit in
+    * the store emit K_in × K_c candidates. The shipped streaming
+    * composition curates the store (families collapse to ~one survivor
+    * before entering), but the corpus argument here is ARBITRARY — a
+    * raw or seeded store re-opens the quadratic. With the cap on, each
+    * corpus band bucket contributes at most `corpusBucketCap` members
+    * (the smallest c_doc ids — deterministic), bounding candidates at
+    * K_in × bands × cap. The incoming side is never capped: every
+    * incoming doc must receive its own verdict. Error is ONE-SIDED
+    * toward KEEPING: capped candidates ⊆ exact candidates, so fewer
+    * verified matches can only produce fewer DROPS — a kept duplicate
+    * (bounded recall loss), never a wrongly-dropped novel doc. The
+    * capped arm is lossless whenever an incoming doc with any
+    * above-threshold match in a bucket also matches one of the cap
+    * kept members — true for the only realistic giant-bucket class (a
+    * genuine near-dup family, whose members verify near-equally); the
+    * adversarial exception is the same giant-MIXED-bucket class as the
+    * star cap above, with the same seed-knowledge requirement. The
+    * per-bucket rank is a window sort — K_c·bands rows shuffled once,
+    * the hot bucket sorts K_c rows in one task (linear-ish, vs the K²
+    * join it replaces).
     */
   def minHashDedupAgainstCorpus(incoming: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, n: Int = 3, bands: Int = 8,
-      rowsPerBand: Int = 4, threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+      rowsPerBand: Int = 4, threshold: Double = 0.5, seed: Long = 42L,
+      corpusBucketCap: Int = Int.MaxValue): DataFrame = {
     val bIn = bandedSignatureKeys(incoming, idCol, textCol, n, bands, rowsPerBand, seed)
       .toDF("in_doc", "band", "band_key")
-    val bC = bandedSignatureKeys(corpus, idCol, textCol, n, bands, rowsPerBand, seed)
+    val bC0 = bandedSignatureKeys(corpus, idCol, textCol, n, bands, rowsPerBand, seed)
       .toDF("c_doc", "band", "band_key")
+    val bC =
+      if (corpusBucketCap == Int.MaxValue) bC0
+      else {
+        require(corpusBucketCap >= 1, s"corpusBucketCap must be >= 1, got $corpusBucketCap")
+        val w = Window.partitionBy(col("band"), col("band_key")).orderBy(col("c_doc"))
+        bC0.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= corpusBucketCap).drop("__rk")
+      }
     val cand = bIn.join(bC, Seq("band", "band_key"))
       .select(col("in_doc"), col("c_doc")).distinct()
     val invIn = hashedShingleRows(incoming, idCol, textCol, n)

@@ -112,8 +112,12 @@ object DocStream {
         val kept =
           if (store == null) inBatchKept
           else inBatchKept.join(
+            // the one knob guards BOTH arms: within-batch star cap and
+            // the cross-store corpus bucket cap (a seeded store can be
+            // raw crawl — the two-sided K_in×K_c wall, IngestBlast r14)
             Dedup.minHashDedupAgainstCorpus(inBatchKept, store, "doc_id", "text",
-              n, bands, rowsPerBand, threshold), "doc_id")
+              n, bands, rowsPerBand, threshold,
+              corpusBucketCap = starCapBucketSize), "doc_id")
         kept.select(col("doc_id"), col("text"))
           .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
         kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")

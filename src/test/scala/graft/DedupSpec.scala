@@ -448,6 +448,67 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("corpus bucket cap: two-sided flood keeps the exact set; default exact; degenerate reject") {
+    // The IngestBlast regime (r14): a near-identical family on BOTH
+    // sides of minHashDedupAgainstCorpus makes the band join emit
+    // K_in × K_c candidates (measured: 1,001,000 at K=1000, 29 s exact
+    // vs 1.8 s capped, byte-identical output — SCALE.md). The cap
+    // bounds each corpus bucket at its smallest member ids; on a
+    // genuine family every kept member verifies like any other, so the
+    // kept incoming set is unchanged.
+    val body = (1 to 12).map(i => s"word$i").mkString(" ")
+    val corpus = ((0 until 30).map(i => (900L + i, s"$body sid$i")) :+
+      ((950L, "some other store document holding its own content entirely"))).toDF("doc_id", "text")
+    val incoming = ((0 until 20).map(i => (800L + i, s"$body tid$i")) :+
+      ((850L, "entirely novel incoming words sharing nothing with the store"))).toDF("doc_id", "text")
+    def kept(cap: Int): Set[Long] =
+      Dedup.minHashDedupAgainstCorpus(incoming, corpus, "doc_id", "text",
+          corpusBucketCap = cap)
+        .select("doc_id").as[Long].collect().toSet
+    assert(kept(Int.MaxValue) === Set(850L)) // the whole incoming family is store-dup
+    assert(kept(4) === Set(850L))
+    assert(kept(Int.MaxValue) === kept(4))
+    intercept[IllegalArgumentException] { kept(0) }
+  }
+
+  test("corpus bucket cap one-sided: never drops an incoming doc the exact path keeps (seeded)") {
+    // Same provable direction as the star cap: capped candidates ⊆
+    // exact candidates, fewer verified matches → fewer DROPS, so the
+    // capped kept set is a superset — a kept duplicate is the only
+    // error class, never a wrongly-dropped novel doc. Swept over
+    // seeded corpora that split planted near-dup families across the
+    // store and the incoming batch, with an aggressive cap.
+    for (seed <- Seq(11L, 29L)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 40).map(i => s"tok$i")
+      def sentence(n: Int): String =
+        Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val fams = (0 until 6).map { f =>
+        val body = sentence(10 + rnd.nextInt(6))
+        val members = (0 until 4 + rnd.nextInt(5)).map { m =>
+          val mutated =
+            if (rnd.nextBoolean()) s"$body fam${f}m$m" else s"fam${f}m$m $body"
+          (1000L * f + m, mutated)
+        }
+        // some families live only in the store, some only incoming,
+        // some straddle the boundary
+        members.splitAt(rnd.nextInt(members.size + 1))
+      }
+      val corpus = (fams.flatMap(_._1) ++
+        (0 until 15).map(i => (8000L + i, sentence(8 + rnd.nextInt(8))))).toDF("doc_id", "text")
+      val incoming = (fams.flatMap(_._2) ++
+        (0 until 15).map(i => (9000L + i, sentence(8 + rnd.nextInt(8))))).toDF("doc_id", "text")
+      def kept(cap: Int): Set[Long] =
+        Dedup.minHashDedupAgainstCorpus(incoming, corpus, "doc_id", "text",
+            corpusBucketCap = cap)
+          .select("doc_id").as[Long].collect().toSet
+      val exact = kept(Int.MaxValue)
+      val capped = kept(2)
+      assert(exact.subsetOf(capped),
+        s"seed=$seed: capped corpus gate dropped exact-kept docs ${exact -- capped}")
+    }
+  }
+
   test("star cap default is the exact path; degenerate caps are rejected") {
     val docs = Seq((1L, "alpha beta gamma delta shared body"),
       (2L, "alpha beta gamma delta shared body extra")).toDF("doc_id", "text")

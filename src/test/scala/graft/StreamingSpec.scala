@@ -433,18 +433,26 @@ class StreamingSpec extends SparkSpec {
         starCapBucketSize = cap)
       batch.toDF().coalesce(1).write.mode("append").parquet(in)
       q.processAllAvailable()
+      // batch 2 drives the CAPPED STORE JOIN (corpusBucketCap threads
+      // off the same knob): a near-dup of the batch-1 flood must be
+      // dropped against the store's surviving canonical, and a second
+      // novel doc must pass
+      Seq(Doc(400L, ts(1), doc(bodyW.updated(5, "mutated")), "api"),
+          Doc(401L, ts(1), doc((1 to 12).map(i => s"z$i")), "api"))
+        .toDF().coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
       q.stop()
       (spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet,
         spark.read.parquet(corpusDir).select($"doc_id").as[Long].collect().toSet)
     }
     val (cappedKept, cappedStore) = run(8)
     val (exactKept, exactStore) = run(Int.MaxValue)
-    // flood → its min id 200; novel 300 kept; 301 dropped against the
-    // seed corpus (cross-store gate, proving the capped batch's
-    // survivors still flow through the store join)
-    assert(cappedKept === Set(200L, 300L))
+    // batch 1: flood → its min id 200; novel 300 kept; 301 dropped
+    // against the seed corpus. batch 2: 400 dropped against the stored
+    // flood canonical through the CAPPED store join; novel 401 kept.
+    assert(cappedKept === Set(200L, 300L, 401L))
     assert(cappedKept === exactKept)
-    assert(cappedStore === exactStore && cappedStore === Set(0L, 200L, 300L))
+    assert(cappedStore === exactStore && cappedStore === Set(0L, 200L, 300L, 401L))
   }
 
   test("batch shape of the streaming agg matches q21 on static data") {
