@@ -63,6 +63,40 @@ class ProbeSmokeSpec extends SparkSpec {
     }
   }
 
+  test("IngestBlast regime: two-sided family candidates are quadratic; corpus cap keeps output") {
+    // The r14 cross-store regime at smoke scale, on the probe's exact
+    // shape (the real longest sf0.001 doc, K mutated copies on BOTH
+    // sides): the band join's candidate law is (K_in)·(K_c) for the
+    // family — the quadratic pressure IngestBlast measures is real —
+    // and the corpus bucket cap must keep the verdicts identical (the
+    // structural property behind the 29 s → 1.8 s K=1000 receipt).
+    val docs = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
+    val body = docs.orderBy(length(col("text")).desc).limit(1)
+      .select(col("text")).first().getString(0)
+    val k = 40
+    val corpus = docs.unionByName(
+      spark.range(k.toLong).select((col("id") + 900000L).as("doc_id"),
+        concat(lit(body + " sid"), col("id").cast("string")).as("text")))
+    val incoming = spark.range(k.toLong)
+      .select((col("id") + 800000L).as("doc_id"),
+        concat(lit(body + " tid"), col("id").cast("string")).as("text"))
+      .unionByName(spark.range(1).select(lit(810000L).as("doc_id"),
+        lit("entirely novel content with no shared shingles anywhere here today").as("text")))
+    val bIn = Dedup.bandedSignatureKeys(incoming, "doc_id", "text")
+      .toDF("in_doc", "band", "band_key")
+    val bC = Dedup.bandedSignatureKeys(corpus, "doc_id", "text")
+      .toDF("c_doc", "band", "band_key")
+    val exactCand = bIn.join(bC, Seq("band", "band_key"))
+      .select(col("in_doc"), col("c_doc")).distinct().count()
+    assert(exactCand >= k.toLong * k, s"quadratic law at smoke scale: $exactCand")
+    def keptIds(cap: Int): Set[Long] =
+      Dedup.minHashDedupAgainstCorpus(incoming, corpus, "doc_id", "text",
+          corpusBucketCap = cap)
+        .select("doc_id").as[Long].collect().toSet
+    assert(keptIds(8) === keptIds(Int.MaxValue))
+    assert(keptIds(8) === Set(810000L)) // only the novel doc survives
+  }
+
   test("RegexBlast regime: the PII token gate changes no match set on adversarial text") {
     inTempShard("graft_smoke_regex_") { dir =>
       RegexBlast.build(spark, Sf0001, dir, n = 1000)
