@@ -397,28 +397,53 @@ object Dedup {
     * plans for every existing caller (the catalog's oracles mirror the
     * exact Σ bucket² candidate set).
     */
+  /** The exact (uncapped) candidate self-join: the two subtrees are
+    * plan-identical, so ReuseExchange computes the band rows once and
+    * probes the same exchange twice — no staging needed.
+    */
+  private def exactPairsFromBandKeys(banded: DataFrame): DataFrame =
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+
   private def candidatePairsFromBandKeys(banded: DataFrame,
       starCap: Int = Int.MaxValue): DataFrame = {
     if (starCap == Int.MaxValue) {
-      banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-            col("a.doc") < col("b.doc"))
-        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-        .distinct()
+      exactPairsFromBandKeys(banded)
     } else {
       require(starCap >= 2, s"starCap must be >= 2, got $starCap")
-      // Materialize the band rows once: unlike the exact arm, whose two
-      // self-join subtrees are plan-identical (ReuseExchange dedupes
-      // them), the capped arm reads `banded` from THREE distinct
-      // subtrees (the size/min agg, the sized join's probe side, and —
-      // through `sized` — both pair arms), and each would re-run the
-      // full signature agg + posexplode (the jaccardPairs staging
-      // precedent).
+      // Materialize the band rows once: the capped arm reads `banded`
+      // from multiple distinct subtrees (the size/min agg and the pair
+      // arms), and each would re-run the full signature agg +
+      // posexplode (the jaccardPairs staging precedent). The staging
+      // itself is CHEAP — docs × bands rows, not shingles — the r14
+      // "insurance premium" lived in the machinery below it.
       val b = banded.localCheckpoint()
-      // one extra hash-agg on the band key (linear, map-side combined),
-      // joined back so every member row knows its bucket's size and min
+      // one extra hash-agg on the band key (linear, map-side combined,
+      // read from the staged rows), materialized — it is one row per
+      // non-empty bucket and feeds both the fast-path test and the
+      // capped arm's size join
       val stats = b.groupBy(col("band"), col("band_key"))
         .agg(count(lit(1)).as("__bsz"), min(col("doc")).as("__bmin"))
+        .localCheckpoint()
+      // Clean-data fast path (VERDICT r14 #3): if NO bucket exceeds
+      // the cap — every clean shard, by construction — the capped arm
+      // IS the exact arm, so self-join the staged rows directly and
+      // skip the size join, the two filtered pair arms, and the union.
+      // Measured at sf0.1 (ProfileQ, SCALE.md r15): this returns the
+      // clean-data premium to ~0 (dd14b ≈ dd14 steady-state); a
+      // first-cut variant that ran the stats agg from the UNSTAGED
+      // rows to skip the staging entirely was measured ~30% WORSE —
+      // the stats pass then re-runs the whole signature agg, which
+      // dwarfs the staging it saves. The dirty path is r14's layout
+      // unchanged (stats always came from the staged rows), so the
+      // blast regime pays nothing for the fast path but the isEmpty
+      // probe on the tiny stats frame.
+      if (stats.filter(col("__bsz") > starCap).isEmpty) {
+        return exactPairsFromBandKeys(b)
+      }
       val sized = b.join(stats, Seq("band", "band_key"))
       val small = sized.filter(col("__bsz") <= starCap)
         .select(col("band"), col("band_key"), col("doc"))

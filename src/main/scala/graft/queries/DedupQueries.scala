@@ -493,13 +493,49 @@ object DedupQueries {
     * candidates cross-side only, exact-Jaccard verification, drop on
     * any verified corpus near-dup.
     */
-  private def dd16IncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+  /** The dd16 chain, shared VERBATIM by dd16 (exact candidates) and
+    * dd16b (corpus bucket cap engaged) — the dd14b/dd14Chain precedent
+    * applied to the CROSS-STORE gate: one body so "dd16b is dd16's
+    * exact chain with the cap" is structural, and retuning any knob
+    * retunes both keys together, preserving the shared-oracle
+    * justification.
+    */
+  private def dd16Chain(s: SparkSession, dir: String, corpusCap: Int): DataFrame = {
     val docs = Tables.documents(s, dir)
     Dedup.minHashDedupAgainstCorpus(
         docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
-        "doc_id", "text")
+        "doc_id", "text", corpusBucketCap = corpusCap)
       .orderBy(col("doc_id"))
   }
+
+  private def dd16IncrementalMinhash(s: SparkSession, dir: String): DataFrame =
+    dd16Chain(s, dir, Int.MaxValue)
+
+  /** dd16's exact chain with the corpus bucket cap ENGAGED
+    * (corpusBucketCap = 8) — the r14 cross-store mitigation (IngestBlast,
+    * SCALE.md r14 session 3) under the driver's hash gate instead of
+    * spec-only coverage (VERDICT r14 #1, the one judge-authorized
+    * catalog addition for r15; everything else stays frozen).
+    *
+    * Why the oracle is dd16's SQL UNCHANGED: the cap only changes which
+    * CORPUS members a band bucket contributes as candidates, and only
+    * for buckets larger than 8. On clean shards no corpus bucket
+    * approaches that regime (measured: the doc_id < 400 corpus side's
+    * largest band bucket is 2 members at sf0.01 and 1 at sf0.1), so
+    * the capped arm emits the identical candidate set — and even where a bucket DID overflow, a
+    * genuine near-dup family's members verify near-equally, so any
+    * above-threshold incoming doc still matches one of the kept 8
+    * (DedupSpec's two-sided-flood pin: byte-identical kept set at
+    * K=1000). A hash mismatch here means the capped arm regressed —
+    * exactly what this key exists to catch every round — with the same
+    * future-adjudication caveat as dd14b: if a regenerated shard ever
+    * grew a giant MIXED corpus bucket, dd16b keeping MORE incoming docs
+    * than dd16 would be the cap's documented one-sided recall loss
+    * working as designed (never a wrong drop) — re-adjudicate against
+    * DedupSpec's one-sided pins before touching the code.
+    */
+  private def dd16bIncrCapped(s: SparkSession, dir: String): DataFrame =
+    dd16Chain(s, dir, corpusCap = 8)
 
   private val dd16Sql: String = {
     val bands = 8; val rowsPerBand = 4
@@ -682,5 +718,6 @@ object DedupQueries {
     Q("dd14b_minhash_star", dd14bMinhashStar, Some(dd14Sql)),
     Q("dd15_lsh_recall", dd15LshRecall, Some(dd15Sql)),
     Q("dd16_incr_minhash", dd16IncrementalMinhash, Some(dd16Sql)),
+    Q("dd16b_incr_capped", dd16bIncrCapped, Some(dd16Sql)),
   )
 }

@@ -91,11 +91,21 @@ object DocStream {
     * NearDupBlast pathology, and a single O(K²) batch stalls the whole
     * query (micro-batches are sequential). See
     * [[graft.dedup.Dedup.minHashCandidatePairs]] for the contract.
+    *
+    * `corpusBucketCap` (ADVICE r14): the cross-store arm's per-bucket
+    * member cap ([[graft.dedup.Dedup.minHashDedupAgainstCorpus]]) is a
+    * DIFFERENT recall/cost trade-off from the within-batch star cap —
+    * batch candidate pressure scales with micro-batch size, store
+    * pressure with the accumulated corpus — so the two are tunable
+    * independently. Defaults to `starCapBucketSize` (the r14 coupling,
+    * kept as the default because one knob is the right ergonomics when
+    * both floods share a boilerplate family).
     */
   def incrementalNearDupIngest(docs: DataFrame, corpusDir: String,
       outDir: String, checkpointDir: String, n: Int = 3, bands: Int = 8,
       rowsPerBand: Int = 4, threshold: Double = 0.5,
-      starCapBucketSize: Int = Int.MaxValue): StreamingQuery =
+      starCapBucketSize: Int = Int.MaxValue,
+      corpusBucketCap: Option[Int] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -112,12 +122,13 @@ object DocStream {
         val kept =
           if (store == null) inBatchKept
           else inBatchKept.join(
-            // the one knob guards BOTH arms: within-batch star cap and
             // the cross-store corpus bucket cap (a seeded store can be
-            // raw crawl — the two-sided K_in×K_c wall, IngestBlast r14)
+            // raw crawl — the two-sided K_in×K_c wall, IngestBlast r14):
+            // its own knob since ADVICE r14, following the star cap
+            // unless tuned apart
             Dedup.minHashDedupAgainstCorpus(inBatchKept, store, "doc_id", "text",
               n, bands, rowsPerBand, threshold,
-              corpusBucketCap = starCapBucketSize), "doc_id")
+              corpusBucketCap = corpusBucketCap.getOrElse(starCapBucketSize)), "doc_id")
         kept.select(col("doc_id"), col("text"))
           .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
         kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")

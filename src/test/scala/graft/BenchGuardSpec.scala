@@ -45,6 +45,28 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(sec > 0.0 && sec < 60.0)
   }
 
+  test("parallel host-cal kernel: deterministic hash pin, thread count scaling (VERDICT r14 #2)") {
+    // Each thread runs the IDENTICAL frozen loop, so the accumulated
+    // hash is exactly threads × the single kernel's pinned state —
+    // order-independent wrapping adds. A silent edit to the loop body,
+    // the per-thread count, or the accumulation breaks this loudly.
+    assert(Bench.hostCalPar(1, 1000L)._2 === -4070892016833039931L)
+    assert(Bench.hostCalPar(2, 1000L)._2 === -8141784033666079862L)
+    val (sec, h) = Bench.hostCalPar(4, 1000000L)
+    assert(sec > 0.0 && sec < 60.0)
+    assert(h === 4L * Bench.hostCal(1000000L)._2)
+    intercept[IllegalArgumentException] { Bench.hostCalPar(0, 1000L) }
+  }
+
+  test("catalog names are printable in the bench line without escaping (ADVICE r14)") {
+    // boundedNames and the queries map interpolate names into the one
+    // JSON line the driver parses WITHOUT escaping — sound only while
+    // every catalog key matches this pattern (Bench.main requires the
+    // same predicate at startup; this is the build-time face of it).
+    val bad = SparkEntry.queries.keys.filterNot(_.matches("[A-Za-z0-9_]+"))
+    assert(bad.isEmpty, s"unprintable catalog names: ${bad.mkString(",")}")
+  }
+
   test("rep_spread: ratio is max over lower-median, with a sub-ms floor") {
     // same lower-median convention as the reported seconds
     assert(Bench.repRatio(Seq(1.0, 2.0, 4.0)) === 2.0)

@@ -421,7 +421,7 @@ class StreamingSpec extends SparkSpec {
       (0 until 32).map(i => Doc(200L + i, ts(0), doc(bodyW) + s" sid$i", "web")) ++ Seq(
         Doc(300L, ts(0), doc(novelW), "web"),
         Doc(301L, ts(0), doc(seedW.updated(4, "mutated")), "web")) // near-dup of the seed
-    def run(cap: Int): (Set[Long], Set[Long]) = {
+    def run(cap: Int, corpusCap: Option[Int] = None): (Set[Long], Set[Long]) = {
       val base = java.nio.file.Files.createTempDirectory(s"graft_capflood_$cap").toString
       val (in, corpusDir, outDir, ckpt) =
         (s"$base/in", s"$base/corpus", s"$base/out", s"$base/ckpt")
@@ -430,7 +430,7 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
       val q = DocStream.incrementalNearDupIngest(
         DocStream.readDocs(spark, in), corpusDir, outDir, ckpt,
-        starCapBucketSize = cap)
+        starCapBucketSize = cap, corpusBucketCap = corpusCap)
       batch.toDF().coalesce(1).write.mode("append").parquet(in)
       q.processAllAvailable()
       // batch 2 drives the CAPPED STORE JOIN (corpusBucketCap threads
@@ -453,6 +453,12 @@ class StreamingSpec extends SparkSpec {
     assert(cappedKept === Set(200L, 300L, 401L))
     assert(cappedKept === exactKept)
     assert(cappedStore === exactStore && cappedStore === Set(0L, 200L, 300L, 401L))
+    // decoupled knobs (ADVICE r14): the corpus cap tuned APART from the
+    // star cap — tighter on the store side — must wire through to the
+    // same sets (both arms' caps are one-sided and this corpus's
+    // buckets verify through their minima)
+    val (splitKept, splitStore) = run(8, corpusCap = Some(2))
+    assert(splitKept === exactKept && splitStore === exactStore)
   }
 
   test("batch shape of the streaming agg matches q21 on static data") {
