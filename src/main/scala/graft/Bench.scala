@@ -192,6 +192,11 @@ object Bench {
   private val memoPairs = Seq(("ml03_gbt_eval", "ml04_importances"))
 
   private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+  // Width-capped variant for the parallel-cal fields (review r15): the
+  // certified frame allows 999.999, so an absurd reading on a
+  // pathologically oversubscribed host must saturate there rather than
+  // erode the line-budget arithmetic (the repSpreadJson precedent).
+  private[graft] def r3c(v: Double): Double = math.min(r3(v), 999.999)
 
   /** Host-calibration kernel (VERDICT r12 #1): a fixed, pure-JVM,
     * single-threaded splitmix64 loop — no Spark, no allocation, no
@@ -299,15 +304,25 @@ object Bench {
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // One validated parse of the caller-controlled env var (review
+    // r15): a bare toInt at each use site would die in an unexplained
+    // NumberFormatException before any descriptive require fires, and
+    // the ≤ 999 bound is what lineBudgetOk's frame certifies for the
+    // printed "threads" field.
+    val nCpus = scala.util.Try(cpus.trim.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_CPUS must be an integer, got '$cpus'"))
+    require(nCpus >= 1 && nCpus <= 999,
+      s"SPARK_GRAFT_CPUS must be in [1, 999] (the printed line's certified width), got $nCpus")
     // Pre-drive host calibration: runs BEFORE the session exists so it
     // reads raw host CPU, not JVM-under-Spark contention. The parallel
     // kernel runs second (its own JIT warm is shared with the single
     // kernel's, so ordering costs nothing).
     val calPre = hostCal()._1
-    val calParPre = hostCalPar(cpus.toInt)._1
+    val calParPre = hostCalPar(nCpus)._1
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master(s"local[$nCpus]")
+      .config("spark.sql.shuffle.partitions", nCpus.toString)
       // same timezone contract as Verify: the events loader interprets
       // NTZ wall-clocks in the session zone, so a non-UTC host would
       // shift session/window boundaries and drift row counts between
@@ -497,14 +512,14 @@ object Bench {
     // pre fine / post high → load arrived mid-drive (reps tables in
     // bench_detail.json say where).
     val calPost = hostCal()._1
-    val calParPost = hostCalPar(cpus.toInt)._1
+    val calParPost = hostCalPar(nCpus)._1
     val hostCalJson = s"""{"pre":${r3(calPre)},"post":${r3(calPost)}}"""
     // Reading the parallel pair (VERDICT r14 #2): host_cal in band AND
     // host_cal_par ≈ host_cal → quiet; host_cal in band but
     // host_cal_par elevated → steady multi-core contention, the class
     // invisible to both host_cal and rep_spread — scale the totals.
     val hostCalParJson =
-      s"""{"pre":${r3(calParPre)},"post":${r3(calParPost)},"threads":${cpus.toInt}}"""
+      s"""{"pre":${r3c(calParPre)},"post":${r3c(calParPost)},"threads":$nCpus}"""
     val repSpread = repSpreadJson(hs.map { case (k, o) => k -> repRatio(o.reps) })
     println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"v6-median3","host_cal":$hostCalJson,"host_cal_par":$hostCalParJson,"rep_spread":$repSpread,"n_failed":${failed.size},"failed":$failedJson,"memo_warn":$memoWarnJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -58,6 +58,14 @@ class BenchGuardSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Bench.hostCalPar(0, 1000L) }
   }
 
+  test("parallel-cal printed readings are width-capped at the certified frame width") {
+    // the frame certifies 999.999 for host_cal_par's pre/post — an
+    // absurd reading must saturate there, not widen the line
+    assert(Bench.r3c(12345.678) === 999.999)
+    assert(Bench.r3c(1.23456) === 1.235)
+    assert(Bench.r3c(0.0) === 0.0)
+  }
+
   test("catalog names are printable in the bench line without escaping (ADVICE r14)") {
     // boundedNames and the queries map interpolate names into the one
     // JSON line the driver parses WITHOUT escaping — sound only while

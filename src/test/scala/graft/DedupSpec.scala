@@ -558,7 +558,8 @@ class DedupSpec extends SparkSpec {
     * Jaccard structure is exactly one above-threshold pair, off the
     * minimum — so both consuming tests start from a checked fact.
     */
-  private lazy val mixedBucketWitness: (Seq[Long], Map[Long, Seq[String]], Seq[Long]) = {
+  private lazy val mixedBucketWitness
+      : (Seq[Long], Map[Long, Seq[String]], Seq[Long], Seq[String]) = {
     val P = WitP
     val C = Dedup.ShingleMixer
     val coeffs = Dedup.minHashCoeffs(32).toArray
@@ -617,7 +618,7 @@ class DedupSpec extends SparkSpec {
       if ((a, b) == ((105L, 107L))) assert(j >= 0.9, s"planted pair j=$j")
       else assert(j < 0.45, s"pair ($a,$b) unexpectedly similar: j=$j")
     }
-    (ids, toksOf, domSig)
+    (ids, toksOf, domSig, prefix)
   }
 
   test("giant MIXED bucket witness: the cap's one documented loss, constructed (VERDICT r13 #3)") {
@@ -626,7 +627,7 @@ class DedupSpec extends SparkSpec {
     // generated" — previously had no constructible witness. See
     // mixedBucketWitness above for the construction and its checked
     // validity; this test drives the SPARK side against it.
-    val (ids, toksOf, domSig) = mixedBucketWitness
+    val (ids, toksOf, domSig, _) = mixedBucketWitness
     val corpus = ids.map(j => (j, toksOf(j).mkString(" "))).toDF("doc_id", "text")
     // Spark agrees with the replica: one distinct signature across the
     // corpus, and it IS the dominator signature
@@ -677,14 +678,15 @@ class DedupSpec extends SparkSpec {
     // bands, now of ordinary size); (c) capped curation equals exact
     // curation — the cap's one loss class needs the seed, rotating it
     // restores exactness on the adversarial corpus itself.
-    val (ids, toksOf, domSig) = mixedBucketWitness
+    val (ids, toksOf, _, prefix) = mixedBucketWitness
     val corpus = ids.map(j => (j, toksOf(j).mkString(" "))).toDF("doc_id", "text")
     val rot = 20260815L // any seed ≠ the searched-against default 42
 
     // sanity: the replica agrees the dominator fails under `rot` —
     // some doc's rotated signature differs from the prefix-only one
-    val rotPrefixSig = witSignature(
-      witShingleSet(toksOf(100L).takeWhile(!_.startsWith("p"))), seed = rot)
+    // (prefix comes from the shared construction, not re-derived from
+    // a token-naming convention — review r15)
+    val rotPrefixSig = witSignature(witShingleSet(prefix), seed = rot)
     assert(ids.exists(id => witSignature(witShingleSet(toksOf(id)), seed = rot) != rotPrefixSig),
       "rotated seed: dominator unexpectedly survived in the replica")
 
