@@ -66,6 +66,28 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.r3c(0.0) === 0.0)
   }
 
+  test("single-cal printed readings are width-capped at the certified 99.999 (ADVICE r15)") {
+    // host_cal's frame slots allow 99.999, not 999.999 — pre/post now
+    // print through r3s so a pathological ≥100 s single-kernel reading
+    // saturates instead of eroding the certified budget arithmetic
+    assert(Bench.r3s(123.456) === 99.999)
+    assert(Bench.r3s(1.23456) === 1.235)
+    assert(Bench.r3s(0.0) === 0.0)
+  }
+
+  test("parallel host-cal pack: a dead worker thread fails loudly (ADVICE r15)") {
+    // join() returns normally after an uncaught throw, so without the
+    // completion check a dead worker would read as a FAST quiet host
+    // with a wrong hash — the failure must surface at the call site
+    val ex = intercept[IllegalStateException] {
+      Bench.runPack(2, () => throw new RuntimeException("boom"))
+    }
+    assert(ex.getMessage.contains("2 of 2 kernel threads died"))
+    assert(ex.getMessage.contains("boom"))
+    // green path through the same code: full pack completes, hash adds
+    assert(Bench.runPack(3, () => 7L)._2 === 21L)
+  }
+
   test("catalog names are printable in the bench line without escaping (ADVICE r14)") {
     // boundedNames and the queries map interpolate names into the one
     // JSON line the driver parses WITHOUT escaping — sound only while
@@ -107,12 +129,69 @@ class BenchGuardSpec extends AnyFunSuite {
       """{"med":999.99,"max":999.99,"hi":{"a":999.99}}""")
   }
 
+  test("rep1_infl: ratio needs multiple reps and a multi-second median (VERDICT r15 #1)") {
+    // rep-1 over lower-median, only where the median clears the frozen
+    // 1 s floor — below it, the structural codegen premium dominates
+    // and the ratio is rep_spread's territory, not transient signal
+    assert(Bench.rep1Ratio(Seq(12.4, 7.8, 6.8)) === Some(12.4 / 7.8))
+    // rep-1 can be the FASTEST rep — the ratio reports it honestly
+    assert(Bench.rep1Ratio(Seq(2.0, 3.0, 4.0)) === Some(2.0 / 3.0))
+    // sub-floor median: excluded
+    assert(Bench.rep1Ratio(Seq(2.5, 0.4, 0.3)) === None)
+    // single-shot / empty: no rep-1-vs-steady-state signal exists
+    assert(Bench.rep1Ratio(Seq(5.0)) === None)
+    assert(Bench.rep1Ratio(Nil) === None)
+    assert(Bench.Rep1InflFloorSec === 1.0,
+      "the floor is frozen: changing it re-bases every future rep1_infl reading")
+  }
+
+  test("rep1_infl: printed format, med/max over qualifying queries, width cap") {
+    // two qualifying queries (ml03-like, synth-like) + one sub-floor
+    val drives = Seq(Seq(12.0, 6.0, 6.0), Seq(9.0, 6.0, 6.0), Seq(2.2, 0.3, 0.3))
+    assert(Bench.rep1InflJson(drives) === """{"med":1.5,"max":2.0}""")
+    // no qualifying queries: a parseable quiet default
+    assert(Bench.rep1InflJson(Seq(Seq(0.5, 0.2), Nil)) === """{"med":1.0,"max":1.0}""")
+    // width-capped at 999.99 like rep_spread's ratios
+    assert(Bench.rep1InflJson(Seq(Seq(99999.0, 1.0, 1.0))) ===
+      """{"med":999.99,"max":999.99}""")
+  }
+
+  test("headline composition is pinned: rotations must update this list deliberately (VERDICT r15 #2)") {
+    // BENCH totals are only comparable round-over-round at equal
+    // composition (SCALE.md). The r15 rotation (dd02/tx08 out) was
+    // documented but nothing structural forced the NEXT one to be —
+    // this pin does: changing the headline set fails here until the
+    // expected list is updated, making every rotation diff-visible and
+    // forcing the SCALE.md comparability note.
+    val expected = Seq(
+      "dd01_exact_dedup", "dd04_minhash_lsh", "dd07_incremental",
+      "dd12_semantic_dedup", "dd14_minhash_curated",
+      "imdb_pipeline_demo", "imdb_pipeline_synth",
+      "ml03_gbt_eval", "ml05b_power_pca", "ml11_logreg", "ml20_depth2_tree",
+      "mm01_media_features",
+      "mx01_pack", "mx09_megapipeline",
+      "q01_pricing_summary", "q04_join_inner", "q22_window_rank",
+      "q30_sql_entry", "q38b_kmv_sketch", "q45b_dist_cdf",
+      "q62_sessionize", "q74_pagerank", "q83_key_skew",
+      "q91_bloom_filter", "q92_ewma",
+      "sim01_brute_topk", "sim03_ivf_topk", "sim05_text_search",
+      "sim07_ivfpq_topk", "sim09_rerank_topk",
+      "tx07_curate", "tx12_span_dedup", "tx15_bpe_apply",
+      "tx18_source_contamination", "tx20_cdc_chunks")
+    assert(Bench.headline.sorted === expected,
+      "headline set changed — update this pin AND note the composition change in SCALE.md")
+    assert(Bench.headline.size === Bench.headline.distinct.size,
+      "duplicate headline names would double-time a query")
+  }
+
   test("printed line budget holds with the rep_spread field at worst-case width") {
     // lineBudgetOk now derives its fixed overhead from a formatted
     // frame with pathological widths (ADVICE r13) — this keeps the
     // check itself exercised, so a headline addition that overflows
     // the driver's ~1500-char buffer fails HERE, not in the artifact
-    assert(Bench.lineBudgetOk)
+    assert(Bench.lineBudgetOk,
+      s"worst-case printed line is ${Bench.worstCaseLineLen} chars, budget is 1500 — " +
+        "rotate a redundant headline sibling out (r15 dd02/tx08, r16 mx05 precedents)")
   }
 
   test("memo_warn/failed name lists are bounded in the printed line") {
