@@ -488,11 +488,6 @@ object DedupQueries {
        |    / CAST((SELECT count(*) FROM exact) AS DOUBLE), 4) AS recall""".stripMargin
   }
 
-  /** Incremental MinHash dedup: docs ≥ 400 arrive against the < 400
-    * corpus (dd07's split, near-dup instead of exact). Banded
-    * candidates cross-side only, exact-Jaccard verification, drop on
-    * any verified corpus near-dup.
-    */
   /** The dd16 chain, shared VERBATIM by dd16 (exact candidates) and
     * dd16b (corpus bucket cap engaged) — the dd14b/dd14Chain precedent
     * applied to the CROSS-STORE gate: one body so "dd16b is dd16's
@@ -508,6 +503,11 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental MinHash dedup: docs ≥ 400 arrive against the < 400
+    * corpus (dd07's split, near-dup instead of exact). Banded
+    * candidates cross-side only, exact-Jaccard verification, drop on
+    * any verified corpus near-dup.
+    */
   private def dd16IncrementalMinhash(s: SparkSession, dir: String): DataFrame =
     dd16Chain(s, dir, Int.MaxValue)
 

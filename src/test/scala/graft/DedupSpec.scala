@@ -715,6 +715,37 @@ class DedupSpec extends SparkSpec {
     assert(exactKept === ids.toSet - 107L)
   }
 
+  test("dd16b shared-oracle premise tripwire: shipped shards' corpus band buckets never exceed the cap (ADVICE r15)") {
+    // dd16b_incr_capped reuses dd16's oracle SQL UNCHANGED on a
+    // measured data property: with corpusBucketCap = 8, the capped
+    // candidate set is byte-identical to the exact one precisely when
+    // no corpus-side (doc_id < 400) band bucket holds more than 8
+    // members — measured largest is 2 at sf0.01 (the driver's gate
+    // scale) and 1 at sf0.1 (the cross-scale closure). That premise
+    // silently depends on the testdata GENERATOR: a regenerated shard
+    // growing a giant corpus bucket would flip the driver's hash gate
+    // red (or mask a cap-induced recall change) with nothing
+    // attributing the failure. This pin makes the regeneration fail
+    // HERE with a named cause instead. Same banding parameters as
+    // DedupQueries.dd16Chain (defaults: n=3, bands=8, rowsPerBand=4,
+    // seed=42). Adjudication rule on trip: the cap's error is
+    // ONE-SIDED toward keeping (capped candidates ⊆ exact → fewer
+    // drops, never a wrong drop) — see FIXTURES.md's dd16b section
+    // before touching the code.
+    val cap = 8 // dd16bIncrCapped's corpusBucketCap
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val corpus = Tables.documents(spark, dir).filter($"doc_id" < 400)
+      val maxBucket = Dedup.bandedSignatureKeys(corpus, "doc_id", "text")
+        .groupBy($"band", $"band_key").count()
+        .agg(max($"count")).as[Long].collect().head
+      assert(maxBucket <= cap,
+        s"$dir: largest dd16 corpus-side band bucket has $maxBucket members, over " +
+          s"dd16b's cap of $cap — the shared-oracle premise is stale (testdata " +
+          "regeneration?); re-adjudicate via FIXTURES.md's one-sided recall rule " +
+          "before changing dd16b or its oracle")
+    }
+  }
+
   test("exact-first minHashCuratedCorpus ≡ uncollapsed on the adversarial corpus") {
     def keep(input: org.apache.spark.sql.DataFrame): Set[Long] =
       Dedup.minHashCuratedCorpus(input, "doc_id", "text",
