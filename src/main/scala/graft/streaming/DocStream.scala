@@ -100,12 +100,26 @@ object DocStream {
     * independently. Defaults to `starCapBucketSize` (the r14 coupling,
     * kept as the default because one knob is the right ergonomics when
     * both floods share a boilerplate family).
+    *
+    * `seed` (VERDICT r15 #3): the MinHash banding seed, threaded to
+    * BOTH dedup arms. The cap family's one approximation class — a
+    * giant MIXED band bucket — requires the adversary to know the
+    * banding seed (DedupSpec's rotated-seed counterproof: rotating it
+    * collapses the constructed dominator and restores capped = exact
+    * on the adversarial corpus itself), and this long-lived ingest
+    * loop is exactly the surface where an adversary gets repeated
+    * shots at a fixed seed. A production deployment should rotate it
+    * per corpus; the default stays 42L so existing stores and the
+    * batch catalog are untouched. Both arms MUST share one seed per
+    * store lifetime — the store holds raw text, so a rotation applies
+    * from the next cold start, not mid-stream (signatures are derived
+    * per batch, never persisted here).
     */
   def incrementalNearDupIngest(docs: DataFrame, corpusDir: String,
       outDir: String, checkpointDir: String, n: Int = 3, bands: Int = 8,
       rowsPerBand: Int = 4, threshold: Double = 0.5,
       starCapBucketSize: Int = Int.MaxValue,
-      corpusBucketCap: Option[Int] = None): StreamingQuery =
+      corpusBucketCap: Option[Int] = None, seed: Long = 42L): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -115,7 +129,7 @@ object DocStream {
         // within-batch canonical keep, then the cross-store gate
         val inBatchKept = b.join(
           Dedup.minHashCuratedCorpus(b, "doc_id", "text", n, bands, rowsPerBand,
-              threshold, starCapBucketSize = starCapBucketSize)
+              threshold, seed = seed, starCapBucketSize = starCapBucketSize)
             .select(col("doc_id")), "doc_id")
         val store = try spark.read.parquet(corpusDir).select(col("doc_id"), col("text"))
           catch { case _: org.apache.spark.sql.AnalysisException => null }
@@ -127,7 +141,7 @@ object DocStream {
             // its own knob since ADVICE r14, following the star cap
             // unless tuned apart
             Dedup.minHashDedupAgainstCorpus(inBatchKept, store, "doc_id", "text",
-              n, bands, rowsPerBand, threshold,
+              n, bands, rowsPerBand, threshold, seed = seed,
               corpusBucketCap = corpusBucketCap.getOrElse(starCapBucketSize)), "doc_id")
         kept.select(col("doc_id"), col("text"))
           .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")

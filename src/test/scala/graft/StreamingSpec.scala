@@ -417,11 +417,21 @@ class StreamingSpec extends SparkSpec {
     val seedW = (1 to 12).map(i => s"s$i")
     val bodyW = (1 to 12).map(i => s"flood$i")
     val novelW = (1 to 12).map(i => s"n$i")
+    // Near-dup fixtures append a token instead of mutating a middle
+    // word: a middle-word mutation on a 12-token doc lands at Jaccard
+    // ≈ 0.55, where LSH collision probability is ~0.5 PER SEED — the
+    // rotated-seed parity leg below would then hinge on which side of
+    // the coin a given seed lands (the default seed happened to
+    // collide; the first rotated seed tried didn't, on doc 400). A
+    // trailing-token variant (the flood's own session-id shape) sits
+    // at j ≈ 0.83–0.91 where collision is ~certain under ANY seed, so
+    // parity tests rotation, not banding luck at the knife's edge.
     val batch =
       (0 until 32).map(i => Doc(200L + i, ts(0), doc(bodyW) + s" sid$i", "web")) ++ Seq(
         Doc(300L, ts(0), doc(novelW), "web"),
-        Doc(301L, ts(0), doc(seedW.updated(4, "mutated")), "web")) // near-dup of the seed
-    def run(cap: Int, corpusCap: Option[Int] = None): (Set[Long], Set[Long]) = {
+        Doc(301L, ts(0), doc(seedW) + " trailer", "web")) // near-dup of the seed
+    def run(cap: Int, corpusCap: Option[Int] = None,
+        bandingSeed: Long = 42L): (Set[Long], Set[Long]) = {
       val base = java.nio.file.Files.createTempDirectory(s"graft_capflood_$cap").toString
       val (in, corpusDir, outDir, ckpt) =
         (s"$base/in", s"$base/corpus", s"$base/out", s"$base/ckpt")
@@ -430,14 +440,14 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
       val q = DocStream.incrementalNearDupIngest(
         DocStream.readDocs(spark, in), corpusDir, outDir, ckpt,
-        starCapBucketSize = cap, corpusBucketCap = corpusCap)
+        starCapBucketSize = cap, corpusBucketCap = corpusCap, seed = bandingSeed)
       batch.toDF().coalesce(1).write.mode("append").parquet(in)
       q.processAllAvailable()
       // batch 2 drives the CAPPED STORE JOIN (corpusBucketCap threads
       // off the same knob): a near-dup of the batch-1 flood must be
       // dropped against the store's surviving canonical, and a second
       // novel doc must pass
-      Seq(Doc(400L, ts(1), doc(bodyW.updated(5, "mutated")), "api"),
+      Seq(Doc(400L, ts(1), doc(bodyW) + " sid99", "api"),
           Doc(401L, ts(1), doc((1 to 12).map(i => s"z$i")), "api"))
         .toDF().coalesce(1).write.mode("append").parquet(in)
       q.processAllAvailable()
@@ -459,6 +469,17 @@ class StreamingSpec extends SparkSpec {
     // buckets verify through their minima)
     val (splitKept, splitStore) = run(8, corpusCap = Some(2))
     assert(splitKept === exactKept && splitStore === exactStore)
+    // rotated banding seed on the ingest surface (VERDICT r15 #3): the
+    // rotate-per-corpus defense DedupSpec proved against the giant-
+    // MIXED-bucket class is deployable HERE — the long-lived loop
+    // where an adversary gets repeated shots at a fixed seed. On
+    // clean data a rotation must be invisible: banding only shapes
+    // which candidates are GENERATED, exact-Jaccard verification
+    // decides keeps, so kept/store parity with the default-seed run
+    // pins that the seed threads through both arms without changing
+    // clean-data semantics.
+    val (rotKept, rotStore) = run(8, corpusCap = Some(2), bandingSeed = 0xC0FFEE42L)
+    assert(rotKept === exactKept && rotStore === exactStore)
   }
 
   test("batch shape of the streaming agg matches q21 on static data") {
