@@ -91,6 +91,12 @@ object Bench {
     // can stretch the parallel kernel past 100 s, and threads is
     // caller-controlled (3 digits allowed).
     val frame = s"""{"metric":"total","value":99999.999,"unit":"sec","warmup":"v6-median3","host_cal":{"pre":99.999,"post":99.999},"host_cal_par":{"pre":999.999,"post":999.999,"threads":999},"rep_spread":${repSpreadJson(worstHi)},"rep1_infl":{"med":999.99,"max":999.99},"n_failed":0,"failed":[],"memo_warn":$worstMemo,"queries":{},"sf":"${"x" * 40}"}"""
+    // per-headline allowance: `"name":9999.999,` = name + 4 chars of
+    // JSON punctuation + an 8-char value slot — TRUE by construction,
+    // not assumption, because per-query readings print through the
+    // width-capped r3q (review r16: they printed uncapped r3, so a
+    // pathological 5-digit-seconds query would have made the real line
+    // 1 char/query longer than this certified worst case)
     frame.length + headline.map(_.length + 12).sum
   }
 
@@ -149,11 +155,8 @@ object Bench {
     * driver never ships).
     */
   private[graft] def repSpreadJson(ratios: Seq[(String, Double)]): String = {
-    // printed ratios capped at 999.99: beyond three digits the value
-    // carries no extra adjudication signal, and an uncapped ratio (a
-    // 10 s rep over a just-above-floor median prints 7+ chars) would
-    // erode the line-budget arithmetic the guard below certifies
-    def r2(v: Double): Double = math.min(math.round(v * 100.0) / 100.0, 999.99)
+    // printed ratios capped at 999.99 via the shared r2 (defined with
+    // the other width caps next to r3c/r3s)
     val rs = ratios.map(_._2).sorted
     val med = if (rs.isEmpty) 1.0 else rs((rs.size - 1) / 2)
     val mx = if (rs.isEmpty) 1.0 else rs.last
@@ -199,10 +202,8 @@ object Bench {
     if (med < Rep1InflFloorSec) None else Some(reps.head / med)
   }
   private[graft] def rep1InflJson(repsByQuery: Seq[Seq[Double]]): String = {
-    // same 999.99 width cap as repSpreadJson — the certified frame
-    // allows two 6-char values, and an absurd ratio carries no extra
-    // adjudication signal beyond "pathological"
-    def r2(v: Double): Double = math.min(math.round(v * 100.0) / 100.0, 999.99)
+    // same shared 999.99 width cap (r2) as repSpreadJson — the
+    // certified frame allows two 6-char values here
     val rs = repsByQuery.flatMap(rep1Ratio).sorted
     val med = if (rs.isEmpty) 1.0 else rs((rs.size - 1) / 2)
     val mx = if (rs.isEmpty) 1.0 else rs.last
@@ -253,6 +254,22 @@ object Bench {
   // parallel slots were capped — a pathological ≥100 s single-kernel
   // reading would erode the certified line-budget arithmetic).
   private[graft] def r3s(v: Double): Double = math.min(r3(v), 99.999)
+  // The shared 2-decimal ratio width cap for rep_spread and rep1_infl
+  // (review r16: each defined a local copy — a retune of one would
+  // silently print the two fields at different certified widths).
+  // Ratios beyond 999.99 carry no adjudication signal past
+  // "pathological", and an uncapped one (a 10 s rep over a
+  // just-above-floor median prints 7+ chars) would erode the
+  // line-budget arithmetic the guard certifies.
+  private[graft] def r2(v: Double): Double = math.min(math.round(v * 100.0) / 100.0, 999.99)
+  // Per-headline-query printed seconds (review r16): the line-budget
+  // allowance certifies an 8-char value slot per query, so the printed
+  // reading saturates at 9999.999 — a single query holding a ~3-minute
+  // bench for 2.8+ hours carries no signal past "pathological", and an
+  // uncapped 5-digit reading would make the real line 1 char/query
+  // longer than the certified worst case. bench_detail's per-query
+  // "seconds" stays uncapped r3 — the drill-down keeps the true value.
+  private[graft] def r3q(v: Double): Double = math.min(r3(v), 9999.999)
 
   /** Host-calibration kernel (VERDICT r12 #1): a fixed, pure-JVM,
     * single-threaded splitmix64 loop — no Spark, no allocation, no
@@ -554,7 +571,7 @@ object Bench {
     val memoWarn = results.collect { case (k, o) if o.ok && memoDrift(k, o.reps, declaredMemos) => k }
     val total = r3(results.map(_._2.seconds).sum)
     val hs = results.filter { case (k, _) => headline.contains(k) }
-    val qs = hs.map { case (k, o) => s"\"" + k + "\":" + r3(o.seconds) }
+    val qs = hs.map { case (k, o) => s"\"" + k + "\":" + r3q(o.seconds) }
       .mkString("{", ",", "}")
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => " "

@@ -534,8 +534,14 @@ object DedupQueries {
     * working as designed (never a wrong drop) — re-adjudicate against
     * DedupSpec's one-sided pins before touching the code.
     */
+  /** dd16b's corpus bucket cap — shared with DedupSpec's shard-premise
+    * tripwire so a retune here (FIXTURES.md §4's re-adjudication
+    * branch) cannot desync from the bound the tripwire asserts.
+    */
+  private[graft] val Dd16bCorpusCap = 8
+
   private def dd16bIncrCapped(s: SparkSession, dir: String): DataFrame =
-    dd16Chain(s, dir, corpusCap = 8)
+    dd16Chain(s, dir, corpusCap = Dd16bCorpusCap)
 
   private val dd16Sql: String = {
     val bands = 8; val rowsPerBand = 4

@@ -73,6 +73,16 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.r3s(123.456) === 99.999)
     assert(Bench.r3s(1.23456) === 1.235)
     assert(Bench.r3s(0.0) === 0.0)
+    // the shared 2-decimal ratio cap for rep_spread AND rep1_infl
+    // (review r16: was two identical local copies — a retune of one
+    // would have printed the two fields at different certified widths)
+    assert(Bench.r2(12345.678) === 999.99)
+    assert(Bench.r2(1.234) === 1.23)
+    // per-query printed seconds saturate at the certified 8-char slot
+    // (review r16: uncapped r3 could print 9+ chars and erode the
+    // line-budget arithmetic by 1 char per pathological query)
+    assert(Bench.r3q(123456.789) === 9999.999)
+    assert(Bench.r3q(5.1784) === 5.178)
   }
 
   test("parallel host-cal pack: a dead worker thread fails loudly (ADVICE r15)") {

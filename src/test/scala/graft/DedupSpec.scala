@@ -732,8 +732,8 @@ class DedupSpec extends SparkSpec {
     // ONE-SIDED toward keeping (capped candidates ⊆ exact → fewer
     // drops, never a wrong drop) — see FIXTURES.md's dd16b section
     // before touching the code.
-    val cap = 8 // dd16bIncrCapped's corpusBucketCap
-    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+    val cap = queries.DedupQueries.Dd16bCorpusCap // one constant, no desync on retune
+    for (dir <- Seq(Sf001, Sf01)) {
       val corpus = Tables.documents(spark, dir).filter($"doc_id" < 400)
       val maxBucket = Dedup.bandedSignatureKeys(corpus, "doc_id", "text")
         .groupBy($"band", $"band_key").count()
