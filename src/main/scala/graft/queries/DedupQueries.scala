@@ -359,8 +359,14 @@ object DedupQueries {
     * against DedupSpec's equality and one-sided pins before touching
     * the code.
     */
+  /** dd14b's star cap — shared with DedupSpec's shard-premise tripwire
+    * (the Dd16bCorpusCap pattern) so a retune here cannot desync from
+    * the bound the tripwire asserts on the shipped shards.
+    */
+  private[graft] val Dd14bStarCap = 64
+
   private def dd14bMinhashStar(s: SparkSession, dir: String): DataFrame =
-    dd14Chain(s, dir, starCap = 64)
+    dd14Chain(s, dir, starCap = Dd14bStarCap)
 
   private val dd14Sql: String = {
     val bands = 8; val rowsPerBand = 4

@@ -738,11 +738,46 @@ class DedupSpec extends SparkSpec {
       val maxBucket = Dedup.bandedSignatureKeys(corpus, "doc_id", "text")
         .groupBy($"band", $"band_key").count()
         .agg(max($"count")).as[Long].collect().head
+      info(s"$dir: largest corpus-side band bucket = $maxBucket (cap $cap)")
       assert(maxBucket <= cap,
         s"$dir: largest dd16 corpus-side band bucket has $maxBucket members, over " +
           s"dd16b's cap of $cap — the shared-oracle premise is stale (testdata " +
           "regeneration?); re-adjudicate via FIXTURES.md's one-sided recall rule " +
           "before changing dd16b or its oracle")
+    }
+  }
+
+  test("dd14b shared-oracle premise tripwire: shipped shards' collapsed band buckets never exceed the star cap") {
+    // The dd16b tripwire's symmetric twin for the WITHIN-corpus cap:
+    // dd14b_minhash_star reuses dd14's oracle SQL UNCHANGED because
+    // with starCapBucketSize = 64, the capped candidate set equals the
+    // exact one when no band bucket of the COLLAPSED corpus (dd14Chain
+    // runs collapseIdenticalTexts first, so byte-identical families
+    // are one member) holds more than 64 docs — the shipped shards'
+    // largest is single digits. A testdata regeneration growing a
+    // giant bucket would flip the driver's hash gate with nothing
+    // attributing the failure; this pin names the cause. Same chain
+    // parameters as DedupQueries.dd14Chain (collapse minTokens=3;
+    // banding defaults n=3, bands=8, rowsPerBand=4, seed=42).
+    // Adjudication on trip mirrors dd16b's FIXTURES.md rule, with
+    // dd14's own extra margin: even an over-cap bucket keeps set
+    // equality when its members are genuine near-dups (every star
+    // edge verifies; the blast pin at K=4000) — only the adversarial
+    // giant-MIXED class (requires the banding seed) diverges, and
+    // one-sidedly toward keeping.
+    val cap = queries.DedupQueries.Dd14bStarCap // one constant, no desync on retune
+    for (dir <- Seq(Sf001, Sf01)) {
+      val collapsed = Dedup.collapseIdenticalTexts(
+        Tables.documents(spark, dir), "doc_id", "text", minTokens = 3)
+      val maxBucket = Dedup.bandedSignatureKeys(collapsed, "doc_id", "text")
+        .groupBy($"band", $"band_key").count()
+        .agg(max($"count")).as[Long].collect().head
+      info(s"$dir: largest collapsed band bucket = $maxBucket (cap $cap)")
+      assert(maxBucket <= cap,
+        s"$dir: largest collapsed band bucket has $maxBucket members, over dd14b's " +
+          s"star cap of $cap — the shared-oracle premise is stale (testdata " +
+          "regeneration?); re-adjudicate via FIXTURES.md's one-sided recall rule " +
+          "before changing dd14b or its oracle")
     }
   }
 
