@@ -113,7 +113,10 @@ object DocStream {
     * batch catalog are untouched. Both arms MUST share one seed per
     * store lifetime — the store holds raw text, so a rotation applies
     * from the next cold start, not mid-stream (signatures are derived
-    * per batch, never persisted here).
+    * per batch, never persisted here). That lifetime rule is ENFORCED,
+    * not just documented: see [[checkOrWriteSeedMarker]] — the store
+    * carries a `_seed.json` marker and a warm open under a different
+    * seed fails the query with an attributed message.
     */
   def incrementalNearDupIngest(docs: DataFrame, corpusDir: String,
       outDir: String, checkpointDir: String, n: Int = 3, bands: Int = 8,
@@ -125,6 +128,7 @@ object DocStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.dedup.Dedup
         val spark = batch.sparkSession
+        checkOrWriteSeedMarker(spark, corpusDir, seed)
         val b = batch.select(col("doc_id"), col("text"), col("source")).localCheckpoint()
         // within-batch canonical keep, then the cross-store gate
         val inBatchKept = b.join(
@@ -149,4 +153,63 @@ object DocStream {
         ()
       }
       .start()
+
+  /** Where the store's banding-seed marker lives. The leading
+    * underscore keeps it invisible to `spark.read.parquet(corpusDir)`
+    * (same convention as `_SUCCESS`), so the store stays readable by
+    * batch consumers with the marker in place.
+    */
+  def seedMarkerPath(corpusDir: String): String =
+    s"$corpusDir/_seed.json"
+
+  /** The one-seed-per-store-lifetime contract, made MECHANICAL
+    * (VERDICT r16 #1 — previously scaladoc prose only): the first
+    * micro-batch against a store persists the banding seed as
+    * `<corpusDir>/_seed.json`; every subsequent batch (including
+    * after a stream restart) re-reads it and FAILS LOUDLY on a
+    * mismatch. Without this, rotating the seed against a WARM store
+    * silently changes which near-dups are admitted — kept/store
+    * semantics drift with rc=0, the worst failure shape for the
+    * engine's only long-lived mutable state.
+    *
+    * A store seeded by hand (`batch=seed/` placed before the first
+    * stream start) holds raw text with no banding applied yet, so the
+    * first stream's seed rightfully becomes the store's lifetime seed
+    * — first open ADOPTS, it never guesses. Rotation therefore means:
+    * new corpusDir (cold start), exactly as the deployment contract
+    * above pins.
+    *
+    * Hadoop FileSystem, not java.nio: at scale the store lives on
+    * HDFS/S3 and the marker must travel with it. The check is one
+    * tiny-file read per micro-batch — noise next to the band join.
+    */
+  private[streaming] def checkOrWriteSeedMarker(spark: SparkSession,
+      corpusDir: String, seed: Long): Unit = {
+    val path = new org.apache.hadoop.fs.Path(seedMarkerPath(corpusDir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      val txt = try {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        try src.mkString finally src.close()
+      } finally in.close()
+      val stored = """"seed"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(
+          s"[graft.streaming near-dup store] unparseable seed marker at " +
+          s"${seedMarkerPath(corpusDir)}: $txt"))
+      if (stored != seed) throw new IllegalStateException(
+        s"[graft.streaming near-dup store] banding-seed mismatch: the store at " +
+        s"$corpusDir was created under MinHash banding seed $stored but this " +
+        s"stream was started with seed $seed. Rotating the seed against a warm " +
+        s"store silently changes kept/store semantics (one seed per store " +
+        s"lifetime). Either restart with seed=$stored, or rotate from a cold " +
+        s"start into a fresh corpusDir.")
+    } else {
+      // overwrite=false: if two writers race to create the same store,
+      // the loser fails here instead of silently clobbering the marker
+      val out = fs.create(path, false)
+      try out.write(s"""{"seed": $seed}""".getBytes("UTF-8")) finally out.close()
+    }
+  }
 }

@@ -19,8 +19,8 @@ trait SparkSpec extends AnyFunSuite {
   val Sf0001 = "/root/testdata/sf0.001"
   // The larger driver-gate shards: sf0.01 is the correctness-gate
   // scale, sf0.1 the bench/cross-scale-closure scale (TESTDATA.md).
-  // Most specs stay on Sf0001; only shard-premise tripwires (dd16b)
-  // read these.
+  // Most specs stay on Sf0001; only the shard-premise tripwires read
+  // these (no key list here — it went stale once already, ADVICE r16).
   val Sf001 = "/root/testdata/sf0.01"
   val Sf01 = "/root/testdata/sf0.1"
 }

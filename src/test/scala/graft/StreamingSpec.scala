@@ -482,6 +482,68 @@ class StreamingSpec extends SparkSpec {
     assert(rotKept === exactKept && rotStore === exactStore)
   }
 
+  test("warm-store seed rotation fails loudly; same-seed restart and first-open adopt are green (VERDICT r16 #1)") {
+    // The one-seed-per-store-lifetime contract as a MECHANISM: first
+    // open of a store persists `_seed.json`; a restart under a
+    // different banding seed must kill the query with an attributed
+    // message instead of silently changing kept/store semantics with
+    // rc=0. Three legs: (a) first open ADOPTS — a hand-seeded store
+    // (raw text, no banding applied yet) takes the first stream's
+    // seed and writes the marker; (b) same-seed restart is green and
+    // the marker is untouched; (c) rotated-seed restart is the red
+    // path.
+    import graft.streaming.DocStream
+    import graft.streaming.DocStream.Doc
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val base = java.nio.file.Files.createTempDirectory("graft_seedmark_").toString
+    val (in, corpusDir, outDir, ckpt) =
+      (s"$base/in", s"$base/corpus", s"$base/out", s"$base/ckpt")
+    Seq((0L, doc((1 to 12).map(i => s"s$i")))).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$corpusDir/batch=seed")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def markerText() = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(DocStream.seedMarkerPath(corpusDir))), "UTF-8")
+
+    // (a) first open under seed 7 adopts: marker appears with 7
+    val q1 = DocStream.incrementalNearDupIngest(
+      DocStream.readDocs(spark, in), corpusDir, outDir, ckpt, seed = 7L)
+    Seq(Doc(10L, ts(0), doc((1 to 12).map(i => s"a$i")), "web"))
+      .toDF().coalesce(1).write.mode("append").parquet(in)
+    q1.processAllAvailable(); q1.stop()
+    assert(markerText().contains("\"seed\": 7"), markerText())
+
+    // (b) warm restart with the SAME seed: green, marker unchanged
+    val q2 = DocStream.incrementalNearDupIngest(
+      DocStream.readDocs(spark, in), corpusDir, outDir, ckpt, seed = 7L)
+    Seq(Doc(11L, ts(1), doc((1 to 12).map(i => s"b$i")), "web"))
+      .toDF().coalesce(1).write.mode("append").parquet(in)
+    q2.processAllAvailable(); q2.stop()
+    assert(markerText().contains("\"seed\": 7"))
+    assert(spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+      === Set(10L, 11L))
+
+    // (c) warm restart under a ROTATED seed: the query must die with
+    // the attributed message, before any store or output write
+    val q3 = DocStream.incrementalNearDupIngest(
+      DocStream.readDocs(spark, in), corpusDir, outDir, ckpt, seed = 9L)
+    Seq(Doc(12L, ts(2), doc((1 to 12).map(i => s"c$i")), "web"))
+      .toDF().coalesce(1).write.mode("append").parquet(in)
+    val e = intercept[Exception] { q3.processAllAvailable() }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("banding-seed mismatch") &&
+      chain.contains("seed 7") && chain.contains("seed 9"), chain)
+    // the rejected batch wrote nothing: store and out hold only the
+    // seed-era survivors, and the marker still says 7
+    assert(markerText().contains("\"seed\": 7"))
+    assert(spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+      === Set(10L, 11L))
+    assert(spark.read.parquet(corpusDir).select($"doc_id").as[Long].collect().toSet
+      === Set(0L, 10L, 11L))
+    SparkSpec.deleteRecursively(base)
+  }
+
   test("batch shape of the streaming agg matches q21 on static data") {
     // the same windowed aggregation expressed on the static events
     // table (streaming/batch unification): hour windows over sf0.001
