@@ -223,4 +223,57 @@ class BenchGuardSpec extends AnyFunSuite {
     // single-shot (non-headline) entries never trip
     assert(!Bench.memoDrift("q35_json_extract", Seq(1.2)))
   }
+
+  test("BANDS.json parses and its calibration bands are ordered and sane (VERDICT r16 #2)") {
+    // The adjudication bands moved from four rounds of SCALE.md prose
+    // into one machine-readable artifact; this smoke keeps that file
+    // loadable and internally consistent so a future band update (they
+    // EVOLVE — the r16 host-profile shift revised them mid-round)
+    // cannot ship a malformed or inverted band. Consistency only, not
+    // policy: the bands' VALUES are maintained by hand per drive.
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val src = scala.io.Source.fromFile("BANDS.json", "UTF-8")
+    val root = try JsonMethods.parse(src.mkString) finally src.close()
+    def lohi(v: JValue, what: String): (Double, Double) = v match {
+      case JArray(List(a, b)) =>
+        val (lo, hi) = (a.values.toString.toDouble, b.values.toString.toDouble)
+        assert(lo > 0 && lo < hi, s"$what band [$lo, $hi] must be 0 < lo < hi")
+        (lo, hi)
+      case other => fail(s"$what must be a 2-element array, got $other")
+    }
+    val profiles = (root \ "profiles").asInstanceOf[JObject].obj
+    assert(profiles.nonEmpty)
+    val profileNames = profiles.map(_._1).toSet
+    for ((name, p) <- profiles) {
+      lohi(p \ "host_cal_s", s"profile $name host_cal")
+      lohi(p \ "quiet_cluster_total_s", s"profile $name quiet cluster")
+      val JInt(n) = p \ "n_host_cal_readings"
+      assert(n > 0, s"profile $name n_host_cal_readings")
+    }
+    val x = root \ "cross_profile"
+    lohi(x \ "par_ratio_quiet_core", "par_ratio_quiet_core")
+    lohi(x \ "rep_spread_quiet_med", "rep_spread_quiet_med")
+    val (r1lo, r1hi) = lohi(x \ "rep1_infl_quiet_med", "rep1_infl_quiet_med")
+    lohi(x \ "rep1_infl_quiet_max", "rep1_infl_quiet_max")
+    // rep-1 inflation below 1 would mean rep-1 ran FASTER than the
+    // lower-median — a sign of a transcription error, not a band
+    assert(r1lo >= 1.0 && r1hi < 10, s"rep1_infl med band [$r1lo, $r1hi]")
+    // the floor is the comparability contract with the Bench constant
+    val JDouble(floor) = root \ "rep1_infl_floor_sec"
+    assert(floor == Bench.Rep1InflFloorSec,
+      "BANDS.json floor must track Bench.Rep1InflFloorSec (changing it re-bases every reading)")
+    // readings: every row names a known profile, a round, and a
+    // positive total; recorded kernel pairs are positive
+    val JArray(readings) = root \ "readings"
+    assert(readings.nonEmpty)
+    for (r <- readings) {
+      val JString(prof) = r \ "profile"
+      assert(profileNames.contains(prof), s"reading references unknown profile $prof")
+      val JString(round) = r \ "round"
+      assert(round.matches("r\\d+"), round)
+      val total = (r \ "total_s").values.toString.toDouble
+      assert(total > 0 && total < 10000, s"$round total $total")
+    }
+  }
 }
