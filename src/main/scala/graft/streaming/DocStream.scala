@@ -175,17 +175,34 @@ object DocStream {
     * A store seeded by hand (`batch=seed/` placed before the first
     * stream start) holds raw text with no banding applied yet, so the
     * first stream's seed rightfully becomes the store's lifetime seed
-    * — first open ADOPTS, it never guesses. Rotation therefore means:
-    * new corpusDir (cold start), exactly as the deployment contract
-    * above pins.
+    * — first open ADOPTS. Adoption is refused, though, for a
+    * marker-less store that already has NUMBERED batch directories: a
+    * warm store built by pre-marker code was accumulated under some
+    * historical seed this code cannot know, and silently blessing the
+    * restarting stream's seed would be exactly the drift the marker
+    * exists to prevent. Upgrading such a store is one explicit
+    * operator action: write `{"seed": <historical>}` to `_seed.json`.
+    * Rotation therefore means: new corpusDir (cold start).
     *
     * Hadoop FileSystem, not java.nio: at scale the store lives on
     * HDFS/S3 and the marker must travel with it. The check is one
     * tiny-file read per micro-batch — noise next to the band join.
+    *
+    * Durability/race posture: the marker is written to a temp name
+    * and renamed into place, so a driver crash mid-write cannot leave
+    * a truncated `_seed.json` that wedges the store, and on
+    * filesystems with atomic rename (HDFS, local) a two-writer
+    * creation race resolves to one winner — the loser's rename fails,
+    * it deletes its temp and re-enters the compare path, getting the
+    * attributed mismatch message rather than a raw filesystem error.
+    * On object stores without atomic rename (S3) the race guard is
+    * best-effort only; the per-batch re-read bounds any damage to a
+    * single micro-batch before the mismatch is caught.
     */
   private[streaming] def checkOrWriteSeedMarker(spark: SparkSession,
       corpusDir: String, seed: Long): Unit = {
-    val path = new org.apache.hadoop.fs.Path(seedMarkerPath(corpusDir))
+    import org.apache.hadoop.fs.Path
+    val path = new Path(seedMarkerPath(corpusDir))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) {
       val in = fs.open(path)
@@ -197,7 +214,10 @@ object DocStream {
         .map(_.group(1).toLong)
         .getOrElse(throw new IllegalStateException(
           s"[graft.streaming near-dup store] unparseable seed marker at " +
-          s"${seedMarkerPath(corpusDir)}: $txt"))
+          s"${seedMarkerPath(corpusDir)}: '$txt'. If a crash corrupted it, " +
+          s"restore it by hand with the store's known lifetime seed " +
+          s"""(echo '{"seed": <lifetime seed>}') — do NOT guess: a wrong """ +
+          s"value silently changes kept/store semantics."))
       if (stored != seed) throw new IllegalStateException(
         s"[graft.streaming near-dup store] banding-seed mismatch: the store at " +
         s"$corpusDir was created under MinHash banding seed $stored but this " +
@@ -206,10 +226,33 @@ object DocStream {
         s"lifetime). Either restart with seed=$stored, or rotate from a cold " +
         s"start into a fresh corpusDir.")
     } else {
-      // overwrite=false: if two writers race to create the same store,
-      // the loser fails here instead of silently clobbering the marker
-      val out = fs.create(path, false)
+      // no marker: adopt only if this store has no numbered batch
+      // output yet (fresh, or hand-seeded raw text under batch=seed/).
+      // A marker-less store WITH numbered batches predates the marker
+      // mechanism and its historical seed is unknowable here.
+      val corpusPath = new Path(corpusDir)
+      val legacyBatches =
+        if (!fs.exists(corpusPath)) Array.empty[String]
+        else fs.listStatus(corpusPath).map(_.getPath.getName)
+          .filter(n => n.startsWith("batch=") && n != "batch=seed")
+      if (legacyBatches.nonEmpty) throw new IllegalStateException(
+        s"[graft.streaming near-dup store] the store at $corpusDir has " +
+        s"${legacyBatches.length} numbered batch director" +
+        s"${if (legacyBatches.length == 1) "y" else "ies"} but no _seed.json " +
+        s"marker — it was accumulated by pre-marker code under a seed this " +
+        s"stream cannot verify. Refusing to adopt seed $seed blindly: write " +
+        s"""the store's historical seed to ${seedMarkerPath(corpusDir)} """ +
+        s"""(format {"seed": <value>}) and restart.""")
+      // temp-and-rename: never expose a partially-written marker
+      val tmp = new Path(s"${seedMarkerPath(corpusDir)}.tmp")
+      val out = fs.create(tmp, true)
       try out.write(s"""{"seed": $seed}""".getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, path)) {
+        // lost a creation race: a marker appeared since the exists()
+        // check — drop the temp and adjudicate against the winner's
+        fs.delete(tmp, false)
+        checkOrWriteSeedMarker(spark, corpusDir, seed)
+      }
     }
   }
 }

@@ -263,10 +263,28 @@ class BenchGuardSpec extends AnyFunSuite {
     val JDouble(floor) = root \ "rep1_infl_floor_sec"
     assert(floor == Bench.Rep1InflFloorSec,
       "BANDS.json floor must track Bench.Rep1InflFloorSec (changing it re-bases every reading)")
-    // readings: every row names a known profile, a round, and a
-    // positive total; recorded kernel pairs are positive
+    // readings: every row names a known profile, a round, a positive
+    // total, and carries the full uniform key set (null = unrecorded);
+    // recorded pair elements are positive and sane
     val JArray(readings) = root \ "readings"
     assert(readings.nonEmpty)
+    def pairVals(v: JValue): Seq[Double] = v match {
+      case JArray(xs) => xs.collect { case x if x != JNull =>
+        x.values.toString.toDouble }
+      case JNull | JNothing => Seq.empty
+      case other => fail(s"pair field must be a 2-array or null, got $other")
+    }
+    // band-coverage (the review catch this test originally missed):
+    // a QUIET reading must sit inside its own profile's kernel band
+    // and — for catalog-215 rows, the only ones the per-profile quiet
+    // clusters describe — inside the profile's quiet-cluster range.
+    // This makes "bands ... update to cover them" (the file's own
+    // maintenance contract) mechanically checked instead of advertised.
+    val profBands = profiles.map { case (name, p) =>
+      name -> (lohi(p \ "host_cal_s", s"$name cal"),
+               lohi(p \ "quiet_cluster_total_s", s"$name cluster")) }.toMap
+    val uniformKeys = Seq("host_cal", "par_kernel_s", "par_ratio",
+      "rep_spread", "rep1_infl")
     for (r <- readings) {
       val JString(prof) = r \ "profile"
       assert(profileNames.contains(prof), s"reading references unknown profile $prof")
@@ -274,6 +292,20 @@ class BenchGuardSpec extends AnyFunSuite {
       assert(round.matches("r\\d+"), round)
       val total = (r \ "total_s").values.toString.toDouble
       assert(total > 0 && total < 10000, s"$round total $total")
+      for (k <- uniformKeys) {
+        assert((r \ k) != JNothing, s"$round/$prof reading missing key $k")
+        pairVals(r \ k).foreach(v =>
+          assert(v > 0 && v < 1000, s"$round $k value $v out of sane range"))
+      }
+      val JString(verdict) = r \ "verdict"
+      if (verdict.startsWith("quiet")) {
+        val ((calLo, calHi), (cluLo, cluHi)) = profBands(prof)
+        pairVals(r \ "host_cal").foreach(v => assert(v >= calLo && v <= calHi,
+          s"$round quiet reading host_cal $v outside profile $prof band [$calLo, $calHi]"))
+        val JInt(cat) = r \ "catalog"
+        if (cat == 215) assert(total >= cluLo && total <= cluHi,
+          s"$round quiet catalog-215 total $total outside profile $prof quiet cluster [$cluLo, $cluHi]")
+      }
     }
   }
 }

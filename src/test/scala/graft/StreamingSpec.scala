@@ -541,7 +541,32 @@ class StreamingSpec extends SparkSpec {
       === Set(10L, 11L))
     assert(spark.read.parquet(corpusDir).select($"doc_id").as[Long].collect().toSet
       === Set(0L, 10L, 11L))
+
+    // (d) legacy red path: a marker-less store with NUMBERED batch
+    // output was accumulated by pre-marker code under an unknowable
+    // seed — first open must REFUSE to adopt (silently blessing the
+    // restarting stream's seed is the exact drift the marker
+    // prevents) and name the manual-upgrade action
+    val base2 = java.nio.file.Files.createTempDirectory("graft_seedmark_legacy_").toString
+    val (in2, corpus2, out2, ckpt2) =
+      (s"$base2/in", s"$base2/corpus", s"$base2/out", s"$base2/ckpt")
+    Seq((0L, doc((1 to 12).map(i => s"s$i")))).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$corpus2/batch=0")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in2))
+    val q4 = DocStream.incrementalNearDupIngest(
+      DocStream.readDocs(spark, in2), corpus2, out2, ckpt2, seed = 7L)
+    Seq(Doc(13L, ts(0), doc((1 to 12).map(i => s"d$i")), "web"))
+      .toDF().coalesce(1).write.mode("append").parquet(in2)
+    val e2 = intercept[Exception] { q4.processAllAvailable() }
+    val chain2 = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain2.contains("no _seed.json") &&
+      chain2.contains("Refusing to adopt seed 7"), chain2)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(DocStream.seedMarkerPath(corpus2))))
     SparkSpec.deleteRecursively(base)
+    SparkSpec.deleteRecursively(base2)
   }
 
   test("batch shape of the streaming agg matches q21 on static data") {
