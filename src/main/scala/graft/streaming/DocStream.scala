@@ -248,10 +248,18 @@ object DocStream {
       val out = fs.create(tmp, true)
       try out.write(s"""{"seed": $seed}""".getBytes("UTF-8")) finally out.close()
       if (!fs.rename(tmp, path)) {
-        // lost a creation race: a marker appeared since the exists()
-        // check — drop the temp and adjudicate against the winner's
+        // rename refused: either we lost a creation race (a marker
+        // appeared since the exists() check — adjudicate against the
+        // winner's) or the filesystem failed the rename outright. The
+        // exists() distinction bounds this to ONE re-entry: recursing
+        // on a persistently-failing rename would never terminate.
         fs.delete(tmp, false)
-        checkOrWriteSeedMarker(spark, corpusDir, seed)
+        if (fs.exists(path)) checkOrWriteSeedMarker(spark, corpusDir, seed)
+        else throw new IllegalStateException(
+          s"[graft.streaming near-dup store] could not persist the seed " +
+          s"marker: rename of $tmp to $path failed and no marker exists — " +
+          s"filesystem fault, not a seed conflict. Fix the store path and " +
+          s"restart; the batch wrote nothing.")
       }
     }
   }
