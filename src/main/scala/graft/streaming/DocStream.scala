@@ -188,29 +188,64 @@ object DocStream {
     * HDFS/S3 and the marker must travel with it. The check is one
     * tiny-file read per micro-batch — noise next to the band join.
     *
-    * Durability/race posture: the marker is written to a temp name
-    * and renamed into place, so a driver crash mid-write cannot leave
-    * a truncated `_seed.json` that wedges the store, and on
-    * filesystems with atomic rename (HDFS, local) a two-writer
-    * creation race resolves to one winner — the loser's rename fails,
-    * it deletes its temp and re-enters the compare path, getting the
-    * attributed mismatch message rather than a raw filesystem error.
-    * On object stores without atomic rename (S3) the race guard is
-    * best-effort only; the per-batch re-read bounds any damage to a
-    * single micro-batch before the mismatch is caught.
+    * Durability/race posture (ADVICE r17): the claim-the-marker step
+    * is EXCLUSIVE CREATION (`fs.create(path, overwrite = false)`), not
+    * temp-and-rename. Rename-over-existing semantics are FS- and
+    * version-dependent — POSIX rename(2) silently overwrites, while
+    * this build's Hadoop ChecksumFileSystem refuses (measured in
+    * StreamingSpec: rename over an existing destination returned
+    * false, so the pre-r18 guard's lost-race path happened to
+    * adjudicate correctly HERE — but the guard's correctness hinged
+    * on which behavior the store's FS ships). Exclusive create makes
+    * the claim independent of rename semantics entirely: atomic on
+    * HDFS, an honest existence-checked create on the local FS. On
+    * S3-class stores without atomic create-exclusive the guard
+    * remains best-effort, bounded by the per-batch re-read to one
+    * micro-batch of drift before the mismatch is caught. A driver
+    * crash mid-write can leave a truncated marker (the window is one
+    * <32-byte write, verified by an immediate read-back); a truncated
+    * or mid-write marker fails the NEXT open on the attributed
+    * unreadable/unparseable path, which names the one-line manual
+    * restore.
+    *
+    * Conservative-adoption remedy (ADVICE r17): the marker is adopted
+    * at the TOP of the first micro-batch, before any store or output
+    * write commits — so if that first batch fails and the operator
+    * restarts with a different seed, the restart is refused even
+    * though the store never received banded output and no drift is
+    * possible. That posture is deliberate (adjudicating "did batch 0
+    * commit anything" cross-filesystem is more machinery than the
+    * failure deserves); the remedy is self-service: on a store with
+    * NO numbered `batch=N` output, delete `_seed.json` and restart —
+    * or simply restart with the marker's recorded seed.
     */
-  private[streaming] def checkOrWriteSeedMarker(spark: SparkSession,
+  private[graft] def checkOrWriteSeedMarker(spark: SparkSession,
       corpusDir: String, seed: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val path = new Path(seedMarkerPath(corpusDir))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) {
-      val in = fs.open(path)
+    def readStoredSeed(): Long = {
+      // the read itself can throw raw EOF/IO on a marker that is
+      // mid-write by a concurrent first open (observed on the local
+      // ChecksumFileSystem under the race test) or crash-truncated —
+      // surface it as the same attributed restore message, never a
+      // bare filesystem error
       val txt = try {
-        val src = scala.io.Source.fromInputStream(in, "UTF-8")
-        try src.mkString finally src.close()
-      } finally in.close()
-      val stored = """"seed"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
+        val in = fs.open(path)
+        try {
+          val src = scala.io.Source.fromInputStream(in, "UTF-8")
+          try src.mkString finally src.close()
+        } finally in.close()
+      } catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"[graft.streaming near-dup store] unreadable seed marker at " +
+          s"${seedMarkerPath(corpusDir)} (${e.getClass.getSimpleName}) — a " +
+          s"concurrent first open may be mid-write, or a crash truncated it. " +
+          s"If it persists, restore it by hand with the store's known " +
+          s"""lifetime seed (echo '{"seed": <lifetime seed>}') — do NOT """ +
+          s"guess: a wrong value silently changes kept/store semantics.", e)
+      }
+      """"seed"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
         .map(_.group(1).toLong)
         .getOrElse(throw new IllegalStateException(
           s"[graft.streaming near-dup store] unparseable seed marker at " +
@@ -218,14 +253,27 @@ object DocStream {
           s"restore it by hand with the store's known lifetime seed " +
           s"""(echo '{"seed": <lifetime seed>}') — do NOT guess: a wrong """ +
           s"value silently changes kept/store semantics."))
-      if (stored != seed) throw new IllegalStateException(
-        s"[graft.streaming near-dup store] banding-seed mismatch: the store at " +
-        s"$corpusDir was created under MinHash banding seed $stored but this " +
-        s"stream was started with seed $seed. Rotating the seed against a warm " +
-        s"store silently changes kept/store semantics (one seed per store " +
-        s"lifetime). Either restart with seed=$stored, or rotate from a cold " +
-        s"start into a fresh corpusDir.")
-    } else {
+    }
+    // Bounded two-attempt loop, not recursion (ADVICE r17): attempt 1
+    // either compares against an existing marker or claims one;
+    // losing the creation race routes attempt 2 to the compare path.
+    // If the marker ALSO vanished before attempt 2 (external churn),
+    // the loop terminates structurally instead of chasing filesystem
+    // state that is being mutated out from under it.
+    var attempt = 0
+    while (attempt < 2) {
+      attempt += 1
+      if (fs.exists(path)) {
+        val stored = readStoredSeed()
+        if (stored != seed) throw new IllegalStateException(
+          s"[graft.streaming near-dup store] banding-seed mismatch: the store at " +
+          s"$corpusDir was created under MinHash banding seed $stored but this " +
+          s"stream was started with seed $seed. Rotating the seed against a warm " +
+          s"store silently changes kept/store semantics (one seed per store " +
+          s"lifetime). Either restart with seed=$stored, or rotate from a cold " +
+          s"start into a fresh corpusDir.")
+        return
+      }
       // no marker: adopt only if this store has no numbered batch
       // output yet (fresh, or hand-seeded raw text under batch=seed/).
       // A marker-less store WITH numbered batches predates the marker
@@ -243,24 +291,40 @@ object DocStream {
         s"stream cannot verify. Refusing to adopt seed $seed blindly: write " +
         s"""the store's historical seed to ${seedMarkerPath(corpusDir)} """ +
         s"""(format {"seed": <value>}) and restart.""")
-      // temp-and-rename: never expose a partially-written marker
-      val tmp = new Path(s"${seedMarkerPath(corpusDir)}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(s"""{"seed": $seed}""".getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, path)) {
-        // rename refused: either we lost a creation race (a marker
-        // appeared since the exists() check — adjudicate against the
-        // winner's) or the filesystem failed the rename outright. The
-        // exists() distinction bounds this to ONE re-entry: recursing
-        // on a persistently-failing rename would never terminate.
-        fs.delete(tmp, false)
-        if (fs.exists(path)) checkOrWriteSeedMarker(spark, corpusDir, seed)
-        else throw new IllegalStateException(
-          s"[graft.streaming near-dup store] could not persist the seed " +
-          s"marker: rename of $tmp to $path failed and no marker exists — " +
-          s"filesystem fault, not a seed conflict. Fix the store path and " +
-          s"restart; the batch wrote nothing.")
+      // the CLAIM: exclusive creation — fails (instead of clobbering)
+      // if another writer's marker landed since the exists() check
+      val claimed =
+        try {
+          val out = fs.create(path, false)
+          try out.write(s"""{"seed": $seed}""".getBytes("UTF-8")) finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          // some FileSystems signal an existing path from
+          // create(overwrite=false) as a plain IOException — treat it
+          // as a lost race only if a marker verifiably exists now
+          case e: java.io.IOException =>
+            if (fs.exists(path)) false else throw e
+        }
+      if (claimed) {
+        // read-back verification: a short write the filesystem
+        // accepted but did not durably record must fail THIS batch,
+        // not a later open
+        val echoed = readStoredSeed()
+        if (echoed != seed) throw new IllegalStateException(
+          s"[graft.streaming near-dup store] seed marker write-back " +
+          s"verification failed at ${seedMarkerPath(corpusDir)}: wrote seed " +
+          s"$seed, read back $echoed — filesystem fault. Delete the marker " +
+          s"and restart; the batch wrote nothing.")
+        return
       }
+      // lost the creation race: loop once more to adjudicate against
+      // the winner's marker via the compare path
     }
+    throw new IllegalStateException(
+      s"[graft.streaming near-dup store] seed marker at " +
+      s"${seedMarkerPath(corpusDir)} appeared and vanished across two " +
+      s"attempts — an external process is mutating the store concurrently. " +
+      s"Stop the competing writer and restart; the batch wrote nothing.")
   }
 }

@@ -569,6 +569,151 @@ class StreamingSpec extends SparkSpec {
     SparkSpec.deleteRecursively(base2)
   }
 
+  test("seed-marker claim is exclusive creation, not rename (ADVICE r17)") {
+    // The pre-r18 guard claimed the marker via fs.rename(tmp, path).
+    // Rename-over-existing semantics are FS/version-dependent: POSIX
+    // rename(2) silently overwrites (the ADVICE hole), while this
+    // build's Hadoop ChecksumFileSystem REFUSES (measured below) —
+    // meaning the old guard's correctness hinged on which behavior
+    // the store's filesystem happened to ship. The new claim —
+    // create(path, overwrite=false) — does not depend on rename
+    // semantics at all. This pins both facts: (1) the measured rename
+    // behavior on THIS build (if it flips, the recorded rationale in
+    // the scaladoc should be re-checked, not the guard), (2) the new
+    // primitive refuses to clobber an existing marker.
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.DocStream
+    val base = java.nio.file.Files.createTempDirectory("graft_claim_").toString
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(s"$base/_seed.json")
+    val tmp = new Path(s"$base/_seed.json.tmp")
+    def write(p: Path, s: String): Unit = {
+      val out = fs.create(p, true); try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    write(dst, """{"seed": 7}""")
+    write(tmp, """{"seed": 9}""")
+    // (1) measured: this build's local FS refuses the overwrite-rename
+    // (rename semantics vary — the reason the claim no longer uses it)
+    assert(!fs.rename(tmp, dst),
+      "this build's ChecksumFileSystem now OVERWRITES on rename — the scaladoc's " +
+        "measured-behavior note in checkOrWriteSeedMarker is stale; the exclusive-" +
+        "create guard itself is unaffected")
+    val kept7 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dst.toString)), "UTF-8")
+    assert(kept7.contains("7"), s"refused rename still changed content: $kept7")
+    // (2) the claim primitive: exclusive create on an existing path throws
+    intercept[java.io.IOException] { fs.create(dst, false).close() }
+    // end-to-end through the guard: a marker written by another
+    // process between batches is compared against, never clobbered
+    write(dst, """{"seed": 7}""")
+    DocStream.checkOrWriteSeedMarker(spark, base, 7L) // green compare
+    val e = intercept[IllegalStateException] {
+      DocStream.checkOrWriteSeedMarker(spark, base, 9L)
+    }
+    assert(e.getMessage.contains("banding-seed mismatch"))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dst.toString)), "UTF-8").contains("\"seed\": 7"))
+    SparkSpec.deleteRecursively(base)
+  }
+
+  test("seed-marker: unparseable content fails with the restore message") {
+    import graft.streaming.DocStream
+    val base = java.nio.file.Files.createTempDirectory("graft_badmark_").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(DocStream.seedMarkerPath(base)),
+      "{\"se".getBytes("UTF-8")) // a crash-truncated marker
+    val e = intercept[IllegalStateException] {
+      DocStream.checkOrWriteSeedMarker(spark, base, 7L)
+    }
+    assert(e.getMessage.contains("unparseable seed marker"))
+    assert(e.getMessage.contains("do NOT guess"), e.getMessage)
+    SparkSpec.deleteRecursively(base)
+  }
+
+  test("seed-marker: concurrent first opens fail LOUD and attributed, never drift silently") {
+    // Eight latched threads race the first open of a fresh store, half
+    // under seed 7 and half under seed 9 — a deliberately pathological
+    // schedule. On the local ChecksumFileSystem the non-atomic
+    // create window is real: racing writers can clobber each other's
+    // data+crc and wedge the marker (observed when this test landed:
+    // all eight read-backs failed with ChecksumException). The
+    // contract under that documented best-effort window is NOT "one
+    // winner always emerges" — it is: (a) every failure carries an
+    // ATTRIBUTED restore message, never a raw filesystem error (the
+    // EOF/ChecksumException leak this test originally caught), and
+    // (b) any in-window drift is bounded to this one batch: the next
+    // SERIALIZED open adjudicates deterministically against whatever
+    // the race left behind. The deterministic no-clobber and
+    // compare-path pins are the previous tests; operationally,
+    // concurrent first opens of one store are operator error, and
+    // the remedy message names the fix.
+    import graft.streaming.DocStream
+    val base = java.nio.file.Files.createTempDirectory("graft_seedrace_").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[String])]()
+    val threads = (0 until 8).map { i =>
+      val seed = if (i % 2 == 0) 7L else 9L
+      new Thread(() => {
+        gate.await()
+        val r = try { DocStream.checkOrWriteSeedMarker(spark, base, seed); None }
+          catch { case e: IllegalStateException => Some(e.getMessage) }
+        outcomes.add((seed, r)); ()
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val byOutcome = outcomes.asScala.toSeq
+    assert(byOutcome.size === 8, byOutcome.toString) // no thread died on a raw error
+    // (a) every failure is attributed — mismatch, read-back, or the
+    // mid-write/wedged-marker path — with the manual-restore remedy
+    val failures = byOutcome.flatMap(_._2)
+    assert(failures.forall(m => m.contains("banding-seed mismatch") ||
+      m.contains("write-back verification") ||
+      m.contains("unreadable seed marker") ||
+      // interleaved clobber can leave READABLE bytes that don't parse
+      m.contains("unparseable seed marker")), byOutcome.toString)
+    // (b) the per-batch re-read is what bounds any in-window drift to
+    // ONE micro-batch: the next SERIALIZED open adjudicates
+    // deterministically against whatever the race left behind — a
+    // parseable marker routes to green/mismatch by seed, a wedged one
+    // fails attributed under EITHER seed until the manual restore
+    val markerPath = java.nio.file.Paths.get(DocStream.seedMarkerPath(base))
+    val marker = if (java.nio.file.Files.exists(markerPath))
+      new String(java.nio.file.Files.readAllBytes(markerPath), "UTF-8") else ""
+    """"seed"\s*:\s*(\d+)""".r.findFirstMatchIn(marker).map(_.group(1).toLong) match {
+      case Some(w) =>
+        // nio-readable does not imply Hadoop-crc-consistent: the green
+        // call may still fail attributed on a crc-wedged marker
+        val greenOutcome =
+          try { DocStream.checkOrWriteSeedMarker(spark, base, w); None }
+          catch { case e: IllegalStateException => Some(e.getMessage) }
+        greenOutcome match {
+          case None => // intact marker: the other seed must be refused
+            val other = if (w == 7L) 9L else 7L
+            val e = intercept[IllegalStateException] {
+              DocStream.checkOrWriteSeedMarker(spark, base, other)
+            }
+            assert(e.getMessage.contains("banding-seed mismatch"), e.getMessage)
+          case Some(m) => // crc-wedged: attributed, never raw
+            assert(m.contains("unreadable seed marker"), m)
+        }
+      case None if java.nio.file.Files.exists(markerPath) =>
+        // wedged content: both seeds now fail attributed — loud
+        // (never silently adopted) until the manual restore
+        Seq(7L, 9L).foreach { s =>
+          val e = intercept[IllegalStateException] {
+            DocStream.checkOrWriteSeedMarker(spark, base, s)
+          }
+          assert(e.getMessage.contains("seed marker"), e.getMessage)
+        }
+      case None => // no marker file at all: a fresh adopt is correct
+        DocStream.checkOrWriteSeedMarker(spark, base, 7L)
+    }
+    SparkSpec.deleteRecursively(base)
+  }
+
   test("batch shape of the streaming agg matches q21 on static data") {
     // the same windowed aggregation expressed on the static events
     // table (streaming/batch unification): hour windows over sf0.001
