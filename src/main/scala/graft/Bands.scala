@@ -1,0 +1,161 @@
+package graft
+
+/** The BANDS.json read-order rules as EXECUTABLE classification
+  * (VERDICT r17 #1): `graft.Bench` loads the checked-in bands at
+  * drive end and prints a `"band_verdict"` on the one JSON line the
+  * driver parses, so a contended artifact (BENCH_r17's 267 s — +42%
+  * like-for-like on a diff that changed zero query-path lines)
+  * carries its own adjudication instead of requiring a human to walk
+  * BANDS.json. The classifier is pure over a [[Reading]] so
+  * BenchGuardSpec can replay every recorded r13–r17 drive through it
+  * and assert each reproduces its adjudicated verdict class.
+  *
+  * Verdict vocabulary (one of):
+  *   - `quiet` — kernels in the matched profile's band, par ratios
+  *     inside the quiet core (a LONE elevated endpoint with a quiet
+  *     total is an endpoint transient, not a verdict), rep stats in
+  *     band, total inside the profile+catalog era's quiet cluster.
+  *   - `off-profile` — the host-cal kernel matches NO recorded
+  *     profile: totals are not comparable to any recorded cluster
+  *     (the r16 lesson — a new host profile, not a regression).
+  *   - `steady-contention` — both par-ratio endpoints above the quiet
+  *     core (r16 drive 4), or rep_spread med at/above the contention
+  *     band, or — once per-profile headline medians are recorded —
+  *     a broad n_inflated sweep (the uniform whole-drive inflation
+  *     the endpoint kernels only catch at the endpoints).
+  *   - `contended-start` — exactly one par endpoint elevated WITH an
+  *     elevated total (r17 drive 2: pre ratio 2.09, total +5%).
+  *   - `mid-drive-transient` — kernels and ratios quiet but rep1_infl
+  *     med above its quiet band, or an elevated total that no
+  *     recorded field explains (the class both kernels miss;
+  *     BENCH_r16's shipped artifact, r15 drive 5).
+  *
+  * Maintenance: bands EVOLVE (BANDS.json's append-per-round
+  * contract); the classifier reads whatever the file says, so a band
+  * widening needs no code change here.
+  */
+object Bands {
+  /** One host profile's bands. `eraClusters` keys quiet-total ranges
+    * by CATALOG SIZE — totals are only comparable within one catalog
+    * era (BANDS.json profile notes); a catalog size with no recorded
+    * era yields no total evidence either way.
+    */
+  final case class Profile(name: String, calLo: Double, calHi: Double,
+      eraClusters: Map[Int, (Double, Double)],
+      headlineQuietMedians: Map[String, Double])
+
+  final case class BandSet(profiles: Seq[Profile], parRatioQuietHi: Double,
+      repSpreadContentionMed: Double, rep1MedQuietHi: Double,
+      nInflatedContentionMin: Int)
+
+  /** One drive's calibration evidence. Endpoint fields are positional
+    * (pre, post); `None` = honestly unrecorded (pre-r15 ledger rows),
+    * which contributes NO evidence rather than quiet evidence.
+    */
+  final case class Reading(
+      hostCal: Seq[Option[Double]],
+      parKernel: Seq[Option[Double]],
+      parRatio: Seq[Option[Double]],
+      repSpreadMed: Option[Double],
+      rep1Med: Option[Double],
+      total: Double,
+      catalog: Int,
+      profileHint: Option[String] = None,
+      nInflated: Option[Int] = None)
+
+  /** Parse BANDS.json. Returns None (never throws) on a missing or
+    * malformed file — the bench line then prints `"no-bands"` and the
+    * drive is still a valid measurement, just not self-adjudicating.
+    * Structural sanity of the file itself is BenchGuardSpec's job.
+    */
+  def load(path: String = "BANDS.json"): Option[BandSet] = {
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val src = scala.io.Source.fromFile(path, "UTF-8")
+      val root = try JsonMethods.parse(src.mkString) finally src.close()
+      def d(v: JValue): Double = v.values.toString.toDouble
+      def pair(v: JValue): (Double, Double) = v match {
+        case JArray(List(a, b)) => (d(a), d(b))
+        case other => throw new IllegalArgumentException(s"not a 2-array: $other")
+      }
+      val profiles = (root \ "profiles").asInstanceOf[JObject].obj.map {
+        case (name, p) =>
+          val (lo, hi) = pair(p \ "host_cal_s")
+          val eras = (p \ "era_quiet_total_s") match {
+            case JObject(fields) => fields.map { case (k, v) => k.toInt -> pair(v) }.toMap
+            case _ => Map.empty[Int, (Double, Double)]
+          }
+          val medians = (p \ "headline_quiet_median_s") match {
+            case JObject(fields) => fields.map { case (k, v) => k -> d(v) }.toMap
+            case _ => Map.empty[String, Double]
+          }
+          Profile(name, lo, hi, eras, medians)
+      }
+      val x = root \ "cross_profile"
+      Some(BandSet(
+        profiles = profiles,
+        parRatioQuietHi = pair(x \ "par_ratio_quiet_core")._2,
+        repSpreadContentionMed = d(x \ "rep_spread_contention_med_gte"),
+        rep1MedQuietHi = pair(x \ "rep1_infl_quiet_med")._2,
+        nInflatedContentionMin = (x \ "n_inflated_contention_min") match {
+          case JInt(n) => n.toInt
+          case _ => Int.MaxValue // medians not yet recorded: signal off
+        }))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Which profile a host-cal pair identifies: every RECORDED endpoint
+    * must sit inside one profile's kernel band. None = no recorded
+    * endpoint fits any profile (off-profile), or nothing recorded at
+    * all (caller falls back to the hint for ledger replay).
+    */
+  def matchProfile(bands: BandSet, hostCal: Seq[Option[Double]]): Option[Profile] = {
+    val recorded = hostCal.flatten
+    if (recorded.isEmpty) None
+    else bands.profiles.find(p => recorded.forall(v => v >= p.calLo && v <= p.calHi))
+  }
+
+  /** The read-order rules, executed. Returns (verdict, profileName).
+    * Unrecorded fields contribute no evidence; the order mirrors
+    * BANDS.json `_doc`: profile first (host_cal), then steady
+    * contention (both par endpoints / rep_spread med / n_inflated),
+    * then the single-endpoint-with-elevated-total contended start,
+    * then the rep1 mid-drive transient, then unexplained-total
+    * (also mid-drive class), else quiet.
+    */
+  def classify(bands: BandSet, r: Reading): (String, String) = {
+    val recordedCal = r.hostCal.flatten
+    val profile = matchProfile(bands, r.hostCal)
+      .orElse(r.profileHint.flatMap(h => bands.profiles.find(_.name == h)))
+    if (recordedCal.nonEmpty && matchProfile(bands, r.hostCal).isEmpty)
+      return ("off-profile", profile.map(_.name).getOrElse("unknown"))
+    val profName = profile.map(_.name).getOrElse("unknown")
+    // effective per-endpoint par ratios: recorded ratio, else derived
+    // kernel/host_cal at the same endpoint (the _doc's definition)
+    val ratios = r.parRatio.zipWithIndex.map { case (pr, i) =>
+      pr.orElse(for {
+        pk <- r.parKernel.lift(i).flatten
+        hc <- r.hostCal.lift(i).flatten
+      } yield pk / hc)
+    }.flatten
+    val elevatedRatios = ratios.count(_ > bands.parRatioQuietHi)
+    val totalElevated = profile.flatMap(_.eraClusters.get(r.catalog))
+      .exists { case (_, hi) => r.total > hi }
+    if (ratios.size >= 2 && elevatedRatios >= 2)
+      return ("steady-contention", profName)
+    if (r.repSpreadMed.exists(_ >= bands.repSpreadContentionMed))
+      return ("steady-contention", profName)
+    if (r.nInflated.exists(_ >= bands.nInflatedContentionMin))
+      return ("steady-contention", profName)
+    if (elevatedRatios == 1 && totalElevated)
+      return ("contended-start", profName)
+    // a lone elevated endpoint with a quiet total is an endpoint
+    // transient (r16 drive 6, r17 drive 1 precedents) — not a verdict
+    if (r.rep1Med.exists(_ > bands.rep1MedQuietHi))
+      return ("mid-drive-transient", profName)
+    if (totalElevated)
+      return ("mid-drive-transient", profName)
+    ("quiet", profName)
+  }
+}
