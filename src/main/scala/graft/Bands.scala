@@ -15,9 +15,13 @@ package graft
   *     inside the quiet core (a LONE elevated endpoint with a quiet
   *     total is an endpoint transient, not a verdict), rep stats in
   *     band, total inside the profile+catalog era's quiet cluster.
-  *   - `off-profile` — the host-cal kernel matches NO recorded
-  *     profile: totals are not comparable to any recorded cluster
-  *     (the r16 lesson — a new host profile, not a regression).
+  *   - `off-profile` — the host-cal kernels match NO recorded
+  *     profile, fully or partially: totals are not comparable to any
+  *     recorded cluster (the r16 lesson — a new host profile, not a
+  *     regression). A single endpoint ABOVE an otherwise-matching
+  *     band is endpoint contention, not a profile shift (r18 drive 2:
+  *     pre kernel 1.503 with post 1.037 in-band B), and classifies
+  *     through the contention rules instead.
   *   - `steady-contention` — both par-ratio endpoints above the quiet
   *     core (r16 drive 4), or rep_spread med at/above the contention
   *     band, or — once per-profile headline medians are recorded —
@@ -116,6 +120,26 @@ object Bands {
     else bands.profiles.find(p => recorded.forall(v => v >= p.calLo && v <= p.calHi))
   }
 
+  /** Partial kernel match (refined after r18 drive 2): one endpoint
+    * inside a profile's band with the other(s) ABOVE its hi edge is
+    * endpoint CONTENTION on that host — the single-threaded kernel
+    * reading scalar slowness at one instant — not a new host profile.
+    * A genuine profile shift (the r16 lesson) moves BOTH endpoints to
+    * a new consistent range. Returns the profile whose band the
+    * in-band endpoint(s) sit in, when every out-of-band endpoint sits
+    * above (never below — a faster-than-every-profile kernel really
+    * is unrecognized hardware).
+    */
+  def partialMatchAbove(bands: BandSet, hostCal: Seq[Option[Double]]): Option[Profile] = {
+    val recorded = hostCal.flatten
+    if (recorded.isEmpty) None
+    else bands.profiles.find { p =>
+      recorded.exists(v => v >= p.calLo && v <= p.calHi) &&
+        recorded.forall(v => v >= p.calLo) &&
+        recorded.exists(_ > p.calHi)
+    }
+  }
+
   /** The read-order rules, executed. Returns (verdict, profileName).
     * Unrecorded fields contribute no evidence; the order mirrors
     * BANDS.json `_doc`: profile first (host_cal), then steady
@@ -126,9 +150,12 @@ object Bands {
     */
   def classify(bands: BandSet, r: Reading): (String, String) = {
     val recordedCal = r.hostCal.flatten
-    val profile = matchProfile(bands, r.hostCal)
+    val fullMatch = matchProfile(bands, r.hostCal)
+    val partialMatch = if (fullMatch.isEmpty) partialMatchAbove(bands, r.hostCal) else None
+    val kernelElevated = partialMatch.isDefined
+    val profile = fullMatch.orElse(partialMatch)
       .orElse(r.profileHint.flatMap(h => bands.profiles.find(_.name == h)))
-    if (recordedCal.nonEmpty && matchProfile(bands, r.hostCal).isEmpty)
+    if (recordedCal.nonEmpty && fullMatch.isEmpty && partialMatch.isEmpty)
       return ("off-profile", profile.map(_.name).getOrElse("unknown"))
     val profName = profile.map(_.name).getOrElse("unknown")
     // effective per-endpoint par ratios: recorded ratio, else derived
@@ -148,10 +175,11 @@ object Bands {
       return ("steady-contention", profName)
     if (r.nInflated.exists(_ >= bands.nInflatedContentionMin))
       return ("steady-contention", profName)
-    if (elevatedRatios == 1 && totalElevated)
+    if ((elevatedRatios == 1 || kernelElevated) && totalElevated)
       return ("contended-start", profName)
-    // a lone elevated endpoint with a quiet total is an endpoint
-    // transient (r16 drive 6, r17 drive 1 precedents) — not a verdict
+    // a lone elevated endpoint (ratio or kernel) with a quiet total is
+    // an endpoint transient (r16 drive 6, r17 drive 1 precedents) —
+    // not a verdict
     if (r.rep1Med.exists(_ > bands.rep1MedQuietHi))
       return ("mid-drive-transient", profName)
     if (totalElevated)

@@ -302,10 +302,31 @@ class BenchGuardSpec extends AnyFunSuite {
     // still flagged (r15 drive 5's signature)
     assert(Bands.classify(bands, quiet.copy(total = 230.0))
       === ("mid-drive-transient", "B"))
-    // drill 5: a kernel outside every profile band → off-profile (the
-    // r16 host-shift lesson: a new profile, not a regression)
+    // drill 5: BOTH kernels outside every profile band → off-profile
+    // (the r16 host-shift lesson: a new profile, not a regression)
     assert(Bands.classify(bands, quiet.copy(
       hostCal = Seq(Some(0.5), Some(0.5))))._1 === "off-profile")
+    assert(Bands.classify(bands, quiet.copy(
+      hostCal = Seq(Some(1.5), Some(1.6))))._1 === "off-profile")
+    // drill 5b (r18 drive 2's signature): ONE kernel above an
+    // otherwise-matching band is endpoint contention, not a profile
+    // shift — the profile holds and the contention rules classify.
+    // With drive 2's own par ratios (both out of core): steady.
+    assert(Bands.classify(bands, quiet.copy(
+      hostCal = Seq(Some(1.503), Some(1.037)),
+      parRatio = Seq(Some(1.27), Some(1.68)), total = 243.497))
+      === ("steady-contention", "B"))
+    // same kernel shape with QUIET ratios and an elevated total: the
+    // elevated kernel endpoint is the contended-start evidence
+    assert(Bands.classify(bands, quiet.copy(
+      hostCal = Seq(Some(1.503), Some(1.037)),
+      parRatio = Seq(Some(1.1), Some(1.1)), total = 243.497))
+      === ("contended-start", "B"))
+    // and with a QUIET total: endpoint transient, not a verdict
+    assert(Bands.classify(bands, quiet.copy(
+      hostCal = Seq(Some(1.2), Some(1.037)),
+      parRatio = Seq(Some(1.1), Some(1.1)), total = 179.0))
+      === ("quiet", "B"))
     // drill 6: a lone elevated endpoint with a QUIET total stays an
     // endpoint transient, not a verdict (r16 drive 6 precedent)
     assert(Bands.classify(bands, quiet.copy(
