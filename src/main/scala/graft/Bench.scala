@@ -687,7 +687,8 @@ object Bench {
     // measurement.
     val hostCalPair = Seq(Option(calPre), Option(calPost))
     val bandsOpt = Bands.load()
-    val matchedProf = bandsOpt.flatMap(b => Bands.matchProfile(b, hostCalPair))
+    val matchedProf = bandsOpt.flatMap(b => Bands.matchProfile(b, hostCalPair)
+      .orElse(Bands.partialMatchAbove(b, hostCalPair)))
     val nInflated = matchedProf.filter(_.headlineQuietMedians.nonEmpty)
       .map(p => nInflatedCount(p.headlineQuietMedians,
         hs.map { case (k, o) => k -> o.seconds }))

@@ -347,6 +347,38 @@ class BenchGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("headline quiet medians cover exactly the pinned headline set (VERDICT r17 #2)") {
+    // the per-query medians recorded for profile B must track the
+    // headline pin one-to-one: a rotation that forgets to re-derive
+    // them would silently exempt the new member from n_inflated (and
+    // count a ghost for the old one)
+    val bands = Bands.load().getOrElse(fail("BANDS.json did not load"))
+    val b = bands.profiles.find(_.name == "B").getOrElse(fail("profile B missing"))
+    assert(b.headlineQuietMedians.keySet === Bench.headline.toSet,
+      "headline_quiet_median_s drifted from the headline pin — re-derive from quiet drives")
+    assert(b.headlineQuietMedians.values.forall(v => v > 0 && v < 100))
+    // the classifier threshold is recorded and sane relative to the
+    // 35-query pin
+    assert(bands.nInflatedContentionMin >= 2 &&
+      bands.nInflatedContentionMin <= Bench.headline.size)
+    // profile A predates per-query detail retention: no medians, and
+    // n_inflated must stay -1 there rather than counting against B's
+    val a = bands.profiles.find(_.name == "A").getOrElse(fail("profile A missing"))
+    assert(a.headlineQuietMedians.isEmpty)
+    // end-to-end validation pinned from the seeding receipts: the
+    // shipped r17 contended artifact counts 9 inflated headliners
+    // against these medians and classifies steady-contention even
+    // though its par ratios are quiet — the exact class VERDICT r17
+    // #2 asked this field to catch
+    val r17Artifact = Bands.Reading(
+      hostCal = Seq(Some(1.097), Some(1.06)),
+      parKernel = Seq(Some(1.31), Some(1.211)),
+      parRatio = Seq(Some(1.19), Some(1.14)),
+      repSpreadMed = Some(1.44), rep1Med = Some(1.4),
+      total = 267.141, catalog = 215, nInflated = Some(9))
+    assert(Bands.classify(bands, r17Artifact) === ("steady-contention", "B"))
+  }
+
   test("n_inflated counter: factor, floor, and missing-median semantics are frozen (VERDICT r17 #2)") {
     assert(Bench.NInflatedFactor === 1.5 && Bench.NInflatedFloorSec === 0.3,
       "frozen: changing either re-bases every future n_inflated reading")
