@@ -7,7 +7,7 @@ package graft
   * like-for-like on a diff that changed zero query-path lines)
   * carries its own adjudication instead of requiring a human to walk
   * BANDS.json. The classifier is pure over a [[Reading]] so
-  * BenchGuardSpec can replay every recorded r13–r17 drive through it
+  * BenchGuardSpec can replay every recorded ledger drive through it
   * and assert each reproduces its adjudicated verdict class.
   *
   * Verdict vocabulary (one of):

@@ -70,8 +70,8 @@ object Bench {
     * the estimate). Pathological widths throughout: five-digit total,
     * double-digit cal readings, a rep_spread hi map FULL at its cap
     * with the longest headline names at three-digit ratios.
-    */
-  /** Budget re-based r18 on a MEASURED mechanism instead of the r1-era
+    *
+    * Budget re-based r18 on a MEASURED mechanism instead of the r1-era
     * "~1500" estimate: every shipped BENCH_r*.json artifact carries a
     * 2000-char stdout TAIL, and the only output after the printed line
     * inside that tail is one sbt "[success] Total time: ..." line
