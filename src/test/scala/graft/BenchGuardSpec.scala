@@ -250,7 +250,7 @@ class BenchGuardSpec extends AnyFunSuite {
     val vocabulary = Set("quiet", "off-profile", "steady-contention",
       "contended-start", "mid-drive-transient")
     val JArray(readings) = root \ "readings"
-    assert(readings.size >= 26, s"expected the full r13–r17 ledger, got ${readings.size}")
+    assert(readings.size >= 26, s"expected the full r13+ ledger, got ${readings.size}")
     for (r <- readings) {
       val JString(round) = r \ "round"
       val drive = (r \ "drive").values.toString
