@@ -67,12 +67,28 @@ object Bands {
       profileHint: Option[String] = None,
       nInflated: Option[Int] = None)
 
-  /** Parse BANDS.json. Returns None (never throws) on a missing or
-    * malformed file — the bench line then prints `"no-bands"` and the
+  /** [[loadResult]] outcome: a present-but-corrupt band file must be
+    * distinguishable from an absent one (ADVICE r18 — NonFatal-to-None
+    * mapped both to a silent `"no-bands"`, so a bad edit to the
+    * checked-in file would quietly degrade live adjudication until
+    * someone ran BenchGuardSpec). `Missing` is the legitimate
+    * bands-not-shipped case; `Unreadable` is a broken artifact and
+    * prints its own verdict literal plus one stderr warning at the
+    * bench call site.
+    */
+  sealed trait LoadResult
+  final case class Loaded(bands: BandSet) extends LoadResult
+  case object Missing extends LoadResult
+  final case class Unreadable(detail: String) extends LoadResult
+
+  /** Parse BANDS.json. Never throws: a missing file is `Missing`
+    * (bench prints `"no-bands"`), a present-but-malformed one is
+    * `Unreadable` (bench prints `"bands-unreadable"`) — either way the
     * drive is still a valid measurement, just not self-adjudicating.
     * Structural sanity of the file itself is BenchGuardSpec's job.
     */
-  def load(path: String = "BANDS.json"): Option[BandSet] = {
+  def loadResult(path: String = "BANDS.json"): LoadResult = {
+    if (!new java.io.File(path).isFile) return Missing
     try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
@@ -97,7 +113,7 @@ object Bands {
           Profile(name, lo, hi, eras, medians)
       }
       val x = root \ "cross_profile"
-      Some(BandSet(
+      Loaded(BandSet(
         profiles = profiles,
         parRatioQuietHi = pair(x \ "par_ratio_quiet_core")._2,
         repSpreadContentionMed = d(x \ "rep_spread_contention_med_gte"),
@@ -106,7 +122,17 @@ object Bands {
           case JInt(n) => n.toInt
           case _ => Int.MaxValue // medians not yet recorded: signal off
         }))
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case scala.util.control.NonFatal(e) =>
+      Unreadable(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+    }
+  }
+
+  /** Option view of [[loadResult]] for callers that only need
+    * present-and-parseable (tests, replay).
+    */
+  def load(path: String = "BANDS.json"): Option[BandSet] = loadResult(path) match {
+    case Loaded(b) => Some(b)
+    case _ => None
   }
 
   /** Which profile a host-cal pair identifies: every RECORDED endpoint
@@ -129,6 +155,16 @@ object Bands {
     * in-band endpoint(s) sit in, when every out-of-band endpoint sits
     * above (never below — a faster-than-every-profile kernel really
     * is unrecognized hardware).
+    *
+    * Cross-attribution guard (ADVICE r18): an above-band endpoint
+    * that falls INSIDE a different profile's kernel band makes the
+    * reading ambiguous — e.g. host_cal [0.90, 1.05] is either a
+    * contended profile-A host or a profile-B host with one fast
+    * endpoint, and picking A would compare the total against A's much
+    * higher quiet cluster. Ambiguous readings return None
+    * (off-profile: totals not comparable to any recorded cluster)
+    * rather than guessing. r18 drives 2/3 are unaffected: their
+    * elevated endpoints (1.503, 1.691) sit inside no profile's band.
     */
   def partialMatchAbove(bands: BandSet, hostCal: Seq[Option[Double]]): Option[Profile] = {
     val recorded = hostCal.flatten
@@ -136,7 +172,9 @@ object Bands {
     else bands.profiles.find { p =>
       recorded.exists(v => v >= p.calLo && v <= p.calHi) &&
         recorded.forall(v => v >= p.calLo) &&
-        recorded.exists(_ > p.calHi)
+        recorded.exists(_ > p.calHi) &&
+        recorded.filter(_ > p.calHi).forall(v =>
+          !bands.profiles.exists(q => q.name != p.name && v >= q.calLo && v <= q.calHi))
     }
   }
 

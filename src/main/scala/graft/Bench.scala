@@ -216,8 +216,7 @@ object Bench {
     // needs a fresh rep-1 AND a median to compare against; single-shot
     // or empty rep arrays carry no rep-1-vs-steady-state signal
     if (reps.size < 2) return None
-    val sorted = reps.sorted
-    val med = sorted((sorted.size - 1) / 2)
+    val med = lowerMed(reps) // the one shared definition (ADVICE r18)
     // sub-floor queries are rep_spread's territory (codegen premium
     // dominates); only multi-second medians qualify
     if (med < Rep1InflFloorSec) None else Some(reps.head / med)
@@ -686,21 +685,33 @@ object Bench {
     // "no-bands" and the drive remains a valid (unadjudicated)
     // measurement.
     val hostCalPair = Seq(Option(calPre), Option(calPost))
-    val bandsOpt = Bands.load()
+    // Missing vs corrupt band file are DIFFERENT verdicts (ADVICE
+    // r18): a bad edit to the checked-in BANDS.json must be visible on
+    // the drive itself ("bands-unreadable" + one stderr line), not
+    // silently indistinguishable from bands-not-shipped.
+    val bandsResult = Bands.loadResult()
+    val bandsOpt = bandsResult match {
+      case Bands.Loaded(b) => Some(b)
+      case _ => None
+    }
     val matchedProf = bandsOpt.flatMap(b => Bands.matchProfile(b, hostCalPair)
       .orElse(Bands.partialMatchAbove(b, hostCalPair)))
     val nInflated = matchedProf.filter(_.headlineQuietMedians.nonEmpty)
       .map(p => nInflatedCount(p.headlineQuietMedians,
         hs.map { case (k, o) => k -> o.seconds }))
-    val (bandVerdict, bandProfile) = bandsOpt match {
-      case Some(b) => Bands.classify(b, Bands.Reading(
+    val (bandVerdict, bandProfile) = bandsResult match {
+      case Bands.Loaded(b) => Bands.classify(b, Bands.Reading(
         hostCal = hostCalPair,
         parKernel = Seq(Option(calParPre), Option(calParPost)),
         parRatio = Seq(None, None),
         repSpreadMed = Some(lowerMed(repRatios.map(_._2))),
         rep1Med = Some(lowerMed(hs.map(_._2.reps).flatMap(rep1Ratio))),
         total = total, catalog = results.size, nInflated = nInflated))
-      case None => ("no-bands", "unknown")
+      case Bands.Missing => ("no-bands", "unknown")
+      case Bands.Unreadable(detail) =>
+        System.err.println(s"[bench] BANDS.json present but unreadable — live " +
+          s"adjudication degraded; fix the band file or re-run BenchGuardSpec ($detail)")
+        ("bands-unreadable", "unknown")
     }
     val bandJson = s""""band_verdict":"$bandVerdict","band_profile":"${sanitizeProfileName(bandProfile)}","n_inflated":${nInflated.getOrElse(-1)}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"v6-median3","host_cal":$hostCalJson,"host_cal_par":$hostCalParJson,"rep_spread":$repSpread,"rep1_infl":$rep1Infl,$bandJson,"n_failed":${failed.size},"failed":$failedJson,"memo_warn":$memoWarnJson,"queries":$qs,"sf":"$sfDir"}""")

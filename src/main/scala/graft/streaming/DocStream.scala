@@ -309,13 +309,27 @@ object DocStream {
       if (claimed) {
         // read-back verification: a short write the filesystem
         // accepted but did not durably record must fail THIS batch,
-        // not a later open
+        // not a later open. A read-back that is unreadable or
+        // unparseable fails inside readStoredSeed() with the
+        // filesystem-fault/restore wording. A read-back that PARSES
+        // CLEANLY to a different seed is NOT attributed to a
+        // filesystem fault (ADVICE r18): on a store without atomic
+        // exclusive create (local FS, S3-class) it can equally be a
+        // lost race this writer's create() failed to detect — a
+        // different-seed first open won AFTER our bytes landed, and
+        // its claim is legitimate. Advising deletion would discard
+        // the winner's marker; route through the same seed-mismatch
+        // adjudication as the compare path instead.
         val echoed = readStoredSeed()
         if (echoed != seed) throw new IllegalStateException(
-          s"[graft.streaming near-dup store] seed marker write-back " +
-          s"verification failed at ${seedMarkerPath(corpusDir)}: wrote seed " +
-          s"$seed, read back $echoed — filesystem fault. Delete the marker " +
-          s"and restart; the batch wrote nothing.")
+          s"[graft.streaming near-dup store] banding-seed mismatch on marker " +
+          s"read-back at ${seedMarkerPath(corpusDir)}: this stream (seed $seed) " +
+          s"wrote the marker but read back seed $echoed — a concurrent first " +
+          s"open under seed $echoed likely won the claim race on a filesystem " +
+          s"without atomic exclusive create. The recorded marker is " +
+          s"authoritative (one seed per store lifetime): restart with seed=" +
+          s"$echoed, or rotate from a cold start into a fresh corpusDir. Do " +
+          s"NOT delete the marker. The batch wrote nothing.")
         return
       }
       // lost the creation race: loop once more to adjudicate against

@@ -347,6 +347,58 @@ class BenchGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("partial kernel match refuses cross-profile-ambiguous readings (ADVICE r18)") {
+    // An above-band endpoint that falls INSIDE another profile's band
+    // makes the reading ambiguous: host_cal [0.90, 1.05] is either a
+    // contended A host or a B host with one fast endpoint — guessing A
+    // would compare the total against A's much higher quiet cluster
+    // and could print quiet on a contended drive. Ambiguity → None
+    // (off-profile), never a guess.
+    val a = Bands.Profile("A", 0.71, 0.94, Map(215 -> (205.1, 216.1)), Map.empty)
+    val b = Bands.Profile("B", 0.99, 1.12, Map(215 -> (174.9, 182.7)), Map.empty)
+    val bands = Bands.BandSet(Seq(a, b), parRatioQuietHi = 1.25,
+      repSpreadContentionMed = 1.7, rep1MedQuietHi = 1.29,
+      nInflatedContentionMin = 5)
+    // ambiguous: 1.05 is above A's hi AND inside B's band
+    assert(Bands.partialMatchAbove(bands, Seq(Some(0.90), Some(1.05))) === None)
+    // the classifier surfaces it as off-profile (totals not comparable)
+    val ambiguous = Bands.Reading(
+      hostCal = Seq(Some(0.90), Some(1.05)),
+      parKernel = Seq(None, None), parRatio = Seq(Some(1.1), Some(1.1)),
+      repSpreadMed = Some(1.3), rep1Med = Some(1.1),
+      total = 200.0, catalog = 215)
+    assert(Bands.classify(bands, ambiguous)._1 === "off-profile")
+    // NOT ambiguous: 1.40 is above BOTH bands — endpoint contention on
+    // A, the r18-drive-2 class, classifies through the contention rules
+    assert(Bands.partialMatchAbove(bands, Seq(Some(0.90), Some(1.40)))
+      .map(_.name) === Some("A"))
+    // the real file's r18 drive 2 adjudication is unaffected: 1.503 is
+    // above B's band and inside no other profile's
+    val real = Bands.load().getOrElse(fail("BANDS.json did not load"))
+    assert(Bands.partialMatchAbove(real, Seq(Some(1.503), Some(1.037)))
+      .map(_.name) === Some("B"))
+  }
+
+  test("band file load distinguishes missing from present-but-corrupt (ADVICE r18)") {
+    // NonFatal-to-None mapped both cases to a silent "no-bands"; a bad
+    // edit to the checked-in file must be visible on the drive itself.
+    assert(Bands.loadResult("target/does_not_exist_bands.json") === Bands.Missing)
+    val tmp = java.nio.file.Files.createTempFile("graft_badbands_", ".json")
+    java.nio.file.Files.write(tmp, "{\"profiles\": {\"B\": {".getBytes("UTF-8"))
+    Bands.loadResult(tmp.toString) match {
+      case Bands.Unreadable(detail) => assert(detail.nonEmpty)
+      case other => fail(s"corrupt band file loaded as $other")
+    }
+    java.nio.file.Files.delete(tmp)
+    // the checked-in file loads; the Option view agrees on all three
+    assert(Bands.loadResult().isInstanceOf[Bands.Loaded])
+    assert(Bands.load("target/does_not_exist_bands.json") === None)
+    assert(Bands.load(tmp.toString) === None)
+    assert(Bands.load().isDefined)
+    // the unreadable verdict literal fits the certified frame slot
+    assert("bands-unreadable".length <= 19)
+  }
+
   test("headline quiet medians cover exactly the pinned headline set (VERDICT r17 #2)") {
     // the per-query medians recorded for profile B must track the
     // headline pin one-to-one: a rotation that forgets to re-derive
@@ -405,7 +457,7 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.sanitizeProfileName("\"\\") === "unknown")
     // every verdict literal fits the frame's certified 19-char slot
     val verdicts = Seq("quiet", "off-profile", "steady-contention",
-      "contended-start", "mid-drive-transient", "no-bands")
+      "contended-start", "mid-drive-transient", "no-bands", "bands-unreadable")
     assert(verdicts.forall(_.length <= 19))
     assert(verdicts.forall(_.matches("[a-z-]+")))
   }
