@@ -33,6 +33,12 @@ package graft
   *     med above its quiet band, or an elevated total that no
   *     recorded field explains (the class both kernels miss;
   *     BENCH_r16's shipped artifact, r15 drive 5).
+  *   - `tail-contention` (VERDICT r18 #2) — every headline field
+  *     quiet but the single-shot tail (`tail_s` = total minus the
+  *     headline-35 sum) above its recorded quiet band: load that
+  *     median-of-3 shields the headliners from lands whole on the
+  *     180 single-shot queries (r18 drives 8–10, r19 drives 1–2 —
+  *     previously caught only by the unexplained-total fallback).
   *
   * Maintenance: bands EVOLVE (BANDS.json's append-per-round
   * contract); the classifier reads whatever the file says, so a band
@@ -46,7 +52,8 @@ object Bands {
     */
   final case class Profile(name: String, calLo: Double, calHi: Double,
       eraClusters: Map[Int, (Double, Double)],
-      headlineQuietMedians: Map[String, Double])
+      headlineQuietMedians: Map[String, Double],
+      tailQuiet: Option[(Double, Double)] = None)
 
   final case class BandSet(profiles: Seq[Profile], parRatioQuietHi: Double,
       repSpreadContentionMed: Double, rep1MedQuietHi: Double,
@@ -65,7 +72,8 @@ object Bands {
       total: Double,
       catalog: Int,
       profileHint: Option[String] = None,
-      nInflated: Option[Int] = None)
+      nInflated: Option[Int] = None,
+      tailS: Option[Double] = None)
 
   /** [[loadResult]] outcome: a present-but-corrupt band file must be
     * distinguishable from an absent one (ADVICE r18 — NonFatal-to-None
@@ -110,7 +118,11 @@ object Bands {
             case JObject(fields) => fields.map { case (k, v) => k -> d(v) }.toMap
             case _ => Map.empty[String, Double]
           }
-          Profile(name, lo, hi, eras, medians)
+          val tailBand = (p \ "tail_quiet_s") match {
+            case JArray(List(a, b)) => Some((d(a), d(b)))
+            case _ => None // tail band not yet recorded for this profile
+          }
+          Profile(name, lo, hi, eras, medians, tailBand)
       }
       val x = root \ "cross_profile"
       Loaded(BandSet(
@@ -183,8 +195,9 @@ object Bands {
     * BANDS.json `_doc`: profile first (host_cal), then steady
     * contention (both par endpoints / rep_spread med / n_inflated),
     * then the single-endpoint-with-elevated-total contended start,
-    * then the rep1 mid-drive transient, then unexplained-total
-    * (also mid-drive class), else quiet.
+    * then the rep1 mid-drive transient, then tail-only contention
+    * (tail_s above the profile's quiet tail band), then
+    * unexplained-total (also mid-drive class), else quiet.
     */
   def classify(bands: BandSet, r: Reading): (String, String) = {
     val recordedCal = r.hostCal.flatten
@@ -220,6 +233,13 @@ object Bands {
     // not a verdict
     if (r.rep1Med.exists(_ > bands.rep1MedQuietHi))
       return ("mid-drive-transient", profName)
+    // tail-only contention (VERDICT r18 #2): the n_inflated blind spot
+    // — headline medians quiet, the load sitting whole on the
+    // single-shot tail. Named from its own field once the profile has
+    // a recorded quiet tail band, instead of falling through to the
+    // unexplained-total rule below.
+    if (profile.flatMap(_.tailQuiet).exists { case (_, hi) => r.tailS.exists(_ > hi) })
+      return ("tail-contention", profName)
     if (totalElevated)
       return ("mid-drive-transient", profName)
     ("quiet", profName)

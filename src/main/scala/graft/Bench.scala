@@ -103,7 +103,8 @@ object Bench {
     // longest verdict literal, a profile name at sanitizeProfileName's
     // 16-char cap, and a sign + 2-digit n_inflated (the count is
     // bounded by the headline size; −1 = unavailable)
-    val frame = s"""{"metric":"total","value":99999.999,"unit":"sec","warmup":"v6-median3","host_cal":{"pre":99.999,"post":99.999},"host_cal_par":{"pre":999.999,"post":999.999,"threads":999},"rep_spread":${repSpreadJson(worstHi)},"rep1_infl":{"med":999.99,"max":999.99},"band_verdict":"mid-drive-transient","band_profile":"${"x" * 16}","n_inflated":-99,"n_failed":0,"failed":[],"memo_warn":$worstMemo,"queries":{},"sf":"${"x" * 40}"}"""
+    // tail_s at its r3q-saturated 8-char worst case (VERDICT r18 #2)
+    val frame = s"""{"metric":"total","value":99999.999,"unit":"sec","warmup":"v6-median3","host_cal":{"pre":99.999,"post":99.999},"host_cal_par":{"pre":999.999,"post":999.999,"threads":999},"rep_spread":${repSpreadJson(worstHi)},"rep1_infl":{"med":999.99,"max":999.99},"tail_s":9999.999,"band_verdict":"mid-drive-transient","band_profile":"${"x" * 16}","n_inflated":-99,"n_failed":0,"failed":[],"memo_warn":$worstMemo,"queries":{},"sf":"${"x" * 40}"}"""
     // per-headline allowance: `"name":9999.999,` = name + 4 chars of
     // JSON punctuation + an 8-char value slot — TRUE by construction,
     // not assumption, because per-query readings print through the
@@ -677,6 +678,17 @@ object Bench {
     // only the multi-second queries' rep-1 — the mid-drive-transient
     // signature both cal kernels and rep_spread's median miss
     val rep1Infl = rep1InflJson(hs.map(_._2.reps))
+    // tail_s (VERDICT r18 #2): total minus the headline-35 sum — the
+    // single-shot tail every other calibration field is blind to.
+    // n_inflated reads headline MEDIANS only, so load that lands
+    // between/after the headline reps prints n_inflated=0 and was
+    // caught only by the unexplained-total fallback (r18 drives 8–10,
+    // r19 drives 1–2: headline sums quiet-era while the tail floored
+    // ~12 s high). Printing the tail itself lets the classifier name
+    // the class from its own recorded quiet band (BANDS.json
+    // tail_quiet_s). Width-capped like the per-query readings — the
+    // certified frame allows an 8-char slot.
+    val tailS = r3q(math.max(0.0, total - hs.map(_._2.seconds).sum))
     // Self-adjudication (VERDICT r17 #1): run the drive's own
     // calibration evidence through the BANDS.json read-order rules so
     // the artifact carries its verdict instead of requiring a human
@@ -706,7 +718,8 @@ object Bench {
         parRatio = Seq(None, None),
         repSpreadMed = Some(lowerMed(repRatios.map(_._2))),
         rep1Med = Some(lowerMed(hs.map(_._2.reps).flatMap(rep1Ratio))),
-        total = total, catalog = results.size, nInflated = nInflated))
+        total = total, catalog = results.size, nInflated = nInflated,
+        tailS = Some(tailS)))
       case Bands.Missing => ("no-bands", "unknown")
       case Bands.Unreadable(detail) =>
         System.err.println(s"[bench] BANDS.json present but unreadable — live " +
@@ -714,7 +727,7 @@ object Bench {
         ("bands-unreadable", "unknown")
     }
     val bandJson = s""""band_verdict":"$bandVerdict","band_profile":"${sanitizeProfileName(bandProfile)}","n_inflated":${nInflated.getOrElse(-1)}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"v6-median3","host_cal":$hostCalJson,"host_cal_par":$hostCalParJson,"rep_spread":$repSpread,"rep1_infl":$rep1Infl,$bandJson,"n_failed":${failed.size},"failed":$failedJson,"memo_warn":$memoWarnJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"v6-median3","host_cal":$hostCalJson,"host_cal_par":$hostCalParJson,"rep_spread":$repSpread,"rep1_infl":$rep1Infl,"tail_s":$tailS,$bandJson,"n_failed":${failed.size},"failed":$failedJson,"memo_warn":$memoWarnJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // A bench with any failed query is not a measurement — make the
     // process exit status itself red so no downstream consumer can

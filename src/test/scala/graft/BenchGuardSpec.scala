@@ -248,9 +248,13 @@ class BenchGuardSpec extends AnyFunSuite {
       case _ => Seq(None, None)
     }
     val vocabulary = Set("quiet", "off-profile", "steady-contention",
-      "contended-start", "mid-drive-transient")
+      "contended-start", "mid-drive-transient", "tail-contention")
     val JArray(readings) = root \ "readings"
     assert(readings.size >= 26, s"expected the full r13+ ledger, got ${readings.size}")
+    def optScalar(v: JValue): Option[Double] = v match {
+      case JNull | JNothing => None
+      case x => Some(x.values.toString.toDouble)
+    }
     for (r <- readings) {
       val JString(round) = r \ "round"
       val drive = (r \ "drive").values.toString
@@ -264,13 +268,20 @@ class BenchGuardSpec extends AnyFunSuite {
         rep1Med = optPair(r \ "rep1_infl").headOption.flatten,
         total = (r \ "total_s").values.toString.toDouble,
         catalog = (r \ "catalog").values.toString.toInt,
-        profileHint = Some(prof))
+        profileHint = Some(prof),
+        nInflated = optScalar(r \ "n_inflated").map(_.toInt),
+        tailS = optScalar(r \ "tail_s"))
       val (verdict, p) = Bands.classify(bands, reading)
       assert(vocabulary.contains(verdict), s"$round/$drive: $verdict not in vocabulary")
       assert(p === prof, s"$round/$drive: classified profile $p, ledger says $prof")
       val recordedQuiet = recorded.startsWith("quiet")
       assert((verdict == "quiet") === recordedQuiet,
         s"$round drive $drive: classifier says $verdict, ledger verdict '$recorded'")
+      // rows adjudicated through the tail band must reproduce EXACTLY
+      // (the r19 class the tail_s field exists to name)
+      if (recorded.startsWith("tail-contention"))
+        assert(verdict === "tail-contention",
+          s"$round drive $drive: expected tail-contention, classifier says $verdict")
     }
   }
 
@@ -345,6 +356,51 @@ class BenchGuardSpec extends AnyFunSuite {
     } else {
       assert(Bands.classify(bands, withN)._1 === "quiet")
     }
+  }
+
+  test("tail-contention drills: tail_s above band fires on its own field, yields to headline evidence (VERDICT r18 #2)") {
+    val bands = Bands.load().getOrElse(fail("BANDS.json did not load"))
+    // baseline: r19 drive 3's fully-quiet reading (tail at the floor)
+    val quiet = Bands.Reading(
+      hostCal = Seq(Some(0.993), Some(1.043)),
+      parKernel = Seq(Some(1.149), Some(1.135)),
+      parRatio = Seq(Some(1.16), Some(1.09)),
+      repSpreadMed = Some(1.3), rep1Med = Some(1.15),
+      total = 176.362, catalog = 215, nInflated = Some(0),
+      tailS = Some(136.34))
+    assert(Bands.classify(bands, quiet) === ("quiet", "B"))
+    // drill 1 (r19 drive 1's signature): headline fields quiet, tail
+    // above the band — named from its own field, not by elimination
+    assert(Bands.classify(bands, quiet.copy(
+      tailS = Some(148.35), total = 188.989))
+      === ("tail-contention", "B"))
+    // drill 2: same tail with the total still inside the cluster —
+    // the band adjudicates the tail independently of the total
+    assert(Bands.classify(bands, quiet.copy(tailS = Some(142.0)))
+      === ("tail-contention", "B"))
+    // drill 3: unrecorded tail contributes no evidence — an elevated
+    // total falls through to the unexplained-total rule (pre-r19 rows)
+    assert(Bands.classify(bands, quiet.copy(tailS = None, total = 189.0))
+      === ("mid-drive-transient", "B"))
+    // drill 4: headline evidence NOT quiet takes precedence — rep1
+    // med above its band names the mid-drive transient even with the
+    // tail also elevated (the tail rule is the quiet-headline class)
+    assert(Bands.classify(bands, quiet.copy(
+      rep1Med = Some(1.40), tailS = Some(148.35), total = 189.0))
+      === ("mid-drive-transient", "B"))
+    // drill 5: at the band hi edge exactly is NOT above (strict >)
+    assert(Bands.classify(bands, quiet.copy(tailS = Some(141.0)))
+      === ("quiet", "B"))
+    // drill 6: a profile without a recorded tail band never fires the
+    // rule (profile A predates per-query/tail detail retention)
+    val aProfile = bands.profiles.find(_.name == "A").getOrElse(fail("A missing"))
+    assert(aProfile.tailQuiet === None)
+    assert(Bands.classify(bands, Bands.Reading(
+      hostCal = Seq(Some(0.88), Some(0.9)),
+      parKernel = Seq(None, None), parRatio = Seq(Some(1.1), Some(1.1)),
+      repSpreadMed = Some(1.3), rep1Med = Some(1.2),
+      total = 210.0, catalog = 215, tailS = Some(500.0)))
+      === ("quiet", "A"))
   }
 
   test("partial kernel match refuses cross-profile-ambiguous readings (ADVICE r18)") {
@@ -486,9 +542,17 @@ class BenchGuardSpec extends AnyFunSuite {
     for ((name, p) <- profiles) {
       lohi(p \ "host_cal_s", s"profile $name host_cal")
       lohi(p \ "quiet_cluster_total_s", s"profile $name quiet cluster")
+      if ((p \ "tail_quiet_s") != JNothing)
+        lohi(p \ "tail_quiet_s", s"profile $name tail band")
       val JInt(n) = p \ "n_host_cal_readings"
       assert(n > 0, s"profile $name n_host_cal_readings")
     }
+    // the tail band exists where the tail rule is live (profile B,
+    // seeded r19) and its hi sits below the quiet cluster's lo — a
+    // tail alone can never exceed a quiet TOTAL
+    val bTail = lohi((root \ "profiles" \ "B") \ "tail_quiet_s", "B tail band")
+    val bCluster = lohi((root \ "profiles" \ "B") \ "quiet_cluster_total_s", "B cluster")
+    assert(bTail._2 < bCluster._1, "tail band hi must sit below the quiet cluster lo")
     val x = root \ "cross_profile"
     lohi(x \ "par_ratio_quiet_core", "par_ratio_quiet_core")
     lohi(x \ "rep_spread_quiet_med", "rep_spread_quiet_med")
@@ -521,6 +585,9 @@ class BenchGuardSpec extends AnyFunSuite {
     val profBands = profiles.map { case (name, p) =>
       name -> (lohi(p \ "host_cal_s", s"$name cal"),
                lohi(p \ "quiet_cluster_total_s", s"$name cluster")) }.toMap
+    val profTail = profiles.map { case (name, p) =>
+      name -> (if ((p \ "tail_quiet_s") != JNothing)
+        Some(lohi(p \ "tail_quiet_s", s"$name tail")) else None) }.toMap
     val uniformKeys = Seq("host_cal", "par_kernel_s", "par_ratio",
       "rep_spread", "rep1_infl")
     for (r <- readings) {
@@ -536,6 +603,15 @@ class BenchGuardSpec extends AnyFunSuite {
           assert(v > 0 && v < 1000, s"$round $k value $v out of sane range"))
       }
       val JString(verdict) = r \ "verdict"
+      // tail_s, where recorded, is a positive sub-total number of
+      // seconds (scalar — not part of the uniform pair-key set, which
+      // predates it)
+      (r \ "tail_s") match {
+        case JNull | JNothing => ()
+        case x =>
+          val v = x.values.toString.toDouble
+          assert(v > 0 && v < total, s"$round tail_s $v vs total $total")
+      }
       if (verdict.startsWith("quiet")) {
         val ((calLo, calHi), (cluLo, cluHi)) = profBands(prof)
         pairVals(r \ "host_cal").foreach(v => assert(v >= calLo && v <= calHi,
@@ -543,6 +619,15 @@ class BenchGuardSpec extends AnyFunSuite {
         val JInt(cat) = r \ "catalog"
         if (cat == 215) assert(total >= cluLo && total <= cluHi,
           s"$round quiet catalog-215 total $total outside profile $prof quiet cluster [$cluLo, $cluHi]")
+        // a quiet reading with a recorded tail must sit inside the
+        // profile's tail band (same coverage contract as the others:
+        // an honest quiet outlier widens the band in the SAME commit)
+        for (((tLo, tHi)) <- profTail(prof); x <- Option(r \ "tail_s")
+             if x != JNull && x != JNothing) {
+          val v = x.values.toString.toDouble
+          assert(v >= tLo && v <= tHi,
+            s"$round quiet reading tail_s $v outside profile $prof tail band [$tLo, $tHi]")
+        }
       }
     }
   }
