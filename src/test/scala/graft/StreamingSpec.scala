@@ -725,4 +725,108 @@ class StreamingSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))
     assert(windowed.count() > 0)
   }
+
+  test("seed-marker contract holds on a second FileSystem class: RawLocalFileSystem (VERDICT r18 #6)") {
+    // The r18 measured-behavior table had one row (ChecksumFileSystem,
+    // the `file:` default). RawLocalFileSystem is the class underneath
+    // it — same local disk, NO crc shadow files — so the two differ in
+    // exactly the machinery the r18 race test implicated (interleaved
+    // data+crc clobber). Registered under its own scheme so the shared
+    // session's `file:` filesystem (and its cache entry) is untouched.
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.DocStream
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.rawdrill.impl", classOf[RawDrillFileSystem].getName)
+    val base = java.nio.file.Files.createTempDirectory("graft_rawfs_").toString
+    val dir = s"rawdrill://$base"
+    val fs = new Path(dir).getFileSystem(conf)
+    assert(fs.isInstanceOf[RawDrillFileSystem], fs.getClass.getName)
+    // (1) the claim primitive's measured behavior on THIS class:
+    // create(overwrite=false) over an existing path throws, and the
+    // existing content survives
+    val probe = new Path(s"$dir/_probe")
+    val out = fs.create(probe, false); out.write("a".getBytes("UTF-8")); out.close()
+    intercept[java.io.IOException] { fs.create(probe, false).close() }
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/_probe")), "UTF-8") === "a")
+    // no crc shadow — the class really is the raw one
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/._probe.crc")))
+    // (2) adopt / same-seed / rotated legs end-to-end through the guard
+    DocStream.checkOrWriteSeedMarker(spark, dir, 7L) // fresh adopt
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/_seed.json")), "UTF-8").contains("\"seed\": 7"))
+    DocStream.checkOrWriteSeedMarker(spark, dir, 7L) // same-seed green
+    val e = intercept[IllegalStateException] {
+      DocStream.checkOrWriteSeedMarker(spark, dir, 9L) // rotation red
+    }
+    assert(e.getMessage.contains("banding-seed mismatch") &&
+      e.getMessage.contains("seed 7") && e.getMessage.contains("seed 9"), e.getMessage)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/_seed.json")), "UTF-8").contains("\"seed\": 7"))
+    SparkSpec.deleteRecursively(base)
+  }
+
+  test("seed-marker read-back under another seed adjudicates as a lost race, not a filesystem fault (ADVICE r18)") {
+    // Simulates the non-atomic-create window deterministically: the
+    // shim filesystem's open() of _seed.json returns a marker recorded
+    // under seed 4242 regardless of what this writer just wrote — the
+    // on-disk state after a different-seed first open wins the race
+    // AFTER our bytes landed. The guard must treat the read-back
+    // marker as authoritative (restart with ITS seed), never advise
+    // deleting it: the winner's claim is legitimate.
+    import graft.streaming.DocStream
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.swapseed.impl", classOf[SwapSeedFileSystem].getName)
+    val base = java.nio.file.Files.createTempDirectory("graft_swapfs_").toString
+    val e = intercept[IllegalStateException] {
+      DocStream.checkOrWriteSeedMarker(spark, s"swapseed://$base", 7L)
+    }
+    assert(e.getMessage.contains("banding-seed mismatch on marker read-back"),
+      e.getMessage)
+    assert(e.getMessage.contains("restart with seed=4242"), e.getMessage)
+    assert(e.getMessage.contains("Do NOT delete the marker"), e.getMessage)
+    assert(!e.getMessage.contains("filesystem fault"), e.getMessage)
+    SparkSpec.deleteRecursively(base)
+  }
+}
+
+/** RawLocalFileSystem under its own scheme: the second FileSystem
+  * class for the seed-marker contract drill. Registering a distinct
+  * scheme (instead of overriding `fs.file.impl`) leaves the shared
+  * session's cached ChecksumFileSystem untouched.
+  */
+class RawDrillFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("rawdrill:///")
+}
+
+/** RawLocalFileSystem whose open() of a `_seed.json` always yields a
+  * marker recorded under seed 4242 — the deterministic stand-in for a
+  * lost first-open race on a filesystem without atomic exclusive
+  * create (another writer's marker landing between this writer's
+  * create() and its verification read-back).
+  */
+class SwapSeedFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("swapseed:///")
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    if (f.getName != "_seed.json") super.open(f, bufferSize)
+    else {
+      val bytes = "{\"seed\": 4242}".getBytes("UTF-8")
+      new org.apache.hadoop.fs.FSDataInputStream(new SeekableBytes(bytes))
+    }
+  }
+}
+
+/** Minimal seekable byte-array stream for [[SwapSeedFileSystem]] —
+  * FSDataInputStream requires Seekable + PositionedReadable, which
+  * plain ByteArrayInputStream lacks.
+  */
+class SeekableBytes(bytes: Array[Byte])
+    extends org.apache.hadoop.fs.FSInputStream {
+  private var pos = 0
+  override def read(): Int =
+    if (pos >= bytes.length) -1 else { val b = bytes(pos) & 0xff; pos += 1; b }
+  override def seek(p: Long): Unit = { pos = p.toInt }
+  override def getPos: Long = pos.toLong
+  override def seekToNewSource(targetPos: Long): Boolean = false
 }
