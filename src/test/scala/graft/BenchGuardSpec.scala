@@ -445,11 +445,13 @@ class BenchGuardSpec extends AnyFunSuite {
       case Bands.Unreadable(detail) => assert(detail.nonEmpty)
       case other => fail(s"corrupt band file loaded as $other")
     }
+    // the Option view folds the corrupt case to None while the file
+    // still exists (deleting first would re-test the missing case)
+    assert(Bands.load(tmp.toString) === None)
     java.nio.file.Files.delete(tmp)
-    // the checked-in file loads; the Option view agrees on all three
+    // the checked-in file loads; the Option view agrees on the rest
     assert(Bands.loadResult().isInstanceOf[Bands.Loaded])
     assert(Bands.load("target/does_not_exist_bands.json") === None)
-    assert(Bands.load(tmp.toString) === None)
     assert(Bands.load().isDefined)
     // the unreadable verdict literal fits the certified frame slot
     assert("bands-unreadable".length <= 19)
