@@ -607,12 +607,18 @@ class BenchGuardSpec extends AnyFunSuite {
       val JString(verdict) = r \ "verdict"
       // tail_s, where recorded, is a positive sub-total number of
       // seconds (scalar — not part of the uniform pair-key set, which
-      // predates it)
+      // predates it) — and only meaningful in the catalog-215/35-pin
+      // era the tail band was seeded in (tail arithmetic moves with
+      // either; a different-era row here means the band needs
+      // re-deriving, per the tail_quiet_note's era caveat)
       (r \ "tail_s") match {
         case JNull | JNothing => ()
         case x =>
           val v = x.values.toString.toDouble
           assert(v > 0 && v < total, s"$round tail_s $v vs total $total")
+          val JInt(cat) = r \ "catalog"
+          assert(cat == 215,
+            s"$round records tail_s at catalog $cat — the tail band is seeded for the 215-era; re-derive it")
       }
       if (verdict.startsWith("quiet")) {
         val ((calLo, calHi), (cluLo, cluHi)) = profBands(prof)
