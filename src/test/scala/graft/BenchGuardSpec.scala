@@ -205,6 +205,53 @@ class BenchGuardSpec extends AnyFunSuite {
         "rotate a redundant headline sibling out (r15 dd02/tx08, r16 mx05 precedents)")
   }
 
+  test("steal_pct: exact arithmetic on synthetic /proc/stat lines, rejection on every degenerate shape (r19)") {
+    // 8-field deltas: user+100, idle+860, steal+40 → 40/1000 = 4%
+    val a = "cpu  1000 0 500 10000 10 0 5 100 0 0"
+    val b = "cpu  1100 0 500 10860 10 0 5 140 0 0"
+    assert(Bench.stealPct(a, b) === Some(4.0))
+    // zero steal delta on a live window → exactly 0.0, not None (a
+    // quiet reading is a reading — the ledger's ≤0.1% class)
+    val c = "cpu  2000 0 500 10000 10 0 5 100 0 0"
+    assert(Bench.stealPct(a, c) === Some(0.0))
+    // guest fields absent (8-field kernels) still parse
+    assert(Bench.stealPct("cpu 0 0 0 0 0 0 0 0", "cpu 10 0 0 80 0 0 0 10")
+      === Some(10.0))
+    // degenerate shapes are None, never a fabricated number: per-cpu
+    // line, non-numeric field, short line, zero/negative total delta,
+    // counter wrap (steal going backwards), steal exceeding the total
+    assert(Bench.stealPct(a.replace("cpu ", "cpu0 "), b) === None)
+    assert(Bench.stealPct(a, b.replace("140", "x40")) === None)
+    assert(Bench.stealPct("cpu 1 2 3", b) === None)
+    assert(Bench.stealPct(a, a) === None) // zero elapsed
+    assert(Bench.stealPct(b, a) === None) // negative deltas
+    // a steal-only advance is a consistent 100%-steal window, not an
+    // error (steal is a summand of the total)
+    assert(Bench.stealPct(a,
+      "cpu  1000 0 500 10000 10 0 5 2000 0 0") === Some(100.0))
+    // but a partial counter wrap (idle going backwards while steal
+    // advances, dTot < dSteal) is inconsistent → None, never >100%
+    assert(Bench.stealPct(a,
+      "cpu  1000 0 500 9000 10 0 5 2000 0 0") === None)
+  }
+
+  test("steal_pct: the live /proc/stat read parses and a spanned window yields a sane percentage") {
+    // Attribution-only receipt (scaladoc on stealPct): on a host
+    // without /proc/stat the bench prints null and this test vacuously
+    // passes — the contract is "never wrong", not "always present".
+    Bench.readProcStat() match {
+      case None => assert(!new java.io.File("/proc/stat").canRead)
+      case Some(line0) =>
+        assert(line0.startsWith("cpu "))
+        Thread.sleep(120) // aggregate jiffies across all cpus tick well within this
+        val p = for {
+          a <- Some(line0); b <- Bench.readProcStat(); v <- Bench.stealPct(a, b)
+        } yield v
+        assert(p.isDefined, "spanned live window must produce a reading")
+        assert(p.get >= 0.0 && p.get <= 100.0)
+    }
+  }
+
   test("memo_warn/failed name lists are bounded in the printed line") {
     // unbounded through r13: a mass tripwire firing could push the one
     // line the driver parses past its buffer exactly when it matters
