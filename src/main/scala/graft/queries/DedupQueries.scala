@@ -438,6 +438,11 @@ object DedupQueries {
     val docs = Tables.documents(s, dir)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"))
+    // NOT materialized (r19 optimization round, measured): `cand` feeds
+    // two subtrees (the recall probe join and the candidate count), but
+    // ReuseExchange already dedups the identical LSH chain under both —
+    // an explicit localCheckpoint measured NEUTRAL-to-worse at sf0.1
+    // (3.07 s vs 3.42 s steady, console A/B), so the plan stays as-is.
     val cand = Dedup.minHashCandidatePairs(docs, "doc_id", "text")
       .select(col("doc_a").as("ca"), col("doc_b").as("cb"))
     val hit = exact.join(cand,
@@ -606,8 +611,13 @@ object DedupQueries {
     // (rep, rep, quality) row the uncollapsed best-of-cluster emits.
     val collapsed = Dedup.collapseIdenticalTexts(docs, "doc_id", "text", minTokens = 3)
     val pairs = Dedup.jaccardPairs(collapsed, "doc_id", "text", n = 3, threshold = 0.5)
-    Dedup.curateByQuality(collapsed, pairs, "doc_id",
-        graft.text.TextStats.qualityScore(col("text")))
+    // quality over a staged token attribute (r19 optimization round,
+    // TextStats FromTokens note): the text-input form re-tokenized
+    // every doc 6× inside curateByQuality's quality projection
+    Dedup.curateByQuality(
+        collapsed.withColumn("__tk", graft.text.TextStats.tokens(col("text"))),
+        pairs, "doc_id",
+        graft.text.TextStats.qualityScoreFromTokens(col("__tk")))
       .orderBy(col("doc_id"))
   }
 

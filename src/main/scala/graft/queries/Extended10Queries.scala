@@ -37,11 +37,17 @@ object Extended10Queries {
     // CORRELATED in the synthetic corpus (doc_id ≡ source mod 20), so a
     // modulus split would put four sources entirely in test with zero
     // training examples — the hash decorrelates
+    // Materialized once (r19 optimization round, guide §2.4): the
+    // tokenized frame feeds FIVE separate subtrees (train token
+    // explode ×2 via counts/classTotals, priors, nTrain, test tokens),
+    // and each re-ran the interpreted tokenize pass over the corpus —
+    // five full scans at any scale, one after staging.
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), TextStats.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("bucket",
         graft.dedup.Dedup.md5Hash48(col("doc_id").cast("string")) % 5)
+      .localCheckpoint()
     val train = docs.filter(col("bucket") =!= 0)
     val test = docs.filter(col("bucket") === 0)
     val toksTrain = train.select(col("source"), explode(col("toks")).as("tok"))

@@ -80,23 +80,42 @@ object Extended12Queries {
     // exact verification on candidates only, and IN-ROW: fold each
     // candidate document's shingle set into one array (bounded by doc
     // length, so rows stay small), equi-join the pair list to the two
-    // arrays, and compute |a∩b| with codegen'd array_intersect. This
-    // replaces the old pairs×shingles expansion (profiled 6.5M-row
-    // two-join verify, ~2 s steady) with two joins of |cands| rows and
-    // a per-row set intersection — the verify cost now scales with the
-    // CANDIDATE count, not candidates × doc length.
+    // arrays, and compute |a∩b| per pair. This replaces the old
+    // pairs×shingles expansion (profiled 6.5M-row two-join verify,
+    // ~2 s steady) with two joins of |cands| rows and a per-row set
+    // intersection — the verify cost now scales with the CANDIDATE
+    // count, not candidates × doc length.
+    //
+    // r19 optimization round, two changes to the verify tail (guide
+    // §1.2 per-task work + §2.4 duplicated subtrees), measured from the
+    // 124,961-candidate reality at sf0.1 (the prefix buckets of this
+    // templated corpus are far fatter than real-crawl rarest-shingle
+    // buckets, so the verify pass dominates the query):
+    //  1. the doc-set arrays are sorted ONCE per doc at build
+    //     (sort_array, 4.8k docs) and |a∩b| runs as the codegen'd
+    //     sorted-merge SortedIntersectCount — value-identical to
+    //     size(array_intersect) on these distinct sorted arrays, but
+    //     O(n+m) with no per-pair hash-set allocation. array_intersect
+    //     built an OpenHashSet per evaluation, and the jaccard filter's
+    //     pushdown into the join condition made that 2-3 evaluations
+    //     per candidate: measured 1.3 s of pure CPU in the verify task.
+    //  2. docSets is materialized once (localCheckpoint): it fed both
+    //     join sides as two separate subtrees, so the collect_list
+    //     aggregation (a full pass over the shingle index at any scale)
+    //     ran twice.
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b"))).distinct()
     val docSets = base.groupBy(col("doc_id"))
-      .agg(collect_list(col("tok")).as("ts"), first(col("sz")).as("sz"))
+      .agg(sort_array(collect_list(col("tok"))).as("ts"), first(col("sz")).as("sz"))
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     cands
       .join(docSets.select(col("doc_id").as("doc_a"),
         col("ts").as("ts_a"), col("sz").as("sz_a")), "doc_a")
       .join(docSets.select(col("doc_id").as("doc_b"),
         col("ts").as("ts_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("inter",
-        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+        graft.functions.ArrayFns.sortedIntersectCount(col("ts_a"), col("ts_b")))
       .withColumn("jaccard", round(col("inter") /
         (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= t)

@@ -52,8 +52,12 @@ object Extended20Queries {
     // tokenization feeds repetition + both shingle sides — once
     val toks = docs.select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0).localCheckpoint()
-    val quality = docs.filter(TextStats.tokenCount(col("text")) > 0)
-      .select(col("doc_id"), (TextStats.qualityScore(col("text")) >= 0.5).as("q_ok"))
+    // quality from the materialized token frame (r19 optimization
+    // round): size(toks) > 0 IS the tokenCount gate, and the
+    // text-input qualityScore re-tokenized the corpus 6× per row
+    val quality = toks
+      .select(col("doc_id"),
+        (TextStats.qualityScoreFromTokens(col("toks")) >= 0.5).as("q_ok"))
     val rep = toks.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("toks"),
         explode(expr("sequence(1, size(toks) - 1)")).as("i"))
@@ -288,8 +292,10 @@ object Extended20Queries {
   def shardManifest(docs: DataFrame): DataFrame = {
     import graft.dedup.Dedup
     val d = docs
-      .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"),
-        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("__tk", TextStats.tokens(col("text"))) // staged once (r19)
+      .select(col("doc_id"),
+        TextStats.qualityScoreFromTokens(col("__tk")).as("quality"),
+        size(col("__tk")).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0 && col("quality") >= 0.5)
       .select(col("doc_id"), col("n_tokens"),
         Dedup.md5Hash48(col("doc_id").cast("string")).as("h"))

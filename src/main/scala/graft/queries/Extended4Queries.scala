@@ -731,8 +731,9 @@ object Extended4Queries {
   private def mx04WeightedSample(s: SparkSession, dir: String): DataFrame = {
     import graft.text.TextStats
     val scored = Tables.documents(s, dir)
-      .filter(TextStats.tokenCount(col("text")) > 0)
-      .select(col("doc_id"), TextStats.qualityScore(col("text")).as("w"),
+      .withColumn("__tk", TextStats.tokens(col("text"))) // staged once (r19)
+      .filter(size(col("__tk")) > 0)
+      .select(col("doc_id"), TextStats.qualityScoreFromTokens(col("__tk")).as("w"),
         ((pmod(graft.dedup.Dedup.md5Hash48(col("doc_id").cast("string")),
           lit(10000)) + 1) / lit(10001.0)).as("u"))
       .withColumn("skey", -log(col("u")) / col("w"))
@@ -905,9 +906,13 @@ object Extended4Queries {
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .localCheckpoint()
-    val quality = docs.filter(TextStats.tokenCount(col("text")) > 0)
-      .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"),
-        TextStats.tokenCount(col("text")).as("n_tokens"))
+    // quality/n_tokens from the materialized token frame (r19
+    // optimization round): size(toks) > 0 IS the tokenCount(text) > 0
+    // gate, and the text-input forms re-tokenized the corpus ~8×
+    val quality = toks
+      .select(col("doc_id"),
+        TextStats.qualityScoreFromTokens(col("toks")).as("quality"),
+        size(col("toks")).as("n_tokens"))
     val rep = toks.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("toks"),
         explode(expr("sequence(1, size(toks) - 1)")).as("i"))

@@ -384,9 +384,16 @@ object Extended5Queries {
     // DuckDB end (nulls-last) of the histogram, shifting every real
     // bucket's pct_le by 1/total on exactly one engine (r12 chaos
     // parity). No-op when every doc scores.
-    val q = docs.select(col("doc_id"),
-      round(TextStats.qualityScore(col("text")), 4).as("quality"))
+    // staged tokenization (r19 optimization round, TextStats FromTokens
+    // note) — and materialized ONCE: `q` feeds three subtrees (the
+    // histogram, the total, and the final join), so the unstaged form
+    // tokenized and quality-scored the corpus three times over.
+    val q = docs
+      .withColumn("__tk", TextStats.tokens(col("text")))
+      .select(col("doc_id"),
+        round(TextStats.qualityScoreFromTokens(col("__tk")), 4).as("quality"))
       .filter(col("quality").isNotNull)
+      .localCheckpoint()
     val hist = q.groupBy(col("quality")).agg(count(lit(1)).as("nq"))
     val cum = hist.withColumn("cum", sum(col("nq")).over(
       Window.orderBy(col("quality")).rowsBetween(Window.unboundedPreceding, 0)))
@@ -440,8 +447,13 @@ object Extended5Queries {
       .filter(col("is_dup") === 0).select(col("doc_id"), lit(true).as("canon"))
     val toks = docs.select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0).localCheckpoint()
-    val quality = docs.filter(TextStats.tokenCount(col("text")) > 0)
-      .select(col("doc_id"), (TextStats.qualityScore(col("text")) >= 0.5).as("q_ok"))
+    // quality from the ALREADY-materialized token frame (r19
+    // optimization round): the text-input form re-tokenized the corpus
+    // a second time (6× inside qualityScore), and the `toks` filter
+    // (size > 0) is exactly the tokenCount(text) > 0 gate
+    val quality = toks
+      .select(col("doc_id"),
+        (TextStats.qualityScoreFromTokens(col("toks")) >= 0.5).as("q_ok"))
     val rep = toks.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("toks"),
         explode(expr("sequence(1, size(toks) - 1)")).as("i"))

@@ -281,11 +281,17 @@ object Extended6Queries {
     * remainder. Deterministic: integer token counts, 4-dp quality.
     */
   private def mx08TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    // staged tokenization + ONE materialization (r19 optimization
+    // round): `docs` feeds four subtrees (total, histogram, and the
+    // flagged join consumed twice), so the unstaged form tokenized the
+    // corpus 4× and quality-scored it 4×6 expression copies deep
     val docs = Tables.documents(s, dir)
+      .withColumn("__tk", graft.text.TextStats.tokens(col("text")))
       .select(col("doc_id"),
-        round(graft.text.TextStats.qualityScore(col("text")), 4).as("quality"),
-        graft.text.TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+        round(graft.text.TextStats.qualityScoreFromTokens(col("__tk")), 4).as("quality"),
+        size(col("__tk")).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
+      .localCheckpoint()
     val total = docs.agg(floor(sum(col("n_tokens")) / 2).cast("long").as("budget"))
     val hist = docs.groupBy(col("quality")).agg(sum(col("n_tokens")).as("bt"))
     // cumulative spend from the highest-quality bucket down (window

@@ -11,14 +11,19 @@ import graft.text.TextStats._
   */
 object TextQueries {
 
-  /** Token / character statistics per document. */
+  /** Token / character statistics per document. Tokenized ONCE via a
+    * staged attribute (r19 optimization round — see TextStats'
+    * FromTokens note): the text-input forms re-ran the interpreted
+    * split/filter once per stat.
+    */
   private def tx01TokenStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .withColumn("__tk", tokens(col("text")))
       .select(col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        distinctTokenCount(col("text")).as("n_distinct_tokens"),
+        size(col("__tk")).as("n_tokens"),
+        size(array_distinct(col("__tk"))).as("n_distinct_tokens"),
         length(col("text")).as("len_chars"),
-        round(meanTokenLength(col("text")), 4).as("mean_token_len"))
+        round(meanTokenLengthFromTokens(col("__tk")), 4).as("mean_token_len"))
       .orderBy(col("doc_id"))
 
   private val tx01Sql =
@@ -36,11 +41,12 @@ object TextQueries {
     */
   private def tx02Quality(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .withColumn("__tk", tokens(col("text"))) // one split for 3 of 4 stats
       .select(col("doc_id"),
-        round(typeTokenRatio(col("text")), 4).as("ttr"),
-        round(stopwordRatio(col("text")), 4).as("stop_ratio"),
+        round(typeTokenRatioFromTokens(col("__tk")), 4).as("ttr"),
+        round(stopwordRatioFromTokens(col("__tk")), 4).as("stop_ratio"),
         round(punctRatio(col("text")), 4).as("punct_ratio"),
-        round(qualityScore(col("text")), 4).as("quality"))
+        round(qualityScoreFromTokens(col("__tk")), 4).as("quality"))
       .orderBy(col("doc_id"))
 
   // DuckDB mirror of TextStats.qualityScore: 0.4*min(n/50,1) +
@@ -162,9 +168,12 @@ object TextQueries {
     val docs = Tables.documents(s, dir)
     val dups = graft.dedup.Dedup.exactGroups(docs, "doc_id", "text")
       .select(col("doc_id"), col("is_dup"))
-    withLangId(docs, "text")
+    // one tokenization pass feeds BOTH the language-ID scores and the
+    // quality score (r19 optimization round — the FromTokens staging)
+    withLangId(docs.withColumn("__tk", tokens(col("text"))), "text",
+        tokensCol = Some("__tk"))
       .select(col("doc_id"), col("lang_pred"),
-        round(qualityScore(col("text")), 4).as("quality"))
+        round(qualityScoreFromTokens(col("__tk")), 4).as("quality"))
       .join(dups, "doc_id")
       .filter(col("is_dup") === 0 && col("lang_pred") === "en" && col("quality") >= 0.6)
       .select(col("doc_id"), col("quality"))

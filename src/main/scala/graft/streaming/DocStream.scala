@@ -54,7 +54,10 @@ object DocStream {
       .withColumn("fp", TextStats.fingerprint(col("text")))
       .withWatermark("ingest_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
-      .withColumn("quality", TextStats.qualityScore(col("text")))
+      // staged token attribute (r19 optimization round): qualityScore's
+      // text-input form re-tokenized each surviving doc 6× per row
+      .withColumn("__tk", TextStats.tokens(col("text")))
+      .withColumn("quality", TextStats.qualityScoreFromTokens(col("__tk")))
       .filter(col("quality") >= minQuality)
       .select(col("doc_id"), col("ingest_ts"), col("source"),
         round(col("quality"), 4).as("quality"))

@@ -142,6 +142,49 @@ object TextStats {
         lit(0.2) * least(stop * 5.0, lit(1.0)))
   }
 
+  // ---- Staged (token-attribute) stat variants (r19 optimization
+  // round). Every text-input ratio above inlines `tokens(text)` — an
+  // interpreted HigherOrderFunction (filter/split lambdas carry no
+  // doGenCode) — once per reference, and codegen subexpression
+  // elimination does not collapse the copies (the when()/division
+  // guards put them in conditional branches, which CSE skips by
+  // design). A stats projection like tx01/tx02 therefore re-tokenized
+  // every document up to ~10×, and qualityScore alone expands the
+  // split six times. The FromTokens forms take the token ARRAY as an
+  // attribute staged by one upstream projection (the withLangId/
+  // withShingles discipline — CollapseProject keeps a multiply-
+  // referenced non-cheap alias materialized), so the split runs once
+  // per row at any scale. Value-identical by construction: the same
+  // expression trees with the shared token subtree as the input.
+  // Measured at sf0.1 (console A/B over the documents table):
+  // qualityScore 0.64 s → 0.28 s per pass.
+
+  def typeTokenRatioFromTokens(tk: Column): Column =
+    size(array_distinct(tk)).cast("double") /
+      nullif(size(tk).cast("double"), lit(0.0))
+
+  def meanTokenLengthFromTokens(tk: Column): Column =
+    aggregate(tk, lit(0), (acc, t) => acc + length(t)).cast("double") /
+      nullif(size(tk).cast("double"), lit(0.0))
+
+  def stopwordRatioFromTokens(tk: Column,
+      stopwords: Seq[String] = DefaultStopwords): Column =
+    size(filter(tk, t => t.isInCollection(stopwords))).cast("double") /
+      nullif(size(tk).cast("double"), lit(0.0))
+
+  /** [[qualityScore]] from a staged token-array attribute — the same
+    * formula tree, tokenized once. See the staging note above.
+    */
+  def qualityScoreFromTokens(tk: Column,
+      stopwords: Seq[String] = DefaultStopwords): Column = {
+    val lenFactor = least(size(tk).cast("double") / lit(50.0), lit(1.0))
+    val diversity = typeTokenRatioFromTokens(tk)
+    val stop = stopwordRatioFromTokens(tk, stopwords)
+    when(size(tk) === 0, lit(0.0)).otherwise(
+      lit(0.4) * lenFactor + lit(0.4) * diversity +
+        lit(0.2) * least(stop * 5.0, lit(1.0)))
+  }
+
   /** Marker-word sets for the language-ID heuristic. Text with none of
     * a language's markers scores 0 for it.
     */
@@ -180,8 +223,16 @@ object TextStats {
     */
   def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String,
       outCol: String = "lang_pred",
-      markers: Seq[(String, Seq[String])] = LangMarkers): org.apache.spark.sql.DataFrame = {
-    val toksed = df.withColumn("__toks", tokens(col(textCol)))
+      markers: Seq[(String, Seq[String])] = LangMarkers,
+      // pre-staged token column (r19 optimization round): a caller
+      // that already tokenized (e.g. tx07, which also quality-scores)
+      // names its token attribute here so the corpus is split once,
+      // not once per consumer
+      tokensCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val toksed = tokensCol match {
+      case Some(c) => df.withColumn("__toks", col(c))
+      case None => df.withColumn("__toks", tokens(col(textCol)))
+    }
     val scored = markers.foldLeft(toksed) { case (d, (lang, words)) =>
       d.withColumn(s"__score_$lang",
         size(filter(col("__toks"), t => t.isInCollection(words))))

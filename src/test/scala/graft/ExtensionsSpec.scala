@@ -63,4 +63,39 @@ class ExtensionsSpec extends SparkSpec {
       assert(total > 0.0)
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
+
+  test("sortedIntersectCount equals size(array_intersect) on sorted real shingle sets, incl. codegen") {
+    // the dd18 verify-tail contract (r19 optimization round): on
+    // ascending-sorted arrays the merge-scan count is value-identical
+    // to array_intersect's hash-set size — checked over every candidate
+    // doc pair of the real sf0.001 corpus, under forced codegen
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val sets = graft.dedup.Dedup
+        .hashedShingleRows(Tables.documents(spark, Sf0001), "doc_id", "text", 3)
+        .groupBy($"doc").agg(sort_array(collect_list($"s")).as("ts"))
+        .limit(200).localCheckpoint()
+      val pairs = sets.toDF("a", "ts_a").crossJoin(sets.toDF("b", "ts_b"))
+        .filter($"a" < $"b")
+      val mismatches = pairs.select(
+          graft.functions.ArrayFns.sortedIntersectCount($"ts_a", $"ts_b").as("merge"),
+          size(array_intersect($"ts_a", $"ts_b")).cast("long").as("builtin"))
+        .filter($"merge" =!= $"builtin").count()
+      assert(mismatches == 0)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("sortedIntersectCount: duplicates collapse, null arrays, type rejection") {
+    val df = Seq(
+      (Some(Array(1L, 2L, 2L, 3L)), Some(Array(2L, 2L, 3L, 9L))), // dup runs → {2,3} = 2
+      (Some(Array.empty[Long]), Some(Array(1L))),
+      (None, Some(Array(1L)))).toDF("a", "b")
+    val r = df.select(graft.functions.ArrayFns.sortedIntersectCount($"a", $"b").as("c"))
+      .collect()
+    assert(r(0).getLong(0) == 2L && r(1).getLong(0) == 0L && r(2).isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Array(1.0), Array(2.0))).toDF("a", "b")
+        .select(graft.functions.ArrayFns.sortedIntersectCount($"a", $"b")).collect()
+    }
+  }
 }
