@@ -745,9 +745,22 @@ object Dedup {
       idCol: String, textCol: String, n: Int = 3, bands: Int = 8,
       rowsPerBand: Int = 4, threshold: Double = 0.5, seed: Long = 42L,
       corpusBucketCap: Int = Int.MaxValue): DataFrame = {
-    val bIn = bandedSignatureKeys(incoming, idCol, textCol, n, bands, rowsPerBand, seed)
+    // ONE tokenize+md5+shingle pass per side, materialized (r19
+    // optimization round — the minHashCuratedCorpus staging, VERDICT
+    // r12 #4, finally applied to the incremental twin): each side's
+    // index feeds THREE subtrees (band signatures, the verification
+    // join, the per-doc size agg), and the unstaged form re-ran the
+    // full tokenize pass for every one — six corpus/batch scans per
+    // call, two after staging. Value-identical: bandedSignatureKeys
+    // IS bandKeysFromSignatures∘signaturesFromShingles∘hashedShingleRows
+    // by definition.
+    val invIn = hashedShingleRows(incoming, idCol, textCol, n).localCheckpoint()
+    val invC = hashedShingleRows(corpus, idCol, textCol, n).localCheckpoint()
+    val bIn = bandKeysFromSignatures(
+        signaturesFromShingles(invIn, bands * rowsPerBand, seed), bands, rowsPerBand)
       .toDF("in_doc", "band", "band_key")
-    val bC0 = bandedSignatureKeys(corpus, idCol, textCol, n, bands, rowsPerBand, seed)
+    val bC0 = bandKeysFromSignatures(
+        signaturesFromShingles(invC, bands * rowsPerBand, seed), bands, rowsPerBand)
       .toDF("c_doc", "band", "band_key")
     val bC =
       if (corpusBucketCap == Int.MaxValue) bC0
@@ -759,8 +772,6 @@ object Dedup {
       }
     val cand = bIn.join(bC, Seq("band", "band_key"))
       .select(col("in_doc"), col("c_doc")).distinct()
-    val invIn = hashedShingleRows(incoming, idCol, textCol, n)
-    val invC = hashedShingleRows(corpus, idCol, textCol, n)
     val common = cand
       .join(invIn.toDF("in_doc", "s"), "in_doc")
       .join(invC.toDF("c_doc", "s"), Seq("c_doc", "s"))

@@ -85,8 +85,14 @@ object ImdbPipeline {
       .select(explode(split(col("genres"), ",")).as("genre"))
       .distinct().collect().map(_.getString(0)).sorted.toSeq
 
+    // one split, 26 membership probes (r19 optimization round): each
+    // genre column re-split the csv string per row — codegen CSE does
+    // not collapse the copies across independent projection slots, so
+    // the one-hot block cost |genres| regex splits per row instead of 1.
+    // The staged attribute is multiply-referenced and non-cheap, so
+    // CollapseProject keeps it materialized (the withShingles note).
     val genreCols = uniqueGenres.map(g =>
-      array_contains(split(col("genres"), ","), g).cast("int").as(s"genre_$g"))
+      array_contains(col("__genres_arr"), g).cast("int").as(s"genre_$g"))
     val typeCols = TitleTypes.map(t =>
       (col("titleType") === t).cast("int").as(s"title_type_$t"))
 
@@ -116,6 +122,7 @@ object ImdbPipeline {
       .join(countriesCount, Seq("tconst"), "left")
       .join(principalsAgg, Seq("tconst"), "left")
       .withColumn("runtimeMinutesBucket", bucket)
+      .withColumn("__genres_arr", split(col("genres"), ","))
       .select(Seq(
         col("tconst"),
         col("titleType"),
@@ -318,6 +325,12 @@ object ImdbPipeline {
     */
   def generateDatasetWithTops(t: ImdbReader.ImdbTables,
       cfg: Config = Config()): (DataFrame, TopSets) = {
+    // Stage-1 is NOT separately persisted (r19 optimization round,
+    // measured): stage 2 reads it from three subtrees, but column
+    // pruning strips the two roleStats copies down to the join spine +
+    // one csv column, so an extra full-width materialization measured
+    // NEUTRAL at bench scale (6.3-6.5 s vs 6.3-7.0 s synth steady)
+    // while costing cache space the 100 TB posture can't spare.
     val initial = initialForm(t.titleAkas, t.titleBasics, t.titleCrew,
       t.titlePrincipals, t.titleRatings, cfg)
     val withPeople = addPeopleColumns(initial, t.nameBasics).persist(cfg.cacheLevel)

@@ -38,11 +38,15 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().localCheckpoint()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+    // edges ⋈ outdeg is STATIC across iterations — materialize it once
+    // (r19 optimization round, guide §2.4): the loop re-ran this join
+    // inside every round, i.e. `iters` extra shuffles of the full edge
+    // list at any scale; now each round joins only the (small) rank
+    // frame against the pre-joined, already-partitioned edge table.
+    val eo = e.join(outDeg, "src").localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (i <- 1 to iters) {
-      val contribs = e
-        .join(outDeg, "src")
+      val contribs = eo
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("outdeg")).as("incoming"))

@@ -300,6 +300,11 @@ object Extended20Queries {
       .select(col("doc_id"), col("n_tokens"),
         Dedup.md5Hash48(col("doc_id").cast("string")).as("h"))
       .withColumn("b", pmod(col("h"), lit(1024L)))
+      // materialized (r19 optimization round): `d` feeds the budget
+      // agg, the bucket histogram, AND the final probe — three
+      // separate subtrees, each re-running the tokenize+quality pass
+      // over the corpus (and mx11 instantiates this chain twice)
+      .localCheckpoint()
     val budget = d.agg(expr("CAST((sum(n_tokens) + 7) DIV 8 AS BIGINT)").as("budget"))
     // bounded 1024-row histogram → per-bucket start offsets; the
     // no-partition window runs over the histogram, never the data
@@ -376,7 +381,9 @@ object Extended20Queries {
   // ---------------------------------------------------------------
   private def mx11IncrementalShards(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val base = shardManifest(docs.filter(col("doc_id") < 400))
+    // tiny (one row per shard) but referenced twice — the offset agg
+    // and the epoch-0 union arm each re-ran the whole manifest chain
+    val base = shardManifest(docs.filter(col("doc_id") < 400)).localCheckpoint()
     val off = base.agg((max(col("shard_id")) + 1).as("off"))
     val batch = shardManifest(docs.filter(col("doc_id") >= 400))
       .crossJoin(broadcast(off))

@@ -143,9 +143,14 @@ object Extended4Queries {
     * is engine-independent.
     */
   private def q65Tfidf(s: SparkSession, dir: String): DataFrame = {
+    // materialized (r19 optimization round): `toks` feeds terms (read
+    // by two different aggs — tf and dfreq, no shared exchange) plus
+    // the n_docs count, so the unstaged form ran the interpreted
+    // tokenize pass three times over the corpus
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
+      .localCheckpoint()
     val terms = toks.select(col("doc_id"), size(col("toks")).as("doc_len"),
       explode(col("toks")).as("term"))
     val tf = terms.groupBy("doc_id", "doc_len", "term").agg(count(lit(1)).as("cnt"))
@@ -291,6 +296,11 @@ object Extended4Queries {
       .select(col("doc_id"), graft.dedup.Dedup.md5Hash48(
         expr("concat_ws(' ', slice(toks, i, 5))")).as("sh5"))
       .distinct()
+      // materialized (r19 optimization round): the bench side and the
+      // probe side are DIFFERENT filters over this frame, so exchange
+      // reuse cannot dedup them — unstaged, the tokenize+shingle pass
+      // ran twice (two full corpus scans at any scale)
+      .localCheckpoint()
     val bench = sh.filter(col("doc_id") < 25).select(col("sh5")).distinct()
       .withColumn("hit", lit(1))
     sh.filter(col("doc_id") >= 25)

@@ -628,6 +628,11 @@ object Extended5Queries {
       .select(col("source"), graft.dedup.Dedup.md5Hash48(
         expr("concat_ws(' ', slice(toks, i, 5))")).as("s5"))
       .distinct()
+      // materialized (r19 optimization round): ReuseExchange dedups the
+      // self-join's two identical sides but NOT the sizes agg (different
+      // grouping), which re-ran the whole tokenize+shingle pass —
+      // console A/B 1.48-1.60 s → 1.19-1.43 s steady at sf0.1
+      .localCheckpoint()
     val sizes = inv.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     inv.toDF("source_a", "s5")
       .join(inv.toDF("source_b", "s5"), Seq("s5"))

@@ -69,9 +69,13 @@ object BpeTrainer {
           call_function("replace", col("repr"),
             lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep)))
         // cut the growing replace-chain lineage the way the PageRank
-        // loop does — every iteration here since the table is tiny
-        // relative to the plan it would otherwise re-derive
-        vocab = vocab.localCheckpoint()
+        // loop does — every THIRD iteration (r19 optimization round):
+        // an eager materialization job per merge dominated the train
+        // loop's wall-clock at bench scale, and a ≤3-replace chain over
+        // the tiny vocab re-derives for free. No final-iteration
+        // checkpoint: train() returns the collected merges, so the last
+        // vocab is never read again.
+        if (rank % 3 == 0 && rank < numMerges) vocab = vocab.localCheckpoint()
       }
     }
     import spark.implicits._

@@ -31,7 +31,17 @@ object ProfileQ {
     }
 
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_pricing_summary")
+    // SPARK_GRAFT_CLEAR=1 reproduces the bench's isolate(dropMemos)
+    // regime per timing (r19 optimization round): without it, rounds 2+
+    // of the memoized imdb/ml03 family time a TrieMap hit, not the
+    // pipeline — the SKILL.md caveat, now addressable from the CLI.
+    val clear = sys.env.get("SPARK_GRAFT_CLEAR").contains("1")
     for (r <- 1 to rounds; name <- names) {
+      if (clear) {
+        try { graft.queries.Catalog.clearMemos()
+          spark.catalog.clearCache(); System.gc() }
+        catch { case _: Throwable => () }
+      }
       val fn = graft.queries.Catalog.queries(name)
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
