@@ -169,28 +169,53 @@ object MlPipeline {
     * Features with unbounded domains should be bucketed first
     * (ml09's quantile bins are the natural feeder).
     */
+  /** One melted (feature, value, payload…) view of `df`'s feature
+    * columns via `stack` — the r20 optimization round's histogram
+    * fusion (guide §1.2/§2.4): every split-search below used to union
+    * F independent per-feature groupBy subtrees, which is F full
+    * passes over the input and F shuffles per search; melted, ONE pass
+    * and ONE exchange keyed by (feature, value) produce the identical
+    * histogram rows (stack preserves values and nulls verbatim, and
+    * all downstream sums are exact longs, so every candidate row —
+    * and therefore every argmax — is bit-identical). Requires all
+    * feature columns to share one type (every caller passes doubles);
+    * stack would otherwise silently coerce, so fail named instead.
+    */
+  private def meltFeatures(df: DataFrame, features: Seq[String],
+      keep: Seq[String]): DataFrame = {
+    val types = features.map(f => df.schema(f).dataType).distinct
+    require(types.size == 1,
+      s"meltFeatures needs one shared feature type, got $types")
+    df.selectExpr(
+      (s"stack(${features.size}, " +
+        features.map(f => s"'$f', `$f`").mkString(", ") + ") AS (__feat, __v)") +:
+        keep.map(c => s"`$c`"): _*)
+  }
+
   def stumpSplits(df: DataFrame, labelCol: String,
       features: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tot = df.agg(count(lit(1)).as("nn"),
       sum(col(labelCol).cast("long")).as("pp"))
-    val perFeature = features.map { f =>
-      val hist = df.groupBy(col(f).as("v"))
-        .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("npos"))
-      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
-      hist
-        .withColumn("cn", sum(col("n")).over(w))
-        .withColumn("cp", sum(col("npos")).over(w))
-        .crossJoin(broadcast(tot))
-        .select(lit(f).as("feature"), col("v").as("threshold"),
-          // orientation 1: predict positive when value > threshold
-          // (TP = pp − cp, TN = cn − cp); orientation 2 is its complement
-          round(greatest(
-            (col("pp") - col("cp") + col("cn") - col("cp")) / col("nn"),
-            (col("cp") + col("nn") - col("pp") - col("cn") + col("cp")) / col("nn")),
-            6).as("acc"))
-    }
-    val all = perFeature.reduce(_ unionAll _)
+    // all features' histograms in one melted pass (see meltFeatures);
+    // the per-feature window is now PARTITIONED by feature — same
+    // cumulative values, no single-partition WindowExec
+    val hist = meltFeatures(df, features, Seq(labelCol))
+      .groupBy(col("__feat"), col("__v"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("npos"))
+    val w = Window.partitionBy(col("__feat")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = hist
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cp", sum(col("npos")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("__feat").as("feature"), col("__v").as("threshold"),
+        // orientation 1: predict positive when value > threshold
+        // (TP = pp − cp, TN = cn − cp); orientation 2 is its complement
+        round(greatest(
+          (col("pp") - col("cp") + col("cn") - col("cp")) / col("nn"),
+          (col("cp") + col("nn") - col("pp") - col("cn") + col("cp")) / col("nn")),
+          6).as("acc"))
     val rk = Window.partitionBy(col("feature"))
       .orderBy(col("acc").desc, col("threshold"))
     all.withColumn("rk", row_number().over(rk))
@@ -238,42 +263,40 @@ object MlPipeline {
       val nn = t0.getLong(0)
       val f0 = math.floor(t0.getLong(1).toDouble / nn.toDouble + 0.5).toLong
       var model = Vector.empty[BoostRound]
-      // F as a literal expression — longs end to end
-      def fExpr: Column = model.foldLeft(lit(f0)) { (acc, st) =>
+      // F after the first k rounds as a literal expression — longs end
+      // to end (k = model.size is "now"; earlier prefixes replay the
+      // trajectory for the batched accuracy pass below)
+      def fExprAt(k: Int): Column = model.take(k).foldLeft(lit(f0)) { (acc, st) =>
         acc + when(col(st.feature) <= st.threshold, lit(st.lo)).otherwise(lit(st.hi))
       }
-      // train accuracy of sign(F − 1/2) vs label; exact 0/1 sums
-      def accNow(): Double = {
-        val a = f.agg(avg(when((fExpr * 2 >= lit(Fp)) === (col("_bs_y") > 0), 1.0)
-          .otherwise(0.0))).first().getDouble(0)
-        math.round(a * 1e6) / 1e6
-      }
-      val out = scala.collection.mutable.ArrayBuffer[
-        (Int, String, Double, Double, Double, Double)]()
-      out += ((0, "_base", -1.0, f0.toDouble / 1e8, f0.toDouble / 1e8, accNow()))
+      def fExpr: Column = fExprAt(model.size)
       for (m <- 1 to rounds) {
         val rdf = f.withColumn("_bs_r", col("_bs_y") - fExpr)
         val tot = rdf.agg(count(lit(1)).as("nn2"), sum(col("_bs_r")).as("st"))
-        val cands = features.map { ft =>
-          val hist = rdf.groupBy(col(ft).as("v"))
-            .agg(count(lit(1)).as("n"), sum(col("_bs_r")).as("sr"))
-          // bounded frame: one row per distinct feature value
-          val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
-          hist
-            .withColumn("nl", sum(col("n")).over(w))
-            .withColumn("sl", sum(col("sr")).over(w))
-            .crossJoin(broadcast(tot))
-            .filter(col("nn2") - col("nl") > 0)
-            .select(lit(ft).as("feature"), col("v"), col("sl"), col("nl"),
-              (col("st") - col("sl")).as("sr2"),
-              (col("nn2") - col("nl")).as("nr"),
-              // same IEEE op order as the oracle: (sl·sl)/nl + (sr·sr)/nr
-              (col("sl").cast("double") * col("sl").cast("double") /
-                col("nl").cast("double") +
-                (col("st") - col("sl")).cast("double") *
-                  (col("st") - col("sl")).cast("double") /
-                  (col("nn2") - col("nl")).cast("double")).as("gain"))
-        }.reduce(_ unionAll _)
+        // every feature's residual histogram in one melted pass + one
+        // exchange (meltFeatures note; the union-of-per-feature form
+        // scanned the persisted frame F times per round), windows
+        // PARTITIONED by feature — identical exact-long candidate rows
+        val hist = meltFeatures(rdf, features, Seq("_bs_r"))
+          .groupBy(col("__feat"), col("__v"))
+          .agg(count(lit(1)).as("n"), sum(col("_bs_r")).as("sr"))
+        // bounded frame: one row per distinct (feature, value)
+        val w = Window.partitionBy(col("__feat")).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cands = hist
+          .withColumn("nl", sum(col("n")).over(w))
+          .withColumn("sl", sum(col("sr")).over(w))
+          .crossJoin(broadcast(tot))
+          .filter(col("nn2") - col("nl") > 0)
+          .select(col("__feat").as("feature"), col("__v").as("v"), col("sl"), col("nl"),
+            (col("st") - col("sl")).as("sr2"),
+            (col("nn2") - col("nl")).as("nr"),
+            // same IEEE op order as the oracle: (sl·sl)/nl + (sr·sr)/nr
+            (col("sl").cast("double") * col("sl").cast("double") /
+              col("nl").cast("double") +
+              (col("st") - col("sl")).cast("double") *
+                (col("st") - col("sl")).cast("double") /
+                (col("nn2") - col("nl")).cast("double")).as("gain"))
         val best = cands
           .orderBy(col("gain").desc, col("feature"), col("v")).limit(1).first()
         val (sl, nl) = (best.getLong(2), best.getLong(3))
@@ -281,10 +304,24 @@ object MlPipeline {
         val lo = math.floor(0.5 * sl / nl + 0.5).toLong
         val hi = math.floor(0.5 * sr2 / nr + 0.5).toLong
         model = model :+ BoostRound(m, best.getString(0), best.getDouble(1), lo, hi)
-        out += ((m, best.getString(0), best.getDouble(1),
-          lo.toDouble / 1e8, hi.toDouble / 1e8, accNow()))
       }
-      out.toSeq.toDF("rnd", "feature", "threshold", "leaf_lo", "leaf_hi", "acc")
+      // Train accuracy of sign(F_k − 1/2) vs label for EVERY round in
+      // ONE aggregation pass (r20: one accNow action per round was
+      // pure per-job overhead — rounds+1 full-scan jobs for rounds+1
+      // numbers). Each column is the same 0/1-indicator avg the
+      // per-round form computed — sums of 0/1 doubles are exact at any
+      // count < 2^53, so batching cannot change a value.
+      val accCols = (0 to rounds).map { k =>
+        avg(when((fExprAt(k) * 2 >= lit(Fp)) === (col("_bs_y") > 0), 1.0)
+          .otherwise(0.0)).as(s"__acc_$k")
+      }
+      val accRow = f.agg(accCols.head, accCols.tail: _*).first()
+      def accAt(k: Int): Double = math.round(accRow.getDouble(k) * 1e6) / 1e6
+      val out =
+        (0, "_base", -1.0, f0.toDouble / 1e8, f0.toDouble / 1e8, accAt(0)) +:
+          model.map(st => (st.rnd, st.feature, st.threshold,
+            st.lo.toDouble / 1e8, st.hi.toDouble / 1e8, accAt(st.rnd)))
+      out.toDF("rnd", "feature", "threshold", "leaf_lo", "leaf_hi", "acc")
         .orderBy(col("rnd"))
     } finally f.unpersist()
   }
@@ -320,21 +357,23 @@ object MlPipeline {
     try {
       def bestSplit(node: DataFrame): (String, Double) = {
         val tot = node.agg(count(lit(1)).as("nn"), sum(col("_y")).as("pp"))
-        val cands = features.map { f =>
-          val hist = node.groupBy(col(f).as("v"))
-            .agg(count(lit(1)).as("n"), sum(col("_y")).as("npos"))
-          val w = Window.orderBy(col("v"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          hist
-            .withColumn("cn", sum(col("n")).over(w))
-            .withColumn("cp", sum(col("npos")).over(w))
-            .crossJoin(broadcast(tot))
-            .filter(col("cn") < col("nn")) // right child must be non-empty
-            .select(lit(f).as("feature"), col("v"),
-              (greatest(col("cp"), col("cn") - col("cp")) +
-                greatest(col("pp") - col("cp"),
-                  col("nn") - col("cn") - (col("pp") - col("cp")))).as("correct"))
-        }.reduce(_ unionAll _)
+        // one melted histogram pass over all features (meltFeatures
+        // note), window partitioned by feature — identical integer
+        // candidate rows, F× fewer input scans and exchanges
+        val hist = meltFeatures(node, features, Seq("_y"))
+          .groupBy(col("__feat"), col("__v"))
+          .agg(count(lit(1)).as("n"), sum(col("_y")).as("npos"))
+        val w = Window.partitionBy(col("__feat")).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cands = hist
+          .withColumn("cn", sum(col("n")).over(w))
+          .withColumn("cp", sum(col("npos")).over(w))
+          .crossJoin(broadcast(tot))
+          .filter(col("cn") < col("nn")) // right child must be non-empty
+          .select(col("__feat").as("feature"), col("__v").as("v"),
+            (greatest(col("cp"), col("cn") - col("cp")) +
+              greatest(col("pp") - col("cp"),
+                col("nn") - col("cn") - (col("pp") - col("cp")))).as("correct"))
         val best = cands.orderBy(col("correct").desc, col("feature"), col("v"))
           .limit(1).first()
         (best.getString(0), best.getDouble(1))
@@ -348,21 +387,22 @@ object MlPipeline {
       val sided = d.withColumn("_side", when(col(f0) <= t0, "L").otherwise("R"))
       val sideTot = sided.groupBy(col("_side"))
         .agg(count(lit(1)).as("nn"), sum(col("_y")).as("pp"))
-      val cands2 = features.map { f =>
-        val hist = sided.groupBy(col("_side"), col(f).as("v"))
-          .agg(count(lit(1)).as("n"), sum(col("_y")).as("npos"))
-        val w = Window.partitionBy(col("_side")).orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        hist
-          .withColumn("cn", sum(col("n")).over(w))
-          .withColumn("cp", sum(col("npos")).over(w))
-          .join(broadcast(sideTot), "_side")
-          .filter(col("cn") < col("nn"))
-          .select(col("_side"), lit(f).as("feature"), col("v"),
-            (greatest(col("cp"), col("cn") - col("cp")) +
-              greatest(col("pp") - col("cp"),
-                col("nn") - col("cn") - (col("pp") - col("cp")))).as("correct"))
-      }.reduce(_ unionAll _)
+      // melted like bestSplit: one (side, feature, value) histogram
+      // pass instead of F per-feature subtrees
+      val hist2 = meltFeatures(sided, features, Seq("_side", "_y"))
+        .groupBy(col("_side"), col("__feat"), col("__v"))
+        .agg(count(lit(1)).as("n"), sum(col("_y")).as("npos"))
+      val w2 = Window.partitionBy(col("_side"), col("__feat")).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cands2 = hist2
+        .withColumn("cn", sum(col("n")).over(w2))
+        .withColumn("cp", sum(col("npos")).over(w2))
+        .join(broadcast(sideTot), "_side")
+        .filter(col("cn") < col("nn"))
+        .select(col("_side"), col("__feat").as("feature"), col("__v").as("v"),
+          (greatest(col("cp"), col("cn") - col("cp")) +
+            greatest(col("pp") - col("cp"),
+              col("nn") - col("cn") - (col("pp") - col("cp")))).as("correct"))
       val rk = Window.partitionBy(col("_side"))
         .orderBy(col("correct").desc, col("feature"), col("v"))
       val bests = cands2.withColumn("rk", row_number().over(rk))
