@@ -107,7 +107,10 @@ object Bench {
     // steal_pct at the r2 cap's 6-char worst case (r19; the true value
     // is a percentage ≤ 100, but the frame certifies the formatter's
     // cap, not the semantics)
-    val frame = s"""{"metric":"total","value":99999.999,"unit":"sec","warmup":"v6-median3","host_cal":{"pre":99.999,"post":99.999},"host_cal_par":{"pre":999.999,"post":999.999,"threads":999},"rep_spread":${repSpreadJson(worstHi)},"rep1_infl":{"med":999.99,"max":999.99},"tail_s":9999.999,"steal_pct":999.99,"band_verdict":"mid-drive-transient","band_profile":"${"x" * 16}","n_inflated":-99,"n_failed":0,"failed":[],"memo_warn":$worstMemo,"queries":{},"sf":"${"x" * 40}"}"""
+    // cpus at its validated 3-digit bound and spark_par at the r3q
+    // 8-char cap (r20, VERDICT r19 #4: the Spark-effective-parallelism
+    // probe printed so the driver's core-scaling heuristic has signal)
+    val frame = s"""{"metric":"total","value":99999.999,"unit":"sec","warmup":"v6-median3","cpus":999,"spark_par":9999.999,"host_cal":{"pre":99.999,"post":99.999},"host_cal_par":{"pre":999.999,"post":999.999,"threads":999},"rep_spread":${repSpreadJson(worstHi)},"rep1_infl":{"med":999.99,"max":999.99},"tail_s":9999.999,"steal_pct":999.99,"band_verdict":"mid-drive-transient","band_profile":"${"x" * 16}","n_inflated":-99,"n_failed":0,"failed":[],"memo_warn":$worstMemo,"queries":{},"sf":"${"x" * 40}"}"""
     // per-headline allowance: `"name":9999.999,` = name + 4 chars of
     // JSON punctuation + an 8-char value slot — TRUE by construction,
     // not assumption, because per-query readings print through the
@@ -538,6 +541,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec single-partition WARN suppressed for the same reason
+    // as Verify: every unpartitioned window left in the catalog is
+    // bound-pinned by BoundedWindowSpec, and the flood was most of the
+    // stdout tail the driver captures around the printed line.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
     // Warm up JIT/codegen, shuffle, window, hash/regex expression, and
     // full-scan paths so the alphabetically-first timed query (dd01)
     // doesn't absorb session start-up — profiled at ~3 s of cold scan +
@@ -589,6 +600,23 @@ object Bench {
       }
       try { spark.catalog.clearCache(); System.gc() }
       catch { case _: Throwable => () }
+    }
+    // Spark-effective-parallelism probe (r20, VERDICT r19 #4): a fixed
+    // CPU-bound Spark job — 64M xxhash64 rows over defaultParallelism
+    // partitions — wall-clock timed once, UNTIMED relative to every
+    // query (it runs between warmup and the timed loop and its seconds
+    // are printed separately, never added to "value"). Fixed total
+    // work means wall ∝ 1/effective-cores, so a c8-vs-c32 drive pair's
+    // spark_par ratio reads ~4 on a healthy session — direct evidence
+    // the session honors $SPARK_GRAFT_CPUS even when the catalog's
+    // per-query times are overhead-bound and scale flat (the r19
+    // suspect_cpus_ignored false positive). -1 = probe failed; the
+    // drive remains a valid measurement.
+    val sparkParSec = {
+      val t0 = System.nanoTime()
+      try { spark.range(64L * 1000 * 1000).selectExpr("bit_xor(xxhash64(id))").collect()
+        (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
     // Per-query outcome: a swallowed failure must never masquerade as a
     // timing (r4 lesson: an aborted job was absorbed as `-1L` and dd01
@@ -790,7 +818,7 @@ object Bench {
         ("bands-unreadable", "unknown")
     }
     val bandJson = s""""band_verdict":"$bandVerdict","band_profile":"${sanitizeProfileName(bandProfile)}","n_inflated":${nInflated.getOrElse(-1)}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"v6-median3","host_cal":$hostCalJson,"host_cal_par":$hostCalParJson,"rep_spread":$repSpread,"rep1_infl":$rep1Infl,"tail_s":$tailS,"steal_pct":$stealJson,$bandJson,"n_failed":${failed.size},"failed":$failedJson,"memo_warn":$memoWarnJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"v6-median3","cpus":$nCpus,"spark_par":${r3q(sparkParSec)},"host_cal":$hostCalJson,"host_cal_par":$hostCalParJson,"rep_spread":$repSpread,"rep1_infl":$rep1Infl,"tail_s":$tailS,"steal_pct":$stealJson,$bandJson,"n_failed":${failed.size},"failed":$failedJson,"memo_warn":$memoWarnJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // A bench with any failed query is not a measurement — make the
     // process exit status itself red so no downstream consumer can

@@ -21,6 +21,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec's "No Partition Defined" WARN fires per plan
+    // instantiation on every histogram-CDF window and flooded this
+    // tail with hundreds of copies, burying real warnings (VERDICT r19
+    // #5). Every unpartitioned window left in the catalog runs over a
+    // provably bounded frame — the bounds are pinned by
+    // BoundedWindowSpec, which is the gate that keeps this suppression
+    // honest; a genuinely unbounded new site must fail there, not
+    // whisper here.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
     new java.io.File(outDir).mkdirs()
     // Probe every table's post-loader schema first (named fail-fast on
     // testdata drift — the r8 events.ts regeneration killed 28 queries

@@ -10,7 +10,10 @@ import graft.text.TextStats
   * embedding-cosine near-dup. Extension scope beyond the reference
   * (SURVEY.md §7.1 step 8).
   *
-  * Scale posture:
+  * Scale posture (every `localCheckpoint` here follows the stated
+  * reliability-vs-speed posture in SCALE.md "Ground rules" — lineage
+  * cuts and multi-consumer staging, with `checkpoint(reliable)` as
+  * the cluster-mode escape hatch):
   *   - exact dedup is one hash shuffle on a 32-char fingerprint —
   *     linear, the canonical 100 TB dedup plan;
   *   - Jaccard pairs join on *shingle* (inverted-index join), never a
@@ -239,12 +242,24 @@ object Dedup {
     * jaccard = common / (|A| + |B| − common). Pairs are (a < b).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5): DataFrame =
     // The inverted index feeds three subtrees (both self-join sides and
     // the per-doc size agg); only the self-join's exchange is reused
     // automatically, so materialize once — profiled ~25% off dd02 and
     // every caller that layers clustering on top (dd08/dd09).
-    val inv = hashedShingleRows(docs, idCol, textCol, n).localCheckpoint()
+    jaccardPairsFromShingles(
+      hashedShingleRows(docs, idCol, textCol, n).localCheckpoint(), threshold)
+
+  /** [[jaccardPairs]] from an ALREADY-materialized (doc, s) hashed-
+    * shingle frame — the staging entry for callers that need the
+    * inverted index for MORE than the pair join (r20: dd15 computed
+    * the full tokenize+md5+shingle pass twice, once here and once for
+    * its LSH candidate side; sharing one checkpointed index removes a
+    * full corpus scan at any scale). Definitionally the jaccardPairs
+    * body, so value-identical.
+    */
+  private[graft] def jaccardPairsFromShingles(inv: DataFrame,
+      threshold: Double): DataFrame = {
     val sizes = inv.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val common = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
@@ -466,6 +481,20 @@ object Dedup {
       bandedSignatureKeys(docs, idCol, textCol, n, bands, rowsPerBand, seed),
       starCapBucketSize)
 
+  /** [[minHashCandidatePairs]] from an ALREADY-materialized (doc, s)
+    * hashed-shingle frame (the signaturesFromShingles staging entry,
+    * r20): definitionally the same chain, so value-identical — lets a
+    * caller that also needs the inverted index (dd15's exact side)
+    * tokenize the corpus once instead of twice.
+    */
+  private[graft] def minHashCandidatePairsFromShingles(inv: DataFrame,
+      bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L,
+      starCapBucketSize: Int = Int.MaxValue): DataFrame =
+    candidatePairsFromBandKeys(
+      bandKeysFromSignatures(
+        signaturesFromShingles(inv, bands * rowsPerBand, seed), bands, rowsPerBand),
+      starCapBucketSize)
+
   /** Duplicate-cluster assignment from near-dup pairs: connected
     * components by iterative min-label propagation, the canonical
     * post-LSH step (pairs → clusters → keep one canonical doc per
@@ -494,21 +523,40 @@ object Dedup {
     // Fold propagation round 1 into initialization: label₀(v) =
     // min(v, min neighbor) — star-shaped near-dup clusters converge
     // immediately, so the loop usually only runs its confirmation pass.
+    // labels₀ is deliberately NOT checkpointed (r20 job trim): it is a
+    // single groupBy over the already-checkpointed edge list, and for
+    // the converge-immediately case the loop below never materializes
+    // anything — the whole call is then the edges checkpoint plus ONE
+    // confirmation aggregate, where the r19 form paid two more eager
+    // jobs (labels₀ checkpoint + the final round's checkpoint/isEmpty
+    // pair) for the same answer. Progress rounds still checkpoint, so
+    // lineage depth stays O(1) per round on deep graphs.
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
-      .select(col("src").as("v"), col("label")).localCheckpoint()
+      .select(col("src").as("v"), col("label"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("src") === labels("v"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
-      val updated = labels.join(nbrMin, labels("v") === nbrMin("dst"), "left")
-        .select(col("v"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("nbr_label") < col("label")).as("changed"))
-        .localCheckpoint()
-      converged = updated.filter(col("changed")).isEmpty
-      labels = updated.drop("changed")
+      val joined = labels.join(nbrMin, labels("v") === nbrMin("dst"), "left")
+      // ONE action decides the round (r20): count the label decreases
+      // while the round's relabeling is still lazy. Zero decreases
+      // means least(label, coalesce(nbr, label)) == label on every row
+      // — the relabeled frame IS `labels` — so the confirmation round
+      // materializes nothing (the r19 form checkpointed the identical
+      // frame and then ran isEmpty over it: two jobs every call paid
+      // on its final round). A progress round pays the relabel join
+      // twice (once counting, once checkpointing) — both reads of
+      // checkpointed inputs, the trade that buys the final round back.
+      val changedRow = joined.agg(
+        sum(when(col("nbr_label") < col("label"), 1L).otherwise(0L))).first()
+      converged = changedRow.isNullAt(0) || changedRow.getLong(0) == 0L
+      if (!converged) {
+        labels = joined.select(col("v"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .localCheckpoint()
+      }
       iter += 1
     }
     // Min-propagation moves a label one hop per round, so a component
@@ -517,8 +565,13 @@ object Dedup {
     // the O(log n) star algorithm — same output contract, immune to
     // diameter.
     if (!converged) return connectedComponentsStars(pairs, aCol, bCol)
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
+    // cluster_size as a window count, not groupBy+join-back (r20): the
+    // join form consumed `labels` from two subtrees (and shuffled it
+    // twice — agg + probe); one partitionBy(label) exchange computes
+    // the same value per row. The oracle side already uses exactly
+    // this window formulation.
+    labels.withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("label"))))
       .select(col("v").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
@@ -561,9 +614,11 @@ object Dedup {
       .select(col("rep"), col("rep").as("cluster_id"))
     val memberLabel = m.join(repClusters.unionByName(selfClusters), Seq("rep"))
       .select(col(idCol).as("doc_id"), col("cluster_id"))
-    val sizes = memberLabel.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    memberLabel.join(sizes, "cluster_id")
+    // window count, not groupBy+join-back (r20, the duplicateClusters
+    // note): the join form re-instantiated the whole memberLabel chain
+    // for the sizes subtree; same values, one exchange
+    memberLabel.withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 

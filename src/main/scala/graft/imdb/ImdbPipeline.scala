@@ -156,25 +156,49 @@ object ImdbPipeline {
       size(split(col("knownForTitles"), ",")).as("numKnownForTitles"),
       size(split(col("primaryProfession"), ",")).as("numProfessions"))
 
-    def roleStats(csvCol: String, prefix: String): DataFrame = {
-      val exploded = mergedData
-        .withColumn(s"${prefix}_id", explode(split(col(csvCol), ",")))
-        .select(col("tconst"), col(s"${prefix}_id"))
-      exploded
-        .join(peopleData, exploded(s"${prefix}_id") === peopleData("nconst"), "left")
-        .drop("nconst")
-        .groupBy(col("tconst")).agg(
-          avg(col("numKnownForTitles")).as(s"${prefix}s_known_titles_mean"),
-          min(col("numKnownForTitles")).as(s"${prefix}s_known_titles_min"),
-          max(col("numKnownForTitles")).as(s"${prefix}s_known_titles_max"),
-          avg(col("numProfessions")).as(s"${prefix}s_professions_mean"),
-          min(col("numProfessions")).as(s"${prefix}s_professions_min"),
-          max(col("numProfessions")).as(s"${prefix}s_professions_max"))
-    }
-
-    mergedData
-      .join(roleStats("writers", "writer"), Seq("tconst"), "left")
-      .join(roleStats("directors", "director"), Seq("tconst"), "left")
+    // BOTH roles in one melted pass (r20 optimization round): the two
+    // per-role subtrees each re-executed the whole stage-1 join DAG
+    // (pruned to the spine + one csv column) and paid their own
+    // explode + people join + groupBy shuffles — so stage 1 ran three
+    // times per pipeline and stage 2 shuffled twice. One (tconst,
+    // role, id) explode feeds one people join and one conditional
+    // aggregate; stage 1 now executes once per side (full-width +
+    // this pass) and the role stats cost one shuffle. Values are
+    // unchanged: explode of the concatenated per-role arrays emits
+    // exactly the union of the two explodes (a NULL csv column
+    // contributes an empty array, preserving explode's NULL-drop —
+    // fidelity note F2), and the role-gated avg/min/max see exactly
+    // the rows the per-role aggregates saw (avg over ints sums exact
+    // integer doubles, so even the float means are bit-identical; a
+    // title with rows for only one role gets NULLs for the other from
+    // the all-NULL conditional aggregate where it got NULLs from the
+    // missing left-join row before).
+    val roleStruct = "array<struct<r:int,id:string>>"
+    def roleArr(c: String, r: Int): Column = coalesce(
+      transform(split(col(c), ","), x => struct(lit(r).as("r"), x.as("id"))),
+      array().cast(roleStruct))
+    val roles = mergedData.select(col("tconst"),
+        explode(concat(roleArr("writers", 0), roleArr("directors", 1))).as("e"))
+      .select(col("tconst"), col("e.r").as("__role"), col("e.id").as("__pid"))
+    def aggsFor(r: Int, prefix: String) = Seq(
+      avg(when(col("__role") === r, col("numKnownForTitles")))
+        .as(s"${prefix}s_known_titles_mean"),
+      min(when(col("__role") === r, col("numKnownForTitles")))
+        .as(s"${prefix}s_known_titles_min"),
+      max(when(col("__role") === r, col("numKnownForTitles")))
+        .as(s"${prefix}s_known_titles_max"),
+      avg(when(col("__role") === r, col("numProfessions")))
+        .as(s"${prefix}s_professions_mean"),
+      min(when(col("__role") === r, col("numProfessions")))
+        .as(s"${prefix}s_professions_min"),
+      max(when(col("__role") === r, col("numProfessions")))
+        .as(s"${prefix}s_professions_max"))
+    val both = aggsFor(0, "writer") ++ aggsFor(1, "director")
+    val stats = roles
+      .join(peopleData, roles("__pid") === peopleData("nconst"), "left")
+      .groupBy(col("tconst"))
+      .agg(both.head, both.tail: _*)
+    mergedData.join(stats, Seq("tconst"), "left")
   }
 
   /** Top-N entities of a csv id column ranked by two aggregates —
@@ -331,6 +355,12 @@ object ImdbPipeline {
     // one csv column, so an extra full-width materialization measured
     // NEUTRAL at bench scale (6.3-6.5 s vs 6.3-7.0 s synth steady)
     // while costing cache space the 100 TB posture can't spare.
+    // (r20: the two roleStats subtrees are now ONE — addPeopleColumns
+    // melts both roles into a single pass — so stage 1 executes twice
+    // per run: full-width for the output frame, pruned once for the
+    // role spine. The remaining duplicate is the narrow side; a
+    // separate spine checkpoint would itself be a stage-1 execution,
+    // saving nothing.)
     val initial = initialForm(t.titleAkas, t.titleBasics, t.titleCrew,
       t.titlePrincipals, t.titleRatings, cfg)
     val withPeople = addPeopleColumns(initial, t.nameBasics).persist(cfg.cacheLevel)

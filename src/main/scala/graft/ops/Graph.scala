@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * destination — the exact shape MapReduce/Pregel PageRank uses.
   * Lineage is cut per iteration with localCheckpoint so 10 iterations
   * don't build a 10-deep plan; the edge list and out-degrees are
-  * materialized once and reused by every round.
+  * materialized once and reused by every round. (localCheckpoint
+  * trades executor-loss tolerance for speed — the stated posture in
+  * SCALE.md "Ground rules", with reliable checkpoint() as the
+  * cluster-mode escape hatch.)
   */
 object Graph {
 

@@ -436,14 +436,21 @@ object DedupQueries {
     */
   private def dd15LshRecall(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    // ONE tokenize+md5+shingle pass shared by the exact side and the
+    // LSH side (r20): the unstaged form ran hashedShingleRows twice —
+    // once checkpointed inside jaccardPairs, once again inside the
+    // minHashCandidatePairs chain — two full corpus scans for one
+    // index. Both FromShingles entries are definitionally the same
+    // chains over the same frame, so the output is value-identical.
+    val inv = Dedup.hashedShingleRows(docs, "doc_id", "text", 3).localCheckpoint()
+    val exact = Dedup.jaccardPairsFromShingles(inv, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"))
     // NOT materialized (r19 optimization round, measured): `cand` feeds
     // two subtrees (the recall probe join and the candidate count), but
     // ReuseExchange already dedups the identical LSH chain under both —
     // an explicit localCheckpoint measured NEUTRAL-to-worse at sf0.1
     // (3.07 s vs 3.42 s steady, console A/B), so the plan stays as-is.
-    val cand = Dedup.minHashCandidatePairs(docs, "doc_id", "text")
+    val cand = Dedup.minHashCandidatePairsFromShingles(inv)
       .select(col("doc_a").as("ca"), col("doc_b").as("cb"))
     val hit = exact.join(cand,
       col("doc_a") === col("ca") && col("doc_b") === col("cb"), "left")

@@ -53,8 +53,11 @@ object Extended10Queries {
     val toksTrain = train.select(col("source"), explode(col("toks")).as("tok"))
     val counts = toksTrain.groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("ctc")).localCheckpoint()
-    val classTotals = toksTrain.groupBy(col("source"))
-      .agg(count(lit(1)).as("nc"))
+    // nc = Σ ctc per class, read from the checkpointed counts (r20):
+    // the explode form re-ran the train-token explode over the corpus
+    // for a number counts already carries — exact integer identity
+    val classTotals = counts.groupBy(col("source"))
+      .agg(sum(col("ctc")).as("nc"))
     val vocab = counts.select(col("tok")).distinct()
       .agg(count(lit(1)).as("v"))
     val priors = train.groupBy(col("source")).agg(count(lit(1)).as("ndc"))
@@ -69,16 +72,26 @@ object Extended10Queries {
       .select(col("source").as("cls"),
         log(col("ndc") / col("nd").cast("double")).as("lprior"),
         log(lit(1.0) / (col("nc") + col("v"))).as("ll_unseen"))
+    // per-doc TERM FREQUENCIES, not raw occurrences (r20): the class
+    // fan-out below multiplies every row by |classes|, so collapsing
+    // repeated tokens first shrinks the scored join by the corpus's
+    // within-doc repetition factor. Σ ll over occurrences = tf·ll —
+    // same FP magnitudes summed in one fewer step; the per-doc float-
+    // order drift this moves around is the ~1e-13 class the 1e-6
+    // decision snap already absorbs (Spark's own partial-agg order is
+    // nondeterministic, so the snap has always carried this).
     val testToks = test.select(col("doc_id"), col("source"),
-      explode(col("toks")).as("tok"))
-    // every test token × every class; unseen tokens take the class's
-    // smoothed floor
+        explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    // every test (doc, distinct token) × every class; unseen tokens
+    // take the class's smoothed floor
     val scored = testToks
       .crossJoin(broadcast(classInfo.select(col("cls"), col("ll_unseen"))))
       .join(model.select(col("cls"), col("tok"), col("ll")),
         Seq("cls", "tok"), "left")
       .select(col("doc_id"), col("source"), col("cls"),
-        coalesce(col("ll"), col("ll_unseen")).as("contrib"))
+        (col("tf") * coalesce(col("ll"), col("ll_unseen"))).as("contrib"))
       .groupBy(col("doc_id"), col("source"), col("cls"))
       .agg(sum(col("contrib")).as("sum_ll"))
       .join(broadcast(classInfo.select(col("cls"), col("lprior"))), "cls")

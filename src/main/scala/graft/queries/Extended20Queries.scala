@@ -73,10 +73,14 @@ object Extended20Queries {
     val contaminated = sh.filter(col("doc_id") >= 25)
       .join(broadcast(sh.filter(col("doc_id") < 25).select(col("s5")).distinct()), "s5")
       .select(col("doc_id")).distinct().withColumn("contam", lit(true))
-    // one flags frame; three consumers (funnel agg, mixing, packing)
+    // one flags frame; three consumers (funnel agg, mixing, packing).
+    // token count over a staged token attribute (r20 FromTokens
+    // consistency pass — single expansion today, safe against a second
+    // consumer tomorrow)
     val flags = docs
+      .withColumn("__tk", TextStats.tokens(col("text")))
       .select(col("doc_id"), col("source"),
-        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(col("__tk")).cast("long").as("n_tokens"),
         (col("doc_id") >= 25).as("eligible"))
       .join(canon, Seq("doc_id"), "left")
       .join(quality, Seq("doc_id"), "left")

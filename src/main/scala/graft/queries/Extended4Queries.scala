@@ -452,8 +452,12 @@ object Extended4Queries {
     * exactly what the partition key expresses.
     */
   private def mx01Pack(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(s, dir).select(col("source"), col("doc_id"),
-      TextStats.tokenCount(col("text")).as("n_tokens"))
+    // staged token attribute (r20, the FromTokens sweep's consistency
+    // pass): tokenCount is a single expansion today, but staging keeps
+    // the site safe if a second token consumer is ever added
+    val t = Tables.documents(s, dir)
+      .withColumn("__tk", TextStats.tokens(col("text")))
+      .select(col("source"), col("doc_id"), size(col("__tk")).as("n_tokens"))
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
