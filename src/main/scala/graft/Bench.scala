@@ -602,19 +602,23 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // Spark-effective-parallelism probe (r20, VERDICT r19 #4): a fixed
-    // CPU-bound Spark job — 64M xxhash64 rows over defaultParallelism
-    // partitions — wall-clock timed once, UNTIMED relative to every
-    // query (it runs between warmup and the timed loop and its seconds
-    // are printed separately, never added to "value"). Fixed total
-    // work means wall ∝ 1/effective-cores, so a c8-vs-c32 drive pair's
-    // spark_par ratio reads ~4 on a healthy session — direct evidence
-    // the session honors $SPARK_GRAFT_CPUS even when the catalog's
-    // per-query times are overhead-bound and scale flat (the r19
-    // suspect_cpus_ignored false positive). -1 = probe failed; the
-    // drive remains a valid measurement.
+    // CPU-bound Spark job — 512M rows × 8 chained xxhash64 rounds over
+    // defaultParallelism partitions, ~8 s of single-core CPU — wall-
+    // clock timed once, UNTIMED relative to every query (it runs
+    // between warmup and the timed loop and its seconds are printed
+    // separately, never added to "value"). Fixed total work means wall
+    // ∝ 1/effective-cores, so a c8-vs-c32 drive pair's spark_par ratio
+    // reads ~3.5-4 on a healthy session — direct evidence the session
+    // honors $SPARK_GRAFT_CPUS even when the catalog's per-query times
+    // are overhead-bound and scale flat (the r19 suspect_cpus_ignored
+    // false positive). A first cut at 64M single hashes measured
+    // c8 0.18 s vs c32 0.30 s — ~0.1 s of CPU is itself overhead-bound,
+    // which is exactly the blindness the probe exists to escape.
+    // -1 = probe failed; the drive remains a valid measurement.
     val sparkParSec = {
+      val chained = (1 to 8).foldLeft("id")((e, _) => s"xxhash64($e)")
       val t0 = System.nanoTime()
-      try { spark.range(64L * 1000 * 1000).selectExpr("bit_xor(xxhash64(id))").collect()
+      try { spark.range(512L * 1000 * 1000).selectExpr(s"bit_xor($chained)").collect()
         (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
