@@ -108,24 +108,23 @@ object Dedup {
     */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withFp = docs.select(col(idCol), TextStats.fingerprint(col(textCol)).as("fp"))
-    val groups = withFp.groupBy(col("fp"))
-      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
-    // null-safe key: NULL-text docs fingerprint to NULL, and groupBy
-    // puts them in one group — but a plain equi-join back would drop
-    // them (NULL ≠ NULL in join keys), silently losing every no-text
-    // doc from the output. <=> keeps the "every doc" contract and
-    // matches the oracle's window-over-fp formulation, which keeps
-    // NULL partitions. Still one shuffle: EqualNullSafe is a valid
-    // hash-join key (planned as coalesce-wrapped equi-join). Both
-    // sides are explicitly aliased: `groups` derives from `withFp`, so
-    // an unaliased `withFp("fp") <=> groups("fp")` is an ambiguous
-    // self-join that only works through Spark's trivially-true-
-    // predicate fix-up (the "Constructing trivially true equals
-    // predicate" WARN) — version-fragile resolution this join must not
-    // lean on (VERDICT r10 #2).
-    withFp.as("d").join(groups.as("g"), col("d.fp") <=> col("g.fp"))
-      .select(col(s"d.$idCol").as(idCol), col("g.canonical_id"), col("g.group_size"),
-        (col(s"d.$idCol") =!= col("g.canonical_id")).cast("int").as("is_dup"))
+    // ONE fp-partitioned window pass (r20; guide §2.4): the former
+    // groupBy + join-back read `withFp` from two subtrees — the md5
+    // fingerprint was computed twice per doc — and shuffled twice (agg
+    // + join probe). A window partitioned by fp computes the identical
+    // canonical/min and count per row in one exchange. The null-safety
+    // the old <=> join existed for is free here: window partitioning
+    // puts all NULL-fp docs (NULL text) in ONE partition, exactly like
+    // groupBy did and exactly like the oracle's window-over-fp SQL —
+    // the "every doc appears" contract holds with no join at all.
+    // NULL-id groups: min ignores NULLs and an all-NULL group yields
+    // canonical NULL → is_dup NULL, identical to the join form.
+    val w = Window.partitionBy(col("fp"))
+    withFp
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col(idCol), col("canonical_id"), col("group_size"),
+        (col(idCol) =!= col("canonical_id")).cast("int").as("is_dup"))
   }
 
   /** Shared keying for the byte-identical collapse pair below: a doc is
